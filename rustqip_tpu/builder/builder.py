@@ -1,0 +1,527 @@
+"""LocalBuilder: the concrete pipeline-recording circuit builder.
+
+Re-design of the reference's ``LocalBuilder`` (``qip/src/builder.rs``): a
+pure recorder — nothing numeric happens at build time — whose
+``calculate_state*`` lowers the symbolic pipeline to engine ops and executes
+it as ONE jitted XLA program (vs. the reference's per-gate host loop at
+builder.rs:423-517).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import numpy as np
+
+from rustqip_tpu.builder.circuit_objects import (
+    CircuitObject,
+    ControlledMatGate,
+    GlobalPhaseGate,
+    MatGate,
+    MeasurementObject,
+    NamedGate,
+    PipelineItem,
+    RzGate,
+    invert_circuit_object,
+)
+from rustqip_tpu.builder.registers import Register, SplitResult, consume
+from rustqip_tpu.builder.traits import (
+    AdvancedMixin,
+    CircuitBuilderMixin,
+    CliffordTMixin,
+    GlobalPhaseMixin,
+    RotationsMixin,
+    TemporaryRegisterMixin,
+    UnitaryBuilderMixin,
+)
+from rustqip_tpu.engine.compile import (
+    MeasureEntry,
+    PipelineEntry,
+    UnitaryEntry,
+    compile_pipeline,
+)
+from rustqip_tpu.errors import CircuitError
+from rustqip_tpu.ops import gates
+from rustqip_tpu.ops.matrix_ops import (
+    make_control_op,
+    make_matrix_op,
+    make_swap_op,
+)
+from rustqip_tpu.types import (
+    Angle,
+    PiRational,
+    canonical_complex_dtype,
+)
+
+
+class MeasurementHandle:
+    """Points at a collapsing measurement result (ref builder.rs:594-597)."""
+
+    __slots__ = ("id",)
+
+    def __init__(self, id: int):
+        self.id = id
+
+
+class StochasticMeasurementHandle:
+    """Points at a stochastic measurement result (ref builder.rs:614-617)."""
+
+    __slots__ = ("id",)
+
+    def __init__(self, id: int):
+        self.id = id
+
+
+class Measurements:
+    """Measurement results of one circuit execution
+    (ref ``Measurements``, builder.rs:303-323)."""
+
+    def __init__(self, results: Sequence):
+        self._results = list(results)
+
+    def get_measurement(self, handle: MeasurementHandle) -> Tuple[int, float]:
+        res = self._results[handle.id]
+        if not isinstance(res, tuple):
+            raise CircuitError("Handle points at a stochastic measurement")
+        outcome, prob = res
+        return int(outcome), float(prob)
+
+    def get_stochastic_measurement(
+        self, handle: StochasticMeasurementHandle
+    ) -> np.ndarray:
+        res = self._results[handle.id]
+        if isinstance(res, tuple):
+            raise CircuitError("Handle points at a collapsing measurement")
+        return np.asarray(res)
+
+
+def _lower_item(item: PipelineItem) -> List[PipelineEntry]:
+    """Lower one symbolic pipeline item to engine entries
+    (the reference's per-gate lowering, builder.rs:439-511)."""
+    indices, co = item
+    obj = co.obj
+    if isinstance(obj, MeasurementObject):
+        return [MeasureEntry(tuple(indices), obj.stochastic)]
+    if isinstance(obj, GlobalPhaseGate):
+        # Unlike the reference (which drops global phases at execution,
+        # builder.rs:432), they execute here as a fused scalar multiply —
+        # this keeps conditioned global phases exact. Physically
+        # unobservable either way.
+        phase = np.exp(1j * (obj.theta.to_float() if isinstance(obj.theta, PiRational) else float(obj.theta)))
+        mat = np.array([[phase, 0], [0, phase]], dtype=np.complex128)
+        return [UnitaryEntry(make_matrix_op([indices[0]], mat.reshape(-1)))]
+    if isinstance(obj, NamedGate):
+        if obj.name == "CNOT":
+            inner = make_matrix_op(list(indices[1:]), gates.X.reshape(-1))
+            return [UnitaryEntry(make_control_op([indices[0]], inner))]
+        if obj.name == "SWAP":
+            k = len(indices)
+            if k % 2 != 0:
+                raise CircuitError("SWAP requires an even number of qubits")
+            return [
+                UnitaryEntry(
+                    make_swap_op(list(indices[: k // 2]), list(indices[k // 2 :]))
+                )
+            ]
+        mat = getattr(gates, obj.name)
+        return [UnitaryEntry(make_matrix_op(list(indices), mat.reshape(-1)))]
+    if isinstance(obj, RzGate):
+        return [
+            UnitaryEntry(make_matrix_op(list(indices), gates.rz(obj.theta).reshape(-1)))
+        ]
+    if isinstance(obj, MatGate):
+        return [UnitaryEntry(make_matrix_op(list(indices), obj.data.reshape(-1)))]
+    if isinstance(obj, ControlledMatGate):
+        inner = make_matrix_op(list(indices[obj.n_ctrl :]), obj.mat.data.reshape(-1))
+        return [UnitaryEntry(make_control_op(list(indices[: obj.n_ctrl]), inner))]
+    raise CircuitError(f"Cannot lower circuit object {obj!r}")
+
+
+class LocalBuilder(
+    CircuitBuilderMixin,
+    UnitaryBuilderMixin,
+    CliffordTMixin,
+    TemporaryRegisterMixin,
+    AdvancedMixin,
+    RotationsMixin,
+    GlobalPhaseMixin,
+):
+    """The concrete circuit builder + executor driver.
+
+    ``dtype`` selects the simulation precision ('f32'/'f64' or a complex
+    dtype) — the stand-in for the reference's ``LocalBuilder<f32|f64>`` type
+    parameter (types.rs:6-13).
+    """
+
+    def __init__(self, dtype=None, fuse: bool = True, max_fused_qubits: int = None):
+        self.pipeline: List[PipelineItem] = []
+        self._n = 0
+        self._zeroed_qubits: List[Register] = []
+        self._measurements = 0
+        self.dtype = canonical_complex_dtype(dtype)
+        self._fuse = fuse
+        self._max_fused_qubits = max_fused_qubits
+
+    # -- CircuitBuilder primitives ------------------------------------------
+    @property
+    def n(self) -> int:
+        return self._n
+
+    def register(self, n: int) -> Register:
+        if n <= 0:
+            raise CircuitError("Registers must contain at least one qubit")
+        r = Register(range(self._n, self._n + n))
+        self._n += n
+        return r
+
+    def merge_two_registers(self, r1: Register, r2: Register) -> Register:
+        i1 = consume(r1, "merge")
+        i2 = consume(r2, "merge")
+        overlap = set(i1) & set(i2)
+        if overlap:
+            raise CircuitError(f"Registers share qubits {sorted(overlap)}")
+        return Register(i1 + i2)
+
+    def split_register_relative(
+        self, r: Register, indices: Iterable[int]
+    ) -> SplitResult:
+        rn = r.n
+        all_indices = consume(r, "split")
+        rel = [i for i in indices if 0 <= i < rn]
+        seen = set()
+        rel = [i for i in rel if not (i in seen or seen.add(i))]
+        selected = tuple(all_indices[i] for i in rel)
+        remaining = tuple(a for a in all_indices if a not in selected)
+        sel_r = Register(selected) if selected else None
+        rem_r = Register(remaining) if remaining else None
+        if sel_r is None and rem_r is None:  # pragma: no cover
+            raise CircuitError("Split produced no registers")
+        return SplitResult(sel_r, rem_r)
+
+    def apply_circuit_object(self, r: Register, co: CircuitObject) -> Register:
+        """Record an object; single-qubit objects broadcast over multi-qubit
+        registers (ref builder.rs:376-398)."""
+        if co.n != 1 and co.n != r.n:
+            raise CircuitError("Matrix has incorrect N and cannot be broadcast")
+        indices = consume(r, "gate application")
+        if co.n == 1 and len(indices) > 1:
+            for q in indices:
+                self.pipeline.append(((q,), co))
+        else:
+            self.pipeline.append((indices, co))
+        return Register(indices)
+
+    # -- rotations primitive -------------------------------------------------
+    def rz(self, r: Register, theta: Angle) -> Register:
+        return self.apply_circuit_object(r, CircuitObject(r.n, RzGate(theta)))
+
+    def pipeline_depth(self) -> int:
+        return len(self.pipeline)
+
+    # -- temp qubits (ref builder.rs:576-589) --------------------------------
+    def make_zeroed_temp_qubit(self) -> Register:
+        if self._zeroed_qubits:
+            return self._zeroed_qubits.pop()
+        return self.qubit()
+
+    def return_zeroed_temp_register(self, r: Register) -> None:
+        self._zeroed_qubits.extend(self.split_all_register(r))
+
+    # -- measurement (ref builder.rs:599-636) --------------------------------
+    def measure(self, r: Register) -> Tuple[Register, MeasurementHandle]:
+        indices = consume(r, "measurement")
+        self.pipeline.append(
+            (indices, CircuitObject(len(indices), MeasurementObject(False)))
+        )
+        handle = MeasurementHandle(self._measurements)
+        self._measurements += 1
+        return Register(indices), handle
+
+    def measure_stochastic(
+        self, r: Register
+    ) -> Tuple[Register, StochasticMeasurementHandle]:
+        indices = consume(r, "measurement")
+        self.pipeline.append(
+            (indices, CircuitObject(len(indices), MeasurementObject(True)))
+        )
+        handle = StochasticMeasurementHandle(self._measurements)
+        self._measurements += 1
+        return Register(indices), handle
+
+    # -- execution ------------------------------------------------------------
+    def compile(self):
+        """Lower + fuse + jit the current pipeline (cached)."""
+        entries: List[PipelineEntry] = []
+        for item in self.pipeline:
+            entries.extend(_lower_item(item))
+        kwargs = {}
+        if self._max_fused_qubits is not None:
+            kwargs["max_fused_qubits"] = self._max_fused_qubits
+        return compile_pipeline(self._n, entries, self.dtype, self._fuse, **kwargs)
+
+    def initial_index(
+        self, it: Iterable[Tuple[Register, int]] = ()
+    ) -> int:
+        """Basis-state index from per-register init values: bit j of the
+        value goes to the register's j-th qubit (ref builder.rs:409-421)."""
+        n = self._n
+        idx = 0
+        for r, x in it:
+            for j, qubit in enumerate(r.indices):
+                bit = (int(x) >> j) & 1
+                idx |= bit << (n - 1 - qubit)
+        return idx
+
+    def calculate_state_with_init(
+        self,
+        it: Iterable[Tuple[Register, int]] = (),
+        key: Optional[jax.Array] = None,
+        seed: Optional[int] = None,
+    ) -> Tuple[np.ndarray, Measurements]:
+        """Execute the circuit from the given classical init
+        (ref builder.rs:400-519). Randomness comes from ``key``/``seed``
+        (reproducible), not a global RNG."""
+        if self._n == 0:
+            raise CircuitError("Circuit has no qubits")
+        if key is None:
+            key = jax.random.PRNGKey(
+                seed if seed is not None else np.random.randint(0, 2**31 - 1)
+            )
+        cc = self.compile()
+        state, results = cc.run_complex(
+            initial_index=self.initial_index(it), key=key
+        )
+        results_py = [
+            (int(res[0]), float(res[1])) if isinstance(res, tuple) else np.asarray(res)
+            for res in results
+        ]
+        return state, Measurements(results_py)
+
+    # -- conditioning (ref Conditionable, builder.rs:663-815) -----------------
+    def condition_with(self, cr: Register) -> "Conditioned":
+        from rustqip_tpu.builder.conditioning import Conditioned
+
+        return Conditioned(self, cr)
+
+    def try_apply_with_condition(
+        self, cr: Register, r: Register, co: CircuitObject
+    ) -> Tuple[Register, Register]:
+        """Apply ``co`` to ``r`` controlled on all of ``cr``: per-gate
+        controlled decompositions into primitive pipeline entries
+        (ref builder.rs:663-815). Unlike the reference, MAT is supported
+        natively (its todo!() at builder.rs:808) via the engine Control op,
+        and Rz/rotations condition correctly."""
+        obj = co.obj
+        if isinstance(obj, MeasurementObject):
+            raise CircuitError("Cannot condition measurements.")
+        if isinstance(obj, NamedGate):
+            name = obj.name
+            if name == "X":
+                return self.toffoli(cr, r)
+            if name == "Y":
+                # Controlled-Y = S . CX . S^-1 on the target. Note the
+                # reference conjugates the other way (s first, builder.rs:
+                # 673-677), which yields controlled-(-Y); the order here is
+                # exact.
+                r = self.s_dagger(r)
+                cr, r = self.toffoli(cr, r)
+                r = self.s(r)
+                return cr, r
+            if name == "Z":
+                r = self.h(r)
+                cr, r = self.toffoli(cr, r)
+                r = self.h(r)
+                return cr, r
+            if name == "H":
+                # Controlled-H = Ry(-pi/4) . CX . Ry(pi/4) (ref builder.rs:685)
+                r = self.ry_pi_by(r, 4)
+                cr, r = self.toffoli(cr, r)
+                r = self.ry_pi_by(r, -4)
+                return cr, r
+            if name == "S":
+                return self._conditioned_phase_like(cr, r, lambda b, tq: b.s(tq))
+            if name == "T":
+                return self._conditioned_phase_like(cr, r, lambda b, tq: b.t(tq))
+            if name == "SWAP":
+                return self._conditioned_swap(cr, r)
+            if name == "CNOT":
+                # Merge the CNOT's own control into the condition register
+                # (ref builder.rs:754-763).
+                if r.n != 2:
+                    raise CircuitError("Conditioned CNOT requires 2 qubits")
+                rest, first = self.split_first_qubit(r)
+                cr = self.merge_two_registers(cr, first)
+                cr, rest = self.toffoli(cr, rest)
+                cr, first = self.split_last_qubit(cr)
+                return cr, self.merge_two_registers(first, rest)
+        if isinstance(obj, GlobalPhaseGate):
+            # Controlled global phase = phase gate on the controls, via the
+            # temp-qubit toffoli trick (ref builder.rs:765-788). Exact here:
+            # rz(t) on the raised temp gives e^{+-i t/2}, and the executed
+            # global phase e^{i t/2} cancels the uncontrolled branch —
+            # diag(1, e^{i t}). (The reference rotates by t/2 and drops the
+            # global phase at execution, producing a t/2 relative phase.)
+            tq = self.make_zeroed_temp_qubit()
+            cr, tq = self.toffoli(cr, tq)
+            theta = obj.theta
+            half = theta / 2 if isinstance(theta, PiRational) else float(theta) / 2
+            tq = self.rz(tq, theta)
+            if isinstance(half, PiRational):
+                tq = self.apply_global_phase_ratio(tq, half)
+            else:
+                tq = self.apply_global_phase(tq, half)
+            cr, tq = self.toffoli(cr, tq)
+            self.return_zeroed_temp_register(tq)
+            return cr, r
+        if isinstance(obj, RzGate):
+            # Exact controlled-Rz: CRz(t) = Rz(t/2) . CX . Rz(-t/2) . CX
+            # (per target qubit; toffoli generalizes CX to multi-control).
+            # The reference's temp-qubit construction (builder.rs:789-807)
+            # leaves a stray e^{-i t/2} on the whole uncontrolled subspace —
+            # a control-dependent phase error — so we use this instead.
+            theta = obj.theta
+            if isinstance(theta, PiRational):
+                half, neg_half = theta / 2, -(theta / 2)
+            else:
+                half, neg_half = float(theta) / 2, -float(theta) / 2
+            cr, r = self.toffoli(cr, r)
+            r = self.rz(r, neg_half)
+            cr, r = self.toffoli(cr, r)
+            r = self.rz(r, half)
+            return cr, r
+        if isinstance(obj, MatGate):
+            # Native controlled arbitrary unitary (reference todo!()).
+            n_ctrl = cr.n
+            merged = self.merge_two_registers(cr, r)
+            indices = consume(merged, "controlled gate")
+            self.pipeline.append(
+                (indices, CircuitObject(len(indices), ControlledMatGate(n_ctrl, obj)))
+            )
+            new = Register(indices)
+            res = self.split_register_relative(new, range(n_ctrl))
+            return res.selected, res.remaining
+        if isinstance(obj, ControlledMatGate):
+            merged = self.merge_two_registers(cr, r)
+            indices = consume(merged, "controlled gate")
+            n_ctrl = len(indices) - obj.mat.n
+            self.pipeline.append(
+                (indices, CircuitObject(len(indices), ControlledMatGate(n_ctrl, obj.mat)))
+            )
+            new = Register(indices)
+            res = self.split_register_relative(new, range(len(indices) - co.n))
+            return res.selected, res.remaining
+        raise CircuitError(f"Cannot condition circuit object {obj!r}")
+
+    def _conditioned_phase_like(self, cr, r, gate_fn):
+        """Controlled-S/T via the temp-qubit toffoli trick
+        (ref builder.rs:691-712)."""
+        cr = self.merge_two_registers(cr, r)
+        tq = self.make_zeroed_temp_qubit()
+        cr, tq = self.toffoli(cr, tq)
+        tq = gate_fn(self, tq)
+        cr, tq = self.toffoli(cr, tq)
+        self.return_zeroed_temp_register(tq)
+        cr, r = self.split_last_qubit(cr)
+        return cr, r
+
+    def _conditioned_swap(self, cr, r):
+        """Controlled-SWAP as 3 toffolis per pair (ref builder.rs:713-753)."""
+        n = r.n
+        if n % 2 != 0:
+            raise CircuitError("SWAP requires an even number of qubits")
+        rs = self.split_all_register(r)
+        ras, rbs = rs[: n // 2], rs[n // 2 :]
+        out_a, out_b = [], []
+        for qa, qb in zip(ras, rbs):
+            ncr = self.merge_two_registers(cr, qa)
+            ncr, qb = self.toffoli(ncr, qb)
+            cr, qa = self.split_last_qubit(ncr)
+
+            ncr = self.merge_two_registers(cr, qb)
+            ncr, qa = self.toffoli(ncr, qa)
+            cr, qb = self.split_last_qubit(ncr)
+
+            ncr = self.merge_two_registers(cr, qa)
+            ncr, qb = self.toffoli(ncr, qb)
+            cr, qa = self.split_last_qubit(ncr)
+            out_a.append(qa)
+            out_b.append(qb)
+        return cr, self.merge_registers(out_a + out_b)
+
+    # -- subcircuits & inversion (ref builder.rs:828-967) ---------------------
+    def make_subcircuit(self) -> List[PipelineItem]:
+        return list(self.pipeline)
+
+    def apply_subcircuit(self, sc: List[PipelineItem], r: Register) -> Register:
+        return apply_pipeline_items(self, sc, r)
+
+    def new_similar(self) -> "LocalBuilder":
+        return LocalBuilder(dtype=self.dtype, fuse=self._fuse,
+                            max_fused_qubits=self._max_fused_qubits)
+
+    @staticmethod
+    def invert_subcircuit(sc: List[PipelineItem]) -> List[PipelineItem]:
+        """Reverse the pipeline, inverting each object
+        (ref builder.rs:851-860)."""
+        out: List[PipelineItem] = []
+        for indices, co in reversed(sc):
+            for inv in invert_circuit_object(co):
+                out.append((indices, inv))
+        return out
+
+    def apply_inverted_subcircuit(
+        self, sc: List[PipelineItem], r: Register
+    ) -> Register:
+        return self.apply_subcircuit(self.invert_subcircuit(sc), r)
+
+    def apply_conditioned_subcircuit(
+        self, sc: List[PipelineItem], cr: Register, r: Register
+    ) -> Tuple[Register, Register]:
+        """Replay ``sc`` under a condition register (ref builder.rs:863-875)."""
+        cb = self.condition_with(cr)
+        r = apply_pipeline_items(cb, sc, r)
+        cr = cb.dissolve()
+        return cr, r
+
+    # -- QASM export -----------------------------------------------------------
+    def to_openqasm(self) -> str:
+        from rustqip_tpu.qasm.export import to_openqasm
+
+        return to_openqasm(self)
+
+    def write_openqasm_file(self, path) -> None:
+        from rustqip_tpu.qasm.export import write_openqasm_file
+
+        write_openqasm_file(self, path)
+
+
+def apply_pipeline_items(cb, sc: List[PipelineItem], r: Register) -> Register:
+    """Replay recorded pipeline items onto ``r``'s qubits, allocating temp
+    qubits if the subcircuit is wider than the register
+    (ref ``apply_pipeline_objects``, builder.rs:877-921). Item indices are
+    positions within the source builder, mapped to r's j-th qubit."""
+    rn = r.n
+    slots: List[Optional[Register]] = [q for q in cb.split_all_register(r)]
+    if sc:
+        max_index = max(max(indices) for indices, _ in sc if indices)
+        if max_index + 1 > rn:
+            temp = cb.make_zeroed_temp_register(max_index + 1 - rn)
+            slots.extend(cb.split_all_register(temp))
+    for indices, co in sc:
+        picked = []
+        for i in indices:
+            if slots[i] is None:  # pragma: no cover
+                raise CircuitError("Subcircuit reuses a qubit mid-item")
+            picked.append(slots[i])
+            slots[i] = None
+        sub = cb.merge_registers(picked)
+        sub = cb.apply_circuit_object(sub, co)
+        for i, q in zip(indices, cb.split_all_register(sub)):
+            slots[i] = q
+    regs = [q for q in slots if q is not None]
+    keep, temps = regs[:rn], regs[rn:]
+    tr = cb.merge_registers(temps)
+    if tr is not None:
+        cb.return_zeroed_temp_register(tr)
+    return cb.merge_registers(keep)

@@ -1,0 +1,210 @@
+"""Pipeline circuit objects: the symbolic gate set the builder records.
+
+Mirrors the reference's ``BuilderCircuitObject``/``UnitaryMatrixObject``/
+``MeasurementObject`` (``qip/src/builder.rs:101-290``): gates stay symbolic
+(named gates, exact pi-rational rotations) until lowering, which keeps QASM
+export exact and makes pipeline fingerprints cheap.
+
+One deliberate extension over the reference: ``ControlledMatGate`` is a
+first-class controlled arbitrary unitary — the reference leaves conditioning
+a raw MAT unimplemented (``todo!()`` at builder.rs:808); here the engine's
+Control op makes it native.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple, Union
+
+import numpy as np
+
+from rustqip_tpu.errors import CircuitError
+from rustqip_tpu.types import Angle, PiRational
+
+#: Self-inverse named single/two-qubit gates plus S/T.
+NAMED_GATES = ("X", "Y", "Z", "H", "S", "T", "CNOT", "SWAP")
+
+
+def _angle_fingerprint(theta: Angle):
+    # Like the reference, floats are hashed via their string form
+    # (builder.rs:223-225); PiRational hashes exactly.
+    if isinstance(theta, PiRational):
+        return ("pi_rational", theta.frac)
+    return ("float", repr(float(theta)))
+
+
+@dataclass(frozen=True)
+class NamedGate:
+    """X/Y/Z/H/S/T/CNOT/SWAP (ref UnitaryMatrixObject, builder.rs:131-147)."""
+
+    name: str
+
+    def __post_init__(self):
+        if self.name not in NAMED_GATES:
+            raise CircuitError(f"Unknown named gate {self.name!r}")
+
+    def fingerprint(self):
+        return ("named", self.name)
+
+
+@dataclass(frozen=True)
+class RzGate:
+    """Rz by a float or exact pi-rational angle (ref builder.rs:148-149)."""
+
+    theta: Angle
+
+    def fingerprint(self):
+        return ("rz", _angle_fingerprint(self.theta))
+
+
+@dataclass(frozen=True)
+class GlobalPhaseGate:
+    """Global phase — no state effect unless conditioned
+    (ref builder.rs:152-155)."""
+
+    theta: Angle
+
+    def fingerprint(self):
+        return ("gphase", _angle_fingerprint(self.theta))
+
+
+class MatGate:
+    """Arbitrary dense unitary on n qubits (ref ``MAT``, builder.rs:150-151)."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data):
+        arr = np.asarray(data, dtype=np.complex128)
+        dim = int(round(np.sqrt(arr.size)))
+        if dim * dim != arr.size or (dim & (dim - 1)) != 0:
+            raise CircuitError(
+                f"MAT data must be a 2^n x 2^n matrix, got {arr.size} entries"
+            )
+        self.data = arr.reshape(dim, dim)
+        self.data.setflags(write=False)
+
+    @property
+    def n(self) -> int:
+        return int(self.data.shape[0]).bit_length() - 1
+
+    def fingerprint(self):
+        return ("mat", self.data.tobytes())
+
+    def __eq__(self, other):
+        return isinstance(other, MatGate) and np.array_equal(self.data, other.data)
+
+    def __hash__(self):
+        return hash(self.fingerprint())
+
+    def __repr__(self):
+        return f"MatGate(n={self.n})"
+
+
+class ControlledMatGate:
+    """n_ctrl-controlled arbitrary unitary — native controlled-MAT (the
+    reference's missing case, builder.rs:808)."""
+
+    __slots__ = ("n_ctrl", "mat")
+
+    def __init__(self, n_ctrl: int, mat: MatGate):
+        if n_ctrl < 1:
+            raise CircuitError("ControlledMatGate needs at least one control")
+        self.n_ctrl = n_ctrl
+        self.mat = mat
+
+    def fingerprint(self):
+        return ("cmat", self.n_ctrl, self.mat.fingerprint())
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, ControlledMatGate)
+            and self.n_ctrl == other.n_ctrl
+            and self.mat == other.mat
+        )
+
+    def __hash__(self):
+        return hash(("cmat", self.n_ctrl, hash(self.mat)))
+
+
+UnitaryObject = Union[NamedGate, RzGate, GlobalPhaseGate, MatGate, ControlledMatGate]
+
+
+@dataclass(frozen=True)
+class MeasurementObject:
+    """Collapsing or stochastic measurement (ref builder.rs:284-290)."""
+
+    stochastic: bool = False
+
+    def fingerprint(self):
+        return ("measure", self.stochastic)
+
+
+class CircuitObject:
+    """A pipeline object: arity + unitary-or-measurement
+    (ref ``BuilderCircuitObject``, builder.rs:101-127)."""
+
+    __slots__ = ("n", "obj")
+
+    def __init__(self, n: int, obj: Union[UnitaryObject, MeasurementObject]):
+        self.n = n
+        self.obj = obj
+
+    @property
+    def is_measurement(self) -> bool:
+        return isinstance(self.obj, MeasurementObject)
+
+    def fingerprint(self):
+        return (self.n, self.obj.fingerprint())
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, CircuitObject)
+            and self.n == other.n
+            and self.obj == other.obj
+        )
+
+    def __hash__(self):
+        return hash(self.fingerprint())
+
+    def __repr__(self):
+        return f"CircuitObject(n={self.n}, {self.obj!r})"
+
+
+def _neg(theta: Angle) -> Angle:
+    return -theta if isinstance(theta, PiRational) else -float(theta)
+
+
+def invert_circuit_object(co: CircuitObject) -> List[CircuitObject]:
+    """Inverse of one pipeline object, as a sequence applied in order
+    (ref ``invert_circuit_object``, builder.rs:923-967).
+
+    S^-1 = S.Z and T^-1 = T.S.Z are emitted as gate sequences so the
+    inverted circuit stays within the symbolic gate set.
+    """
+    obj = co.obj
+    if isinstance(obj, MeasurementObject):
+        raise CircuitError("Cannot invert measurement.")
+    if isinstance(obj, NamedGate):
+        if obj.name in ("X", "Y", "Z", "H", "CNOT", "SWAP"):
+            seq: List[UnitaryObject] = [obj]
+        elif obj.name == "S":
+            seq = [NamedGate("Z"), obj]
+        elif obj.name == "T":
+            seq = [NamedGate("Z"), NamedGate("S"), obj]
+        else:  # pragma: no cover
+            raise CircuitError(f"Unknown named gate {obj.name}")
+    elif isinstance(obj, RzGate):
+        seq = [RzGate(_neg(obj.theta))]
+    elif isinstance(obj, GlobalPhaseGate):
+        seq = [GlobalPhaseGate(_neg(obj.theta))]
+    elif isinstance(obj, MatGate):
+        seq = [MatGate(obj.data.conj().T)]
+    elif isinstance(obj, ControlledMatGate):
+        seq = [ControlledMatGate(obj.n_ctrl, MatGate(obj.mat.data.conj().T))]
+    else:  # pragma: no cover
+        raise CircuitError(f"Unknown circuit object {obj!r}")
+    return [CircuitObject(co.n, o) for o in seq]
+
+
+#: A recorded pipeline entry: (absolute qubit indices, object).
+PipelineItem = Tuple[Tuple[int, ...], CircuitObject]
