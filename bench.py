@@ -1,0 +1,125 @@
+"""Benchmark: gate applies/sec on a 28-qubit state vector (c64).
+
+The reference's realistic big-state bench is a single-qubit gate applied to
+an n=24..28 amplitude vector (qip/benches/state_bench.rs:142-155); a gate
+pass is HBM-bandwidth-bound (read + write of 2^n complex64 = 2 x 2 GiB at
+n=28). This measures steady-state applies/sec of the framework's engine on
+the default JAX backend (TPU), against the native C++ CPU engine on the
+same machine as the baseline (the algorithmic stand-in for the reference's
+Rust engine — no Rust toolchain ships here; same row-parallel strided apply,
+OpenMP = rayon).
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def bench_device(n: int, reps_per_step: int = 10, steps: int = 10) -> float:
+    """Steady-state gate applies/sec on the default JAX backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from rustqip_tpu.engine.apply import apply_ops
+    from rustqip_tpu.ops import gates
+    from rustqip_tpu.ops.matrix_ops import make_matrix_op
+
+    # H on qubit 0 (a strided axis-0 contraction — the worst-stride case)
+    # alternated with H on a low qubit (contiguous case): the average is an
+    # honest per-gate figure.
+    ops = []
+    for i in range(reps_per_step):
+        ops.append(make_matrix_op([(i % 2) * (n - 1)], gates.H.reshape(-1)))
+
+    @jax.jit
+    def step(re, im):
+        state = jax.lax.complex(re, im).astype(jnp.complex64)
+        state = apply_ops(n, ops, state)
+        return jnp.real(state), jnp.imag(state)
+
+    dim = 1 << n
+    re = jnp.zeros(dim, jnp.float32).at[0].set(1.0)
+    im = jnp.zeros(dim, jnp.float32)
+    log(f"device: {jax.devices()[0]} n={n} compiling...")
+    t0 = time.time()
+    re, im = step(re, im)
+    # block_until_ready is not reliable over the axon relay; a scalar fetch
+    # forces the full dependency chain.
+    float(re[0])
+    log(f"compile+first step: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    for _ in range(steps):
+        re, im = step(re, im)
+    float(re[0])
+    dt = time.time() - t0
+    applies_per_sec = reps_per_step * steps / dt
+    gbps = applies_per_sec * dim * 8 * 2 / 1e9
+    log(
+        f"device: {applies_per_sec:.2f} applies/s "
+        f"({1e3 / applies_per_sec:.2f} ms/gate, ~{gbps:.0f} GB/s effective)"
+    )
+    return applies_per_sec
+
+
+def bench_cpu_baseline(n: int, reps: int = 4) -> float:
+    """Native C++ engine applies/sec on the host CPU (the baseline)."""
+    from rustqip_tpu.engine.cpu_native import load_library, native_apply_op
+    from rustqip_tpu.ops import gates
+    from rustqip_tpu.ops.matrix_ops import make_matrix_op
+
+    if load_library() is None:
+        log("native engine unavailable; baseline = NaN")
+        return float("nan")
+    dim = 1 << n
+    state = np.zeros(dim, dtype=np.complex64)
+    state[0] = 1.0
+    op_hi = make_matrix_op([0], gates.H.reshape(-1))
+    op_lo = make_matrix_op([n - 1], gates.H.reshape(-1))
+    # warm-up (page in)
+    state = native_apply_op(n, op_hi, state)
+    t0 = time.time()
+    for i in range(reps):
+        state = native_apply_op(n, op_lo if i % 2 else op_hi, state)
+    dt = time.time() - t0
+    applies_per_sec = reps / dt
+    log(
+        f"cpu baseline: {applies_per_sec:.3f} applies/s "
+        f"({dt / reps:.2f} s/gate)"
+    )
+    return applies_per_sec
+
+
+def main():
+    n = 28
+    try:
+        device_rate = bench_device(n)
+    except Exception as e:  # fall back to a smaller state if OOM
+        log(f"n={n} failed ({type(e).__name__}: {e}); retrying n=26")
+        n = 26
+        device_rate = bench_device(n)
+    cpu_rate = bench_cpu_baseline(n)
+    vs = device_rate / cpu_rate if cpu_rate == cpu_rate else float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": f"gate_applies_per_sec_{n}q_c64",
+                "value": round(device_rate, 3),
+                "unit": "applies/s",
+                "vs_baseline": round(vs, 2) if vs == vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

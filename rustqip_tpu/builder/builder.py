@@ -22,7 +22,9 @@ from rustqip_tpu.builder.circuit_objects import (
     MeasurementObject,
     NamedGate,
     PipelineItem,
+    RepeatBlock,
     RzGate,
+    flatten_pipeline,
     invert_circuit_object,
 )
 from rustqip_tpu.builder.registers import Register, SplitResult, consume
@@ -38,6 +40,7 @@ from rustqip_tpu.builder.traits import (
 from rustqip_tpu.engine.compile import (
     MeasureEntry,
     PipelineEntry,
+    RepeatEntry,
     UnitaryEntry,
     compile_pipeline,
 )
@@ -135,6 +138,13 @@ def _lower_item(item: PipelineItem) -> List[PipelineEntry]:
     if isinstance(obj, ControlledMatGate):
         inner = make_matrix_op(list(indices[obj.n_ctrl :]), obj.mat.data.reshape(-1))
         return [UnitaryEntry(make_control_op(list(indices[: obj.n_ctrl]), inner))]
+    if isinstance(obj, RepeatBlock):
+        body: List[PipelineEntry] = []
+        for item in obj.body:
+            body.extend(_lower_item(item))
+        if any(isinstance(e, MeasureEntry) for e in body):
+            raise CircuitError("repeat() bodies must be purely unitary")
+        return [RepeatEntry(obj.times, tuple(body))]
     raise CircuitError(f"Cannot lower circuit object {obj!r}")
 
 
@@ -218,6 +228,31 @@ class LocalBuilder(
 
     def pipeline_depth(self) -> int:
         return len(self.pipeline)
+
+    def repeat(self, times: int, fn, *regs):
+        """Record ``fn(self, *regs)`` once and mark it applied ``times``
+        times — compiled as one lax.fori_loop body, not an unrolled program.
+
+        ``fn`` must be purely unitary and must return registers holding the
+        same qubits it received (net index permutation identity); Grover
+        rounds and Trotter steps fit. TPU-native extension (no reference
+        analog — the reference unrolls every repetition on the host).
+        """
+        if times < 1:
+            raise CircuitError("repeat() needs times >= 1")
+        in_qubits = sorted(q for r in regs for q in r.indices)
+        start = len(self.pipeline)
+        out = fn(self, *regs)
+        body = tuple(self.pipeline[start:])
+        del self.pipeline[start:]
+        out_regs = (out,) if isinstance(out, Register) else tuple(out)
+        out_qubits = sorted(q for r in out_regs for q in r.indices)
+        if in_qubits != out_qubits:
+            raise CircuitError(
+                "repeat() bodies must return the same qubits they received"
+            )
+        self.pipeline.append(((), CircuitObject(0, RepeatBlock(times, body))))
+        return out
 
     # -- temp qubits (ref builder.rs:576-589) --------------------------------
     def make_zeroed_temp_qubit(self) -> Register:
@@ -502,6 +537,7 @@ def apply_pipeline_items(cb, sc: List[PipelineItem], r: Register) -> Register:
     (ref ``apply_pipeline_objects``, builder.rs:877-921). Item indices are
     positions within the source builder, mapped to r's j-th qubit."""
     rn = r.n
+    sc = flatten_pipeline(sc)
     slots: List[Optional[Register]] = [q for q in cb.split_all_register(r)]
     if sc:
         max_index = max(max(indices) for indices, _ in sc if indices)

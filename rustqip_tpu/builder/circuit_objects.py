@@ -126,7 +126,45 @@ class ControlledMatGate:
         return hash(("cmat", self.n_ctrl, hash(self.mat)))
 
 
-UnitaryObject = Union[NamedGate, RzGate, GlobalPhaseGate, MatGate, ControlledMatGate]
+class RepeatBlock:
+    """A recorded sub-pipeline applied ``times`` times.
+
+    TPU-native extension (no reference analog): repeated structure (Grover
+    rounds, Trotter steps) compiles as ONE traced body under
+    ``lax.fori_loop`` instead of an unrolled program — compile time O(body).
+    The body must be purely unitary and must leave every qubit where it
+    found it (net index permutation identity).
+    """
+
+    __slots__ = ("times", "body")
+
+    def __init__(self, times: int, body):
+        if times < 1:
+            raise CircuitError("RepeatBlock needs times >= 1")
+        self.times = times
+        self.body = tuple(body)  # tuple of (indices, CircuitObject)
+
+    def fingerprint(self):
+        return (
+            "repeat",
+            self.times,
+            tuple((idx, co.fingerprint()) for idx, co in self.body),
+        )
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, RepeatBlock)
+            and self.times == other.times
+            and self.body == other.body
+        )
+
+    def __hash__(self):
+        return hash(self.fingerprint())
+
+
+UnitaryObject = Union[
+    NamedGate, RzGate, GlobalPhaseGate, MatGate, ControlledMatGate, RepeatBlock
+]
 
 
 @dataclass(frozen=True)
@@ -201,9 +239,28 @@ def invert_circuit_object(co: CircuitObject) -> List[CircuitObject]:
         seq = [MatGate(obj.data.conj().T)]
     elif isinstance(obj, ControlledMatGate):
         seq = [ControlledMatGate(obj.n_ctrl, MatGate(obj.mat.data.conj().T))]
+    elif isinstance(obj, RepeatBlock):
+        inv_body: List = []
+        for indices, inner_co in reversed(obj.body):
+            for inv_co in invert_circuit_object(inner_co):
+                inv_body.append((indices, inv_co))
+        seq = [RepeatBlock(obj.times, inv_body)]
     else:  # pragma: no cover
         raise CircuitError(f"Unknown circuit object {obj!r}")
     return [CircuitObject(co.n, o) for o in seq]
+
+
+def flatten_pipeline(items):
+    """Expand RepeatBlocks into their unrolled bodies (for replay/QASM)."""
+    out = []
+    for indices, co in items:
+        if isinstance(co.obj, RepeatBlock):
+            body = flatten_pipeline(co.obj.body)
+            for _ in range(co.obj.times):
+                out.extend(body)
+        else:
+            out.append((indices, co))
+    return out
 
 
 #: A recorded pipeline entry: (absolute qubit indices, object).

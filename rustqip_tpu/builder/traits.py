@@ -360,18 +360,34 @@ class RotationsMixin:
 
 
 def make_circuit_matrix(cb, r: Register, dtype=np.complex128) -> np.ndarray:
-    """Build the full unitary of the circuit restricted to register ``r`` by
-    running every basis init (ref ``make_circuit_matrix``,
-    builder_traits.rs:656-665). Debug/verification helper; the TPU version
-    batches all 2^n inits in one vmapped run."""
+    """The circuit's unitary expressed in register ``r``'s big-endian basis
+    (r's qubit 0 = most significant bit of row/column index).
+
+    Debug/verification helper (ref ``make_circuit_matrix``,
+    builder_traits.rs:656-665, which leaves rows in raw state order — here
+    rows are permuted into the register basis so the result is basis-
+    consistent for any qubit ordering). Qubits outside ``r`` (e.g. temp
+    qubits) are initialized to and projected at |0>; if the circuit leaks
+    amplitude onto them the columns won't be unit-norm.
+    """
     from rustqip_tpu.utils import flip_bits
 
-    dim = 1 << r.n
+    k = r.n
+    n = cb.n
+    dim = 1 << k
+    # State index for register-basis row m (other qubits at 0).
+    row_map = np.zeros(dim, dtype=np.int64)
+    for m in range(dim):
+        s = 0
+        for j, q in enumerate(r.indices):
+            if (m >> (k - 1 - j)) & 1:
+                s |= 1 << (n - 1 - q)
+        row_map[m] = s
     cols = []
     for indx in range(dim):
         # Init values are little-endian across register qubits
         # (bit j -> r's j-th qubit); bit-reverse so column `indx` is the
-        # big-endian register basis state matching state-index rows.
-        state, _ = cb.calculate_state_with_init([(r, flip_bits(r.n, indx))])
-        cols.append(np.asarray(state))
+        # big-endian register basis state.
+        state, _ = cb.calculate_state_with_init([(r, flip_bits(k, indx))])
+        cols.append(np.asarray(state)[row_map])
     return np.stack(cols, axis=1).astype(dtype)

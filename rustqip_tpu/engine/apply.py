@@ -1,30 +1,44 @@
-"""Gate application on the amplitude tensor (the hot path).
+"""Gate application on the amplitude vector (the hot path).
 
-The reference's engine applies a gate by iterating all 2^n output rows,
-gathering the op-local sub-row bits and summing over the op's nonzero columns
-(``qip-iterators/src/matrix_ops.rs:62-152``). The TPU-native formulation:
-reshape the 2^n amplitudes to a rank-n tensor with axis ``i`` = qubit ``i``
-(big-endian — axis 0 is the most significant index bit, exactly the
-reference's convention), then
+TPU-layout-aware formulation. TPU arrays are tiled (8 sublanes x 128
+lanes): any materialized intermediate whose minor dimension is tiny gets
+padded up to the tile (a naive ``(2,)*n`` rank-n tensor formulation, or a
+``(X, 2)`` reshape, blows memory by up to 64x and chokes the compiler at
+n=28). The engine therefore keeps the 2^n amplitudes in a canonical 2D view
 
-* dense k-qubit gate  -> tensordot over the k target axes (MXU matmul after
-  XLA collapses the untouched axes into one contiguous dimension);
-* swap op             -> axis transpose (pure data movement, one HBM pass);
-* controlled op       -> static slab update: slice the all-controls-|1> slab,
-  apply the inner op there only (2^(n-c) amplitudes touched, the same work
-  saving the reference gets from ``ControlledOpIterator``'s identity rows);
-* sparse op           -> permutation fast path via gather, general case via
-  COO scatter-add.
+    state2d = state.reshape(R, C),  C = 2^m (m = min(n, 7) -> 128 lanes)
 
-Everything here is jit-traceable with static shapes; under ``jax.jit`` a
-whole circuit compiles to one XLA program with gates fused where profitable.
+and expresses every op in terms that keep minor dimensions large:
+
+* dense gate on the low (column) qubits  -> one (R, C) @ (C, C) matmul on
+  the MXU, with the small gate pre-expanded to C x C on the host;
+* dense gate touching h high (row) qubits -> the rows are sliced into 2^h
+  strips along those bits and recombined as sums of strip @ C x C block
+  matmuls (zero blocks skipped, so permutation-like gates cost pure
+  copies);
+* controlled op with wide support        -> apply the inner op
+  unconditionally, then select against the control mask built from row/col
+  iotas (one fused elementwise pass; the all-controls-|1> slab gets the
+  inner result, everything else keeps the input — the same work shape as
+  the reference's ControlledOpIterator identity rows);
+* register swap                          -> per-pair 2-qubit permutation
+  passes through the same block machinery.
+
+Everything is jit-traceable with static shapes; gate matrices are embedded
+as numpy constants at trace time (complex arrays cannot cross the TPU
+host<->device boundary at runtime).
+
+Reference semantics being reproduced: ``apply_op_overwrite`` row sweeps
+(qip-iterators/src/matrix_ops.rs:62-152) with the same big-endian index
+conventions (full_to_sub/sub_to_full, :12-30).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Sequence, Tuple
+from functools import lru_cache
+from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,92 +48,250 @@ from rustqip_tpu.ops.matrix_ops import (
     MatrixOp,
     SparseOp,
     SwapOp,
+    expand_op_matrix,
+    op_to_dense,
 )
 
+from rustqip_tpu.types import MINOR_QUBITS  # noqa: E402  (layout constant)
 
-def as_tensor(state: jnp.ndarray, n: int) -> jnp.ndarray:
-    """View the flat 2^n amplitude vector as a (2,)*n tensor (axis i = qubit i)."""
-    return jnp.asarray(state).reshape((2,) * n)
+#: Largest op support materialized as a dense matrix on the host.
+DENSE_CAP = 10
+
+
+def _geometry(n: int) -> Tuple[int, int, int]:
+    m = min(n, MINOR_QUBITS)
+    return m, 1 << (n - m), 1 << m
 
 
 def as_vector(state: jnp.ndarray) -> jnp.ndarray:
     return state.reshape(-1)
 
 
-def _apply_dense_axes(
-    tensor: jnp.ndarray, mat: np.ndarray, axes: Sequence[int]
-) -> jnp.ndarray:
-    """Contract a (2^k, 2^k) matrix into tensor axes ``axes``.
+# kept for API compatibility with earlier revisions / debug use
+def as_tensor(state: jnp.ndarray, n: int) -> jnp.ndarray:
+    return jnp.asarray(state).reshape((2,) * n)
 
-    Matrix row/col bit j (big-endian) corresponds to axes[j]; tensordot over
-    the matrix's input axes leaves the k output axes leading, then moveaxis
-    restores qubit positions.
+
+def _sorted_dense(indices: Tuple[int, ...], mat: np.ndarray):
+    """Reorder a gate matrix so its qubit order is ascending."""
+    order = tuple(sorted(indices))
+    if order == tuple(indices):
+        return order, np.asarray(mat)
+    k = len(indices)
+    positions = tuple(order.index(q) for q in indices)
+    return order, expand_op_matrix(np.asarray(mat), positions, k)
+
+
+def _row_segment_shape(n: int, m: int, high: Sequence[int]) -> Tuple[int, ...]:
+    """Row-space shape exposing each high qubit as its own 2-axis.
+
+    Row bit for qubit q is ``(n-m-1-q)``; ascending qubits = descending
+    strides, so the shape reads (seg, 2, seg, 2, ..., seg).
     """
+    shape: List[int] = []
+    prev = 0
+    for q in high:
+        seg = 1 << (q - prev)
+        shape.append(seg)
+        shape.append(2)
+        prev = q + 1
+    shape.append(1 << ((n - m) - prev))
+    return tuple(shape)
+
+
+@lru_cache(maxsize=512)
+def _dense_plan(n: int, indices: Tuple[int, ...], mat_key):
+    """Host-side plan for a dense apply: expanded numpy blocks + shapes.
+
+    mat_key is (bytes, shape) so plans cache across identical gates.
+    """
+    mat = np.frombuffer(mat_key[0], dtype=np.complex128).reshape(mat_key[1])
+    m, R, C = _geometry(n)
+    order, mat_s = _sorted_dense(indices, mat)
+    high = [q for q in order if q < n - m]
+    low = [q for q in order if q >= n - m]
+    lpos = [q - (n - m) for q in low]
+    h, l = len(high), len(low)
+    dl = 1 << l
+    if h == 0:
+        return ("low", expand_op_matrix(mat_s, lpos, m), R, C)
+    # Block decomposition: U = sum_{hj,hi} |hj><hi| (x) U_low[hj,hi].
+    blocks = {}
+    for hj in range(1 << h):
+        for hi in range(1 << h):
+            sub = mat_s[hj * dl : (hj + 1) * dl, hi * dl : (hi + 1) * dl]
+            if not np.any(sub):
+                continue
+            if l == 0:
+                val = sub[0, 0]
+                blocks[(hj, hi)] = ("scalar", complex(val))
+            else:
+                blocks[(hj, hi)] = ("mat", expand_op_matrix(sub, lpos, m))
+    seg_shape = _row_segment_shape(n, m, high)
+    return ("blocks", blocks, seg_shape, h, R, C)
+
+
+def _mat_key(mat: np.ndarray):
+    arr = np.ascontiguousarray(mat, dtype=np.complex128)
+    return (arr.tobytes(), arr.shape)
+
+
+def _apply_dense(
+    n: int, indices: Tuple[int, ...], mat: np.ndarray, state: jnp.ndarray
+) -> jnp.ndarray:
+    plan = _dense_plan(n, tuple(indices), _mat_key(mat))
+    dtype = state.dtype
+    if plan[0] == "low":
+        _, B, R, C = plan
+        s2d = state.reshape(R, C)
+        out = s2d @ jnp.asarray(B, dtype=dtype).T
+        return out.reshape(-1)
+    _, blocks, seg_shape, h, R, C = plan
+    x = state.reshape(seg_shape + (C,))
+    two_axes = tuple(range(1, 2 * h, 2))
+    strips = {}
+
+    def strip(i: int):
+        if i not in strips:
+            idx = [slice(None)] * len(seg_shape) + [slice(None)]
+            for pos, ax in enumerate(two_axes):
+                idx[ax] = (i >> (h - 1 - pos)) & 1
+            strips[i] = x[tuple(idx)].reshape(-1, C)
+        return strips[i]
+
+    outs = []
+    for hj in range(1 << h):
+        acc = None
+        for hi in range(1 << h):
+            blk = blocks.get((hj, hi))
+            if blk is None:
+                continue
+            xi = strip(hi)
+            if blk[0] == "scalar":
+                val = blk[1]
+                if val == 1:
+                    term = xi
+                else:
+                    term = xi * jnp.asarray(np.array(val), dtype=dtype)
+            else:
+                term = xi @ jnp.asarray(blk[1], dtype=dtype).T
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros_like(strip(0))
+        outs.append(acc)
+    # Reassemble: stack the 2^h output strips, then interleave their bit
+    # axes back into the row segments.
+    segs = seg_shape[0::2]
+    stacked = jnp.stack(outs, axis=0).reshape((2,) * h + segs + (C,))
+    perm: List[int] = []
+    for j in range(h):
+        perm.append(h + j)  # seg_j
+        perm.append(j)  # bit_j
+    perm.append(2 * h)  # trailing seg
+    perm.append(2 * h + 1)  # C
+    return jnp.transpose(stacked, perm).reshape(-1)
+
+
+def _control_mask_2d(n: int, ctrl: Sequence[int], R: int, C: int) -> jnp.ndarray:
+    """Bool (R, C) mask: True where all control qubits are |1>.
+
+    Built from row/col iotas — no big host constants, fuses into the
+    consuming select.
+    """
+    n_m = R.bit_length() - 1  # number of row-side qubits
+    rows = jnp.arange(R, dtype=jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
+    mask_r = jnp.ones((R,), dtype=bool)
+    mask_c = jnp.ones((C,), dtype=bool)
+    for q in ctrl:
+        if q < n_m:
+            mask_r = mask_r & (((rows >> (n_m - 1 - q)) & 1) == 1)
+        else:
+            mask_c = mask_c & (((cols >> (n - 1 - q)) & 1) == 1)
+    return mask_r[:, None] & mask_c[None, :]
+
+
+def _apply_control(n: int, op: ControlOp, state: jnp.ndarray) -> jnp.ndarray:
+    if op.num_indices <= DENSE_CAP:
+        # Small support: fold into one dense apply (one pass).
+        return _apply_dense(n, op.indices, op_to_dense(op), state)
+    _, R, C = _geometry(n)
+    inner_applied = _apply_to_state(n, op.inner, state).reshape(R, C)
+    s2d = state.reshape(R, C)
+    mask = _control_mask_2d(n, op.control_indices, R, C)
+    return jnp.where(mask, inner_applied, s2d).reshape(-1)
+
+
+def _apply_swap(n: int, op: SwapOp, state: jnp.ndarray) -> jnp.ndarray:
+    h = op.half
+    swap2 = np.array(
+        [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+        dtype=np.complex128,
+    )
+    for a, b in zip(op.indices[:h], op.indices[h:]):
+        state = _apply_dense(n, (a, b), swap2, state)
+    return state
+
+
+def _apply_to_state(n: int, op: MatrixOp, state: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(op, DenseOp):
+        return _apply_dense(n, op.indices, op.data, state)
+    if isinstance(op, SparseOp):
+        if op.num_indices > DENSE_CAP:
+            raise NotImplementedError(
+                f"Sparse op on {op.num_indices} qubits exceeds the dense "
+                f"materialization cap ({DENSE_CAP}); decompose it first"
+            )
+        return _apply_dense(n, op.indices, op_to_dense(op), state)
+    if isinstance(op, SwapOp):
+        return _apply_swap(n, op, state)
+    if isinstance(op, ControlOp):
+        return _apply_control(n, op, state)
+    raise TypeError(f"Unknown op {op!r}")
+
+
+# ---------------------------------------------------------------------------
+# CPU path: rank-n tensor contraction (nnz-efficient FLOPs).
+#
+# The layout-aware path above trades FLOPs for TPU tile alignment (a
+# 1-qubit gate becomes a 128-wide matmul — free on the MXU, 64x the work on
+# a scalar core). On CPU backends the classic formulation wins: reshape to
+# (2,)*n and contract only the gate's own axes (2 MACs per amplitude for a
+# 1-qubit gate). Dispatch picks per backend at trace time.
+# ---------------------------------------------------------------------------
+
+
+def _t_dense(tensor: jnp.ndarray, mat: np.ndarray, axes: Sequence[int]) -> jnp.ndarray:
     k = len(axes)
     mat_t = jnp.asarray(mat, dtype=tensor.dtype).reshape((2,) * (2 * k))
     out = jnp.tensordot(mat_t, tensor, axes=(tuple(range(k, 2 * k)), tuple(axes)))
     return jnp.moveaxis(out, tuple(range(k)), tuple(axes))
 
 
-def _apply_swap_axes(
-    tensor: jnp.ndarray, a_axes: Sequence[int], b_axes: Sequence[int]
-) -> jnp.ndarray:
-    perm = list(range(tensor.ndim))
-    for a, b in zip(a_axes, b_axes):
-        perm[a], perm[b] = perm[b], perm[a]
-    return jnp.transpose(tensor, perm)
-
-
-def _apply_sparse_axes(
-    tensor: jnp.ndarray, op: SparseOp, axes: Sequence[int]
-) -> jnp.ndarray:
-    """Apply a sparse op: move target axes to front, flatten to (2^k, rest)."""
-    k = len(axes)
-    dim = 1 << k
-    front = jnp.moveaxis(tensor, tuple(axes), tuple(range(k)))
-    rest_shape = front.shape[k:]
-    flat = front.reshape(dim, -1)
-    if op.is_permutation():
-        cols = np.array([r[0][0] for r in op.rows], dtype=np.int32)
-        vals = np.array([r[0][1] for r in op.rows])
-        out = jnp.asarray(vals, dtype=tensor.dtype)[:, None] * flat[cols, :]
-    else:
-        rows_coo, cols_coo, vals_coo = [], [], []
-        for row, entries in enumerate(op.rows):
-            for col, val in entries:
-                rows_coo.append(row)
-                cols_coo.append(col)
-                vals_coo.append(val)
-        rows_coo = np.array(rows_coo, dtype=np.int32)
-        cols_coo = np.array(cols_coo, dtype=np.int32)
-        vals_arr = jnp.asarray(np.array(vals_coo), dtype=tensor.dtype)
-        gathered = vals_arr[:, None] * flat[cols_coo, :]
-        out = jnp.zeros_like(flat).at[rows_coo].add(gathered)
-    out = out.reshape((2,) * k + rest_shape)
-    return jnp.moveaxis(out, tuple(range(k)), tuple(axes))
-
-
-def _remap_axes_after_slicing(
-    target_axes: Sequence[int], removed_axes: Sequence[int]
-) -> Tuple[int, ...]:
-    """Axis positions of ``target_axes`` after ``removed_axes`` are indexed away."""
-    removed = sorted(removed_axes)
-    out = []
-    for t in target_axes:
-        shift = sum(1 for r in removed if r < t)
-        out.append(t - shift)
-    return tuple(out)
-
-
-def _apply_control(tensor: jnp.ndarray, op: ControlOp) -> jnp.ndarray:
-    """Slab update: only the all-controls-|1> sub-tensor is touched."""
-    ctrl = op.control_indices
-    idx = tuple(1 if ax in ctrl else slice(None) for ax in range(tensor.ndim))
-    slab = tensor[idx]  # rank n - n_ctrl
-    inner_axes = _remap_axes_after_slicing(op.inner.indices, ctrl)
-    inner = _reindex_op(op.inner, inner_axes)
-    new_slab = _apply_to_tensor(slab, inner)
-    return tensor.at[idx].set(new_slab)
+def _t_apply(n: int, op: MatrixOp, tensor: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(op, DenseOp):
+        return _t_dense(tensor, op.data, op.indices)
+    if isinstance(op, SparseOp):
+        return _t_dense(tensor, op_to_dense(op), op.indices)
+    if isinstance(op, SwapOp):
+        h = op.half
+        perm = list(range(n))
+        for a, b in zip(op.indices[:h], op.indices[h:]):
+            perm[a], perm[b] = perm[b], perm[a]
+        return jnp.transpose(tensor, perm)
+    if isinstance(op, ControlOp):
+        # Static slab update: only the all-controls-|1> sub-tensor changes.
+        ctrl = op.control_indices
+        idx = tuple(1 if ax in ctrl else slice(None) for ax in range(n))
+        slab = tensor[idx]
+        removed = sorted(ctrl)
+        inner_axes = tuple(
+            t - sum(1 for r in removed if r < t) for t in op.inner.indices
+        )
+        inner = _reindex_op(op.inner, inner_axes)
+        new_slab = _t_apply(n - op.n_ctrl, inner, slab)
+        return tensor.at[idx].set(new_slab)
+    raise TypeError(f"Unknown op {op!r}")
 
 
 def _reindex_op(op: MatrixOp, new_indices: Tuple[int, ...]) -> MatrixOp:
@@ -136,36 +308,33 @@ def _reindex_op(op: MatrixOp, new_indices: Tuple[int, ...]) -> MatrixOp:
     raise TypeError(f"Unknown op {op!r}")
 
 
-def _apply_to_tensor(tensor: jnp.ndarray, op: MatrixOp) -> jnp.ndarray:
-    if isinstance(op, DenseOp):
-        return _apply_dense_axes(tensor, op.data, op.indices)
-    if isinstance(op, SwapOp):
-        h = op.half
-        return _apply_swap_axes(tensor, op.indices[:h], op.indices[h:])
-    if isinstance(op, SparseOp):
-        return _apply_sparse_axes(tensor, op, op.indices)
-    if isinstance(op, ControlOp):
-        return _apply_control(tensor, op)
-    raise TypeError(f"Unknown op {op!r}")
+def _use_tiled_layout() -> bool:
+    return jax.default_backend() == "tpu"
 
 
 def apply_op(n: int, op: MatrixOp, state: jnp.ndarray) -> jnp.ndarray:
     """Apply one gate op to a flat 2^n state vector; returns a new vector.
 
     Semantically identical to the reference's ``apply_op_overwrite``
-    (``qip-iterators/src/matrix_ops.rs:127``) with zero offsets; distribution
-    is handled by sharding the tensor itself (see ``rustqip_tpu/parallel``),
-    not by offset-aware partial applies.
+    (qip-iterators/src/matrix_ops.rs:127) with zero offsets; distribution is
+    handled by sharding the array itself (see ``rustqip_tpu/parallel``).
     """
-    tensor = as_tensor(state, n)
-    return as_vector(_apply_to_tensor(tensor, op))
+    state = jnp.asarray(state)
+    if _use_tiled_layout():
+        return _apply_to_state(n, op, state)
+    return _t_apply(n, op, state.reshape((2,) * n)).reshape(-1)
 
 
 def apply_ops(n: int, ops: Sequence[MatrixOp], state: jnp.ndarray) -> jnp.ndarray:
     """Apply ops in sequence (the reference's ``apply_ops`` fusion entry,
-    matrix_ops.rs:158 — here adjacent-gate fusion happens ahead of time in
+    matrix_ops.rs:158 — adjacent-gate fusion happens ahead of time in
     ``fusion.py``; XLA fuses the remaining elementwise work)."""
-    tensor = as_tensor(state, n)
+    state = jnp.asarray(state)
+    if _use_tiled_layout():
+        for op in ops:
+            state = _apply_to_state(n, op, state)
+        return state
+    tensor = state.reshape((2,) * n)
     for op in ops:
-        tensor = _apply_to_tensor(tensor, op)
-    return as_vector(tensor)
+        tensor = _t_apply(n, op, tensor)
+    return tensor.reshape(-1)

@@ -61,7 +61,23 @@ class MeasureEntry:
         return ("m", self.indices, self.stochastic)
 
 
-PipelineEntry = Union[UnitaryEntry, MeasureEntry]
+@dataclass(frozen=True)
+class RepeatEntry:
+    """A unitary block applied ``times`` times.
+
+    Compiles as one traced body under ``lax.fori_loop`` — the XLA-native
+    answer to long repeated structures (Grover rounds, Trotter steps):
+    compile time is O(body), not O(times * body). No measurements inside.
+    """
+
+    times: int
+    entries: Tuple["PipelineEntry", ...]
+
+    def fingerprint(self):
+        return ("rep", self.times, tuple(e.fingerprint() for e in self.entries))
+
+
+PipelineEntry = Union[UnitaryEntry, MeasureEntry, RepeatEntry]
 
 #: Measurement results: (outcome, prob) for collapsing, probs array otherwise.
 MeasResult = Union[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]
@@ -92,24 +108,47 @@ class CompiledCircuit:
     # -- planning ----------------------------------------------------------
     def _plan(self, fuse: bool, max_fused_qubits: int):
         """Split the pipeline into unitary runs (fused) and measurements."""
-        segments: List[Union[List[MatrixOp], MeasureEntry]] = []
+        segments: List = []
         run: List[MatrixOp] = []
+
+        def flush():
+            nonlocal run
+            if run:
+                segments.append(fuse_ops(run, max_fused_qubits) if fuse else run)
+                run = []
+
         for e in self.entries:
             if isinstance(e, UnitaryEntry):
                 run.append(e.op)
+            elif isinstance(e, RepeatEntry):
+                flush()
+                body_ops = []
+                for be in e.entries:
+                    if not isinstance(be, UnitaryEntry):
+                        raise TypeError(
+                            "RepeatEntry bodies must be purely unitary"
+                        )
+                    body_ops.append(be.op)
+                body = fuse_ops(body_ops, max_fused_qubits) if fuse else body_ops
+                segments.append(("repeat", e.times, body))
             else:
-                if run:
-                    segments.append(fuse_ops(run, max_fused_qubits) if fuse else run)
-                    run = []
+                flush()
                 segments.append(e)
-        if run:
-            segments.append(fuse_ops(run, max_fused_qubits) if fuse else run)
+        flush()
         return segments
 
     @property
     def num_passes(self) -> int:
-        """Number of gate passes after fusion (circuit-stats observability)."""
-        return sum(len(s) for s in self.segments if not isinstance(s, MeasureEntry))
+        """Number of executed gate passes after fusion (circuit stats)."""
+        total = 0
+        for s in self.segments:
+            if isinstance(s, MeasureEntry):
+                continue
+            if isinstance(s, tuple) and s[0] == "repeat":
+                total += s[1] * len(s[2])
+            else:
+                total += len(s)
+        return total
 
     # -- tracing -----------------------------------------------------------
     def _run_segments(self, state: jnp.ndarray, key: jax.Array):
@@ -124,14 +163,27 @@ class CompiledCircuit:
                         self.n, seg.indices, state, key=sub
                     )
                     results.append((outcome, prob))
+            elif isinstance(seg, tuple) and seg[0] == "repeat":
+                _, times, body = seg
+                state = jax.lax.fori_loop(
+                    0,
+                    times,
+                    lambda _, s: apply_ops(self.n, body, s),
+                    state,
+                )
             else:
                 state = apply_ops(self.n, seg, state)
         return jnp.real(state), jnp.imag(state), tuple(results)
 
     def _trace_from_index(self, initial_index: jnp.ndarray, key: jax.Array):
-        # One-hot basis state built on device; complex never crosses jit.
-        basis = jnp.arange(1 << self.n, dtype=jnp.int32)
-        re = (basis == initial_index).astype(self.rdtype)
+        # One-hot basis state built on device via a scatter (an arange
+        # comparison would materialize a 2^n int vector); complex never
+        # crosses the jit boundary.
+        re = (
+            jnp.zeros(1 << self.n, dtype=self.rdtype)
+            .at[initial_index]
+            .set(1.0)
+        )
         state = jax.lax.complex(re, jnp.zeros_like(re)).astype(self.dtype)
         return self._run_segments(state, key)
 

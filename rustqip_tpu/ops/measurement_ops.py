@@ -10,21 +10,26 @@ Conventions (identical to the reference, measurement_ops.rs:21-22):
 qubits are big-endian — ``|abc>`` means q0=a, q1=b, q2=c — and bit ``i`` of a
 measured outcome is the value of qubit ``indices[i]``.
 
-Where the reference sums masked subspaces row-by-row (measurement_ops.rs:
-65-111) and zeroes mismatching rows serially (:220-268), this computes the
-distribution by axis-summing the probability tensor and collapses with a
-broadcasted one-hot mask — one fused VPU pass each, and a ``psum`` away from
-the sharded version (``rustqip_tpu/parallel``).
+TPU-layout-aware formulation (see ``engine/apply.py`` for the tiling
+rationale): the probability tensor reduces to the outcome distribution via
+a column-side 0/1 matmul (all measured low qubits at once, on the MXU)
+followed by top-down row reductions whose intermediates halve in size each
+step — never materializing a large array with a tiny minor dimension.
+Collapse is a fused row/col-iota mask select + rescale, the reference's
+mask-zero + 1/sqrt(p) sweep (measurement_ops.rs:220-268) in one pass.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from rustqip_tpu.types import MINOR_QUBITS
 from rustqip_tpu.errors import CircuitError
 
 
@@ -38,29 +43,89 @@ class MeasuredCondition:
 
 def prob_magnitude(state: jnp.ndarray) -> jnp.ndarray:
     """Total |psi|^2 (ref measurement_ops.rs:11)."""
-    return jnp.sum(jnp.abs(state) ** 2)
+    return jnp.sum(jnp.real(state) ** 2 + jnp.imag(state) ** 2)
+
+
+def _geometry(n: int) -> Tuple[int, int, int]:
+    m = min(n, MINOR_QUBITS)
+    return m, 1 << (n - m), 1 << m
+
+
+@lru_cache(maxsize=256)
+def _probs_plan(n: int, indices: Tuple[int, ...]):
+    """Host-side plan: column-reduction matrix, row-reduction order, and the
+    final outcome-order permutation."""
+    m, R, C = _geometry(n)
+    k = len(indices)
+    srt = sorted(indices)
+    high = [q for q in srt if q < n - m]
+    low = [q for q in srt if q >= n - m]
+    h, l = len(high), len(low)
+    # Column matrix: C x 2^l, entry [c, j] = 1 iff the measured-low bits of
+    # col c (big-endian over `low`) form pattern j.
+    cols = np.arange(C)
+    pattern = np.zeros(C, dtype=np.int64)
+    for t, q in enumerate(low):
+        bit = (cols >> (n - 1 - q)) & 1
+        pattern |= bit << (l - 1 - t)
+    M_c = np.zeros((C, 1 << l), dtype=np.float64)
+    M_c[cols, pattern] = 1.0
+    # Row reduction: sum out non-measured row qubits, lowest q (largest
+    # stride) first so intermediate minor dims stay large.
+    non_measured = [q for q in range(n - m) if q not in high]
+    # After each reduction the remaining row qubits shift; track via list.
+    remaining = list(range(n - m))
+    steps = []
+    for q in non_measured:
+        ax = remaining.index(q)
+        steps.append((1 << ax, 1 << (len(remaining) - ax - 1)))
+        remaining.remove(q)
+    # Outcome permutation: final reduced tensor is (2^h rows big-endian over
+    # sorted high) x (2^l cols big-endian over sorted low) -> flat sorted
+    # index s = hi * 2^l + lo. Outcome m has bit t = value of indices[t].
+    perm = np.zeros(1 << k, dtype=np.int64)
+    for mval in range(1 << k):
+        s = 0
+        for t, q in enumerate(indices):
+            bit = (mval >> t) & 1
+            if bit:
+                pos = srt.index(q)
+                s |= 1 << (k - 1 - pos)
+        perm[mval] = s
+    return M_c, tuple(steps), perm, h, l, R, C
 
 
 def measure_probs(
     n: int, indices: Sequence[int], state: jnp.ndarray
 ) -> jnp.ndarray:
     """Probability of every outcome of measuring ``indices``
-    (ref measurement_ops.rs:115).
-
-    Returns shape (2^k,) with entry ``m`` = P(qubit indices[i] == bit i of m).
-    """
+    (ref measurement_ops.rs:115). Shape (2^k,), entry m = P(qubit
+    indices[i] == bit i of m)."""
     indices = tuple(int(i) for i in indices)
     k = len(indices)
     if len(set(indices)) != k:
         raise CircuitError("Measurement indices must be unique")
-    probs = (jnp.abs(state) ** 2).reshape((2,) * n)
-    other_axes = tuple(ax for ax in range(n) if ax not in indices)
-    reduced = jnp.sum(probs, axis=other_axes) if other_axes else probs
-    # Remaining axes are sorted(indices); outcome bit i = indices[i] means
-    # indices[0] is the least significant -> last axis after transpose.
-    sorted_ix = sorted(indices)
-    perm = tuple(sorted_ix.index(q) for q in reversed(indices))
-    return jnp.transpose(reduced, perm).reshape(-1)
+    if jax.default_backend() != "tpu":
+        # CPU path: plain axis reduction on the rank-n view (cheapest FLOPs;
+        # no tiling constraints off-TPU).
+        probs = (jnp.real(state) ** 2 + jnp.imag(state) ** 2).reshape((2,) * n)
+        other = tuple(ax for ax in range(n) if ax not in indices)
+        reduced = jnp.sum(probs, axis=other) if other else probs
+        srt = sorted(indices)
+        perm = tuple(srt.index(q) for q in reversed(indices))
+        return jnp.transpose(reduced, perm).reshape(-1)
+    M_c, row_steps, perm, h, l, R, C = _probs_plan(n, indices)
+    real_dtype = jnp.real(state).dtype
+    p2d = (jnp.real(state) ** 2 + jnp.imag(state) ** 2).reshape(R, C)
+    # Columns: one 0/1 matmul collapses every non-measured low qubit.
+    reduced = p2d @ jnp.asarray(M_c, dtype=real_dtype)  # (R, 2^l)
+    # Rows: top-down pairwise sums; sizes halve each step.
+    for a, b in row_steps:
+        cdim = reduced.shape[-1]
+        reduced = reduced.reshape(a, 2, b * cdim).sum(axis=1).reshape(-1, cdim)
+    # Now (2^h, 2^l) over sorted measured qubits, big-endian.
+    flat = reduced.reshape(-1)
+    return flat[jnp.asarray(perm)]
 
 
 def measure_prob(
@@ -75,13 +140,11 @@ def soft_measure(
 ) -> jnp.ndarray:
     """Sample an outcome without collapsing (ref measurement_ops.rs:153).
 
-    The reference walks an inverse CDF over the raw amplitudes against a
-    global RNG; here the outcome distribution (identical) is sampled from the
-    reduced probability tensor with an explicit key.
+    The reference walks an inverse CDF over raw amplitudes against a global
+    RNG; here the (identical) outcome distribution is sampled from the
+    reduced probabilities with an explicit key.
     """
     probs = measure_probs(n, indices, state)
-    # Normalize against partial magnitudes like the reference does for split
-    # vectors; on a full state this is a no-op up to float error.
     return jax.random.categorical(key, jnp.log(probs))
 
 
@@ -98,20 +161,27 @@ def measure_state(
     indices = tuple(int(i) for i in indices)
     outcome, prob = measured
     outcome = jnp.asarray(outcome)
-    tensor = state.reshape((2,) * n)
+    m, R, C = _geometry(n)
+    n_m = n - m
+    s2d = state.reshape(R, C)
+    rows = jnp.arange(R, dtype=jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
+    mask_r = jnp.ones((R,), dtype=bool)
+    mask_c = jnp.ones((C,), dtype=bool)
+    for t, q in enumerate(indices):
+        bit = ((outcome >> t) & 1).astype(jnp.int32)
+        if q < n_m:
+            mask_r = mask_r & (((rows >> (n_m - 1 - q)) & 1) == bit)
+        else:
+            mask_c = mask_c & (((cols >> (n - 1 - q)) & 1) == bit)
+    mask = mask_r[:, None] & mask_c[None, :]
     real_dtype = jnp.real(state).dtype
-    mask = jnp.ones((), dtype=real_dtype)
-    basis = jnp.arange(2)
-    for i, q in enumerate(indices):
-        bit = (outcome >> i) & 1
-        axis_mask = (basis == bit).astype(real_dtype)
-        shape = [1] * n
-        shape[q] = 2
-        mask = mask * axis_mask.reshape(shape)
     prob = jnp.asarray(prob, dtype=real_dtype)
-    scale = jnp.where(prob > 0, jax.lax.rsqrt(jnp.maximum(prob, 1e-300)), 1.0)
-    collapsed = tensor * (mask * scale).astype(state.dtype)
-    out = jnp.where(prob > 0, collapsed, tensor)
+    scale = jnp.where(
+        prob > 0, jax.lax.rsqrt(jnp.maximum(prob, jnp.finfo(real_dtype).tiny)), 1.0
+    ).astype(state.dtype)
+    collapsed = jnp.where(mask, s2d * scale, jnp.zeros((), dtype=state.dtype))
+    out = jnp.where(prob > 0, collapsed, s2d)
     return out.reshape(-1)
 
 

@@ -1,0 +1,134 @@
+"""Sharded whole-circuit execution.
+
+The state vector's flat index is sharded contiguously across the mesh axis —
+equivalently, the top ``g = log2(D)`` qubits are distributed ("global"
+qubits), the remaining ``n - g`` are shard-local. The same engine code
+(axis contractions on the ``(2,)*n`` tensor) is jitted with sharding
+annotations; XLA GSPMD partitions it:
+
+* gates on local qubits      -> shard-local fused passes (no comms);
+* gates on global qubits     -> amplitude exchange (collective_permute /
+  all-to-all over ICI), exactly the exchange the reference's
+  ``input_offset``/``output_offset`` seams anticipate but never implement
+  (qip-iterators/src/matrix_ops.rs:96-104);
+* measurement reductions     -> psum across shards + broadcast collapse.
+
+This is the TPU-native answer to "33 qubits on a v5e-8": 2^33 complex64
+amplitudes = 64 GiB, 8 GiB/chip.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rustqip_tpu.engine.compile import (
+    CompiledCircuit,
+    MeasureEntry,
+    PipelineEntry,
+)
+from rustqip_tpu.engine.fusion import DEFAULT_MAX_FUSED_QUBITS
+from rustqip_tpu.errors import CircuitError
+
+
+class ShardedCircuit(CompiledCircuit):
+    """A CompiledCircuit whose state is sharded across a device mesh."""
+
+    def __init__(
+        self,
+        n: int,
+        entries: Sequence[PipelineEntry],
+        dtype,
+        mesh: jax.sharding.Mesh,
+        fuse: bool = True,
+        max_fused_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
+    ):
+        self.mesh = mesh
+        axis = mesh.axis_names[0]
+        d = mesh.devices.size
+        if d & (d - 1):
+            raise CircuitError("Mesh size must be a power of two")
+        self.n_global = d.bit_length() - 1
+        if n < self.n_global:
+            raise CircuitError(
+                f"Need at least {self.n_global} qubits to shard over {d} devices"
+            )
+        super().__init__(n, entries, dtype, fuse, max_fused_qubits)
+        state_sharding = NamedSharding(mesh, P(axis))
+        replicated = NamedSharding(mesh, P())
+        # Outputs: (re, im, results) — results replicated.
+        self._fn = jax.jit(
+            self._trace_from_index,
+            in_shardings=(replicated, replicated),
+            out_shardings=(state_sharding, state_sharding, None),
+        )
+        self._fn_state = jax.jit(
+            self._trace_from_state,
+            in_shardings=(state_sharding, state_sharding, replicated),
+            out_shardings=(state_sharding, state_sharding, None),
+        )
+
+
+_CACHE: Dict[tuple, ShardedCircuit] = {}
+
+
+def compile_sharded(
+    n: int,
+    entries: Sequence[PipelineEntry],
+    dtype,
+    mesh: jax.sharding.Mesh,
+    fuse: bool = True,
+    max_fused_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
+) -> ShardedCircuit:
+    dtype = np.dtype(dtype)
+    fp = (
+        n,
+        dtype.str,
+        fuse,
+        max_fused_qubits,
+        id(mesh),
+        tuple(e.fingerprint() for e in entries),
+    )
+    cached = _CACHE.get(fp)
+    if cached is None:
+        cached = ShardedCircuit(n, entries, dtype, mesh, fuse, max_fused_qubits)
+        _CACHE[fp] = cached
+    return cached
+
+
+def sharded_calculate_state(
+    builder,
+    it: Sequence[Tuple] = (),
+    mesh: Optional[jax.sharding.Mesh] = None,
+    key: Optional[jax.Array] = None,
+    seed: Optional[int] = None,
+):
+    """Sharded twin of ``LocalBuilder.calculate_state_with_init``: same
+    circuit, state distributed over ``mesh`` (default: all devices).
+
+    Returns ``(state_re, state_im, Measurements)`` with the state left
+    sharded on device (fetch with np.asarray if it fits on the host).
+    """
+    from rustqip_tpu.builder.builder import Measurements, _lower_item
+    from rustqip_tpu.parallel.mesh import make_shard_mesh
+
+    if mesh is None:
+        mesh = make_shard_mesh()
+    entries = []
+    for item in builder.pipeline:
+        entries.extend(_lower_item(item))
+    cc = compile_sharded(builder.n, entries, builder.dtype, mesh)
+    if key is None:
+        key = jax.random.PRNGKey(
+            seed if seed is not None else np.random.randint(0, 2**31 - 1)
+        )
+    re, im, results = cc.run(initial_index=builder.initial_index(it), key=key)
+    results_py = [
+        (int(r[0]), float(r[1])) if isinstance(r, tuple) else np.asarray(r)
+        for r in results
+    ]
+    return re, im, Measurements(results_py)

@@ -21,6 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+#: TPU layout: low-qubit column block = 2^7 = 128 lanes (one tile).
+#: Shared by the engine's 2D state view and the measurement reductions.
+MINOR_QUBITS = 7
+
+
 class Representation(enum.Enum):
     """Bit order for sparse-matrix input data (``qip/src/types.rs:17-22``).
 

@@ -296,21 +296,11 @@ def controlled(mat):
 
 
 def restricted_circuit_matrix(b, r):
-    """Circuit matrix restricted to register r's subspace: rows with any
-    temp qubit (qubits outside r, zeroed after use) set are dropped.
-
-    Assumes r covers qubits 0..r.n-1 in order (true in these tests); temp
-    qubits occupy the low state-index bits.
-    """
+    """Circuit matrix in r's basis; asserts temp qubits returned to zero
+    (unit-norm columns)."""
     full = make_circuit_matrix(b, r)
-    rows, cols = full.shape
-    if rows > cols:
-        step = rows // cols
-        sel = [i * step for i in range(cols)]
-        # Amplitude must be entirely within the temp=0 subspace.
-        drop = np.delete(full, sel, axis=0)
-        assert np.abs(drop).max() < 1e-10, "temp qubits not returned to zero"
-        full = full[sel, :]
+    norms = np.linalg.norm(full, axis=0)
+    assert np.abs(norms - 1).max() < 1e-10, "temp qubits not returned to zero"
     return full
 
 

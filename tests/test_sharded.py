@@ -1,0 +1,118 @@
+"""Sharded-execution tests on the 8-virtual-device CPU mesh (SURVEY.md §4:
+shard-exchange equivalence to the single-device path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rustqip_tpu.algos import grover_search, qfft
+from rustqip_tpu.parallel import make_shard_mesh, sharded_calculate_state
+from rustqip_tpu.prelude import LocalBuilder
+
+
+def fetch(re, im):
+    return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
+
+
+def require_8_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def test_mesh_construction():
+    require_8_devices()
+    mesh = make_shard_mesh(8)
+    assert mesh.devices.size == 8
+    mesh2 = make_shard_mesh()  # auto: largest power of two
+    assert mesh2.devices.size in (8, 4, 2, 1)
+
+
+def build_mixed_circuit(b):
+    """Gates on global (sharded) qubits, local qubits, and across the seam."""
+    n = 10
+    r = b.register(n)
+    qs = b.split_all_register(r)
+    qs[0] = b.h(qs[0])           # global qubit (sharded axis)
+    qs[1] = b.h(qs[1])
+    qs[9] = b.h(qs[9])           # local qubit
+    qs[0], qs[9] = b.cnot(qs[0], qs[9])   # global -> local
+    qs[9], qs[1] = b.cnot(qs[9], qs[1])   # local -> global
+    qs[2], qs[8] = b.swap(qs[2], qs[8])   # swap across the seam
+    qs[1] = b.t(qs[1])
+    qs[4] = b.rz(qs[4], 0.37)
+    return b.merge_registers(qs)
+
+
+def test_sharded_matches_single_device():
+    require_8_devices()
+    # Single-device reference
+    b1 = LocalBuilder()
+    r1 = build_mixed_circuit(b1)
+    expected, _ = b1.calculate_state(seed=0)
+
+    # Sharded over 8 devices
+    b2 = LocalBuilder()
+    r2 = build_mixed_circuit(b2)
+    mesh = make_shard_mesh(8)
+    re, im, _ = sharded_calculate_state(b2, mesh=mesh, seed=0)
+    got = fetch(re, im)
+    np.testing.assert_allclose(got, np.asarray(expected), atol=1e-10)
+    # State really is sharded across devices
+    assert len(re.sharding.device_set) == 8
+
+
+def test_sharded_measurement_matches():
+    require_8_devices()
+
+    def build(b):
+        r = b.register(6)
+        r = b.h(r)
+        r = qfft(b, r)
+        return b.measure_stochastic(r)
+
+    b1 = LocalBuilder()
+    _, h1 = build(b1)
+    _, m1 = b1.calculate_state(seed=5)
+
+    b2 = LocalBuilder()
+    _, h2 = build(b2)
+    mesh = make_shard_mesh(8)
+    _, _, m2 = sharded_calculate_state(b2, mesh=mesh, seed=5)
+    np.testing.assert_allclose(
+        m1.get_stochastic_measurement(h1),
+        m2.get_stochastic_measurement(h2),
+        atol=1e-10,
+    )
+
+
+def test_sharded_collapse_measurement():
+    require_8_devices()
+    b = LocalBuilder()
+    r = b.register(5)
+    r = b.h(r)
+    r, handle = b.measure(r)
+    mesh = make_shard_mesh(8)
+    re, im, measured = sharded_calculate_state(b, mesh=mesh, seed=9)
+    out, p = measured.get_measurement(handle)
+    assert 0 <= out < 32
+    assert abs(p - 1 / 32) < 1e-10
+    state = fetch(re, im)
+    np.testing.assert_allclose(np.linalg.norm(state), 1.0, atol=1e-10)
+
+
+def test_sharded_grover():
+    require_8_devices()
+    n, marked = 5, 0b10110
+    b1 = LocalBuilder()
+    _, h1 = grover_search(b1, n, marked)
+    _, m1 = b1.calculate_state(seed=1)
+    p1 = m1.get_stochastic_measurement(h1)
+
+    b2 = LocalBuilder()
+    _, h2 = grover_search(b2, n, marked)
+    mesh = make_shard_mesh(8)
+    _, _, m2 = sharded_calculate_state(b2, mesh=mesh, seed=1)
+    p2 = m2.get_stochastic_measurement(h2)
+    np.testing.assert_allclose(p1, p2, atol=1e-10)
+    assert int(np.argmax(p2)) == marked
