@@ -1,0 +1,177 @@
+"""Circuit serialization (the checkpoint/resume subsystem, SURVEY.md §5).
+
+The reference's persistence story is "the pipeline is plain data"
+(``Subcircuitable::make_subcircuit``, builder.rs:828-842) plus QASM text
+export. Here the pipeline round-trips through JSON — including arbitrary
+matrices, exact pi-rational angles, and repeat blocks — so circuits can be
+saved, shipped, and replayed; amplitude snapshots save via numpy (the
+state is just an array).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List
+
+import numpy as np
+
+from rustqip_tpu.builder.circuit_objects import (
+    CircuitObject,
+    ControlledMatGate,
+    GlobalPhaseGate,
+    MatGate,
+    MeasurementObject,
+    NamedGate,
+    PipelineItem,
+    RepeatBlock,
+    RzGate,
+)
+from rustqip_tpu.errors import CircuitError
+from rustqip_tpu.types import PiRational
+
+
+def _angle_to_json(theta):
+    if isinstance(theta, PiRational):
+        return {"pi_rational": [theta.numerator, theta.denominator]}
+    return {"float": float(theta)}
+
+
+def _angle_from_json(d):
+    if "pi_rational" in d:
+        num, den = d["pi_rational"]
+        return PiRational(int(num), int(den))
+    return float(d["float"])
+
+
+def _mat_to_json(data: np.ndarray):
+    return {
+        "shape": list(data.shape),
+        "re": np.real(data).reshape(-1).tolist(),
+        "im": np.imag(data).reshape(-1).tolist(),
+    }
+
+
+def _mat_from_json(d) -> np.ndarray:
+    re = np.asarray(d["re"], dtype=np.float64)
+    im = np.asarray(d["im"], dtype=np.float64)
+    return (re + 1j * im).reshape(d["shape"])
+
+
+def _obj_to_json(co: CircuitObject):
+    obj = co.obj
+    if isinstance(obj, NamedGate):
+        body = {"kind": "named", "name": obj.name}
+    elif isinstance(obj, RzGate):
+        body = {"kind": "rz", "theta": _angle_to_json(obj.theta)}
+    elif isinstance(obj, GlobalPhaseGate):
+        body = {"kind": "global_phase", "theta": _angle_to_json(obj.theta)}
+    elif isinstance(obj, MatGate):
+        body = {"kind": "mat", "data": _mat_to_json(obj.data)}
+    elif isinstance(obj, ControlledMatGate):
+        body = {
+            "kind": "cmat",
+            "n_ctrl": obj.n_ctrl,
+            "data": _mat_to_json(obj.mat.data),
+        }
+    elif isinstance(obj, MeasurementObject):
+        body = {"kind": "measure", "stochastic": obj.stochastic}
+    elif isinstance(obj, RepeatBlock):
+        body = {
+            "kind": "repeat",
+            "times": obj.times,
+            "body": [_item_to_json(item) for item in obj.body],
+        }
+    else:  # pragma: no cover
+        raise CircuitError(f"Cannot serialize {obj!r}")
+    body["n"] = co.n
+    return body
+
+
+def _obj_from_json(d) -> CircuitObject:
+    kind = d["kind"]
+    if kind == "named":
+        obj = NamedGate(d["name"])
+    elif kind == "rz":
+        obj = RzGate(_angle_from_json(d["theta"]))
+    elif kind == "global_phase":
+        obj = GlobalPhaseGate(_angle_from_json(d["theta"]))
+    elif kind == "mat":
+        obj = MatGate(_mat_from_json(d["data"]))
+    elif kind == "cmat":
+        obj = ControlledMatGate(int(d["n_ctrl"]), MatGate(_mat_from_json(d["data"])))
+    elif kind == "measure":
+        obj = MeasurementObject(bool(d["stochastic"]))
+    elif kind == "repeat":
+        obj = RepeatBlock(
+            int(d["times"]), [_item_from_json(i) for i in d["body"]]
+        )
+    else:
+        raise CircuitError(f"Unknown circuit object kind {kind!r}")
+    return CircuitObject(int(d["n"]), obj)
+
+
+def _item_to_json(item: PipelineItem):
+    indices, co = item
+    return {"indices": list(indices), "obj": _obj_to_json(co)}
+
+
+def _item_from_json(d) -> PipelineItem:
+    return tuple(int(i) for i in d["indices"]), _obj_from_json(d["obj"])
+
+
+def circuit_to_json(builder) -> str:
+    """Serialize a builder's circuit (qubit count + pipeline) to JSON."""
+    return json.dumps(
+        {
+            "version": 1,
+            "n": builder.n,
+            "measurements": builder._measurements,
+            "pipeline": [_item_to_json(item) for item in builder.pipeline],
+        }
+    )
+
+
+def builder_from_json(text: str, dtype=None):
+    """Reconstruct a LocalBuilder (pipeline + qubit count) from JSON.
+
+    The rebuilt builder is ready for ``calculate_state*``; register handles
+    are not part of the serialized form (they are build-time bookkeeping),
+    so allocate fresh ones only for appended circuitry.
+    """
+    from rustqip_tpu.builder.builder import LocalBuilder
+
+    d = json.loads(text)
+    if d.get("version") != 1:
+        raise CircuitError(f"Unknown circuit version {d.get('version')}")
+    b = LocalBuilder(dtype=dtype)
+    b._n = int(d["n"])
+    b._measurements = int(d.get("measurements", 0))
+    b.pipeline = [_item_from_json(i) for i in d["pipeline"]]
+    return b
+
+
+def save_circuit(builder, path) -> None:
+    with open(path, "w") as f:
+        f.write(circuit_to_json(builder))
+
+
+def load_circuit(path, dtype=None):
+    with open(path) as f:
+        return builder_from_json(f.read(), dtype=dtype)
+
+
+def save_state(path, state_re, state_im=None) -> None:
+    """Amplitude snapshot: save (re, im) float arrays (complex can't leave
+    the TPU; callers pass the split pair from the engine)."""
+    if state_im is None:
+        arr = np.asarray(state_re)
+        np.savez_compressed(path, re=np.real(arr), im=np.imag(arr))
+    else:
+        np.savez_compressed(
+            path, re=np.asarray(state_re), im=np.asarray(state_im)
+        )
+
+
+def load_state(path) -> np.ndarray:
+    d = np.load(path)
+    return d["re"] + 1j * d["im"]
