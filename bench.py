@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -30,22 +31,21 @@ def bench_device(n: int, reps_per_step: int = 10, steps: int = 10) -> float:
     import jax
     import jax.numpy as jnp
 
-    from rustqip_tpu.engine.apply import apply_ops
+    from rustqip_tpu.engine.real_apply import apply_ops_ri
     from rustqip_tpu.ops import gates
     from rustqip_tpu.ops.matrix_ops import make_matrix_op
 
     # H on qubit 0 (a strided axis-0 contraction — the worst-stride case)
     # alternated with H on a low qubit (contiguous case): the average is an
-    # honest per-gate figure.
+    # honest per-gate figure. Runs on (re, im) float planes through the
+    # Pallas MXU kernel for the low-qubit pass.
     ops = []
     for i in range(reps_per_step):
         ops.append(make_matrix_op([(i % 2) * (n - 1)], gates.H.reshape(-1)))
 
     @jax.jit
     def step(re, im):
-        state = jax.lax.complex(re, im).astype(jnp.complex64)
-        state = apply_ops(n, ops, state)
-        return jnp.real(state), jnp.imag(state)
+        return apply_ops_ri(n, ops, re, im)
 
     dim = 1 << n
     re = jnp.zeros(dim, jnp.float32).at[0].set(1.0)
@@ -99,14 +99,56 @@ def bench_cpu_baseline(n: int, reps: int = 4) -> float:
     return applies_per_sec
 
 
+def _pallas_probe(n: int) -> Optional[float]:
+    """Measure the Pallas-kernel path in a timeout-guarded subprocess.
+
+    Under the axon relay a Mosaic kernel can take ~20 minutes to AOT-compile
+    (it measured 428 GB/s effective once built, ~38% over the XLA path); the
+    subprocess guard means a blown compile budget costs nothing.
+    """
+    import os
+    import subprocess
+
+    budget = int(os.environ.get("RUSTQIP_TPU_PALLAS_BUDGET_S", "1500"))
+    if budget <= 0:
+        return None
+    env = dict(os.environ, RUSTQIP_TPU_PALLAS="1")
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--device-only", str(n)],
+            env=env,
+            capture_output=True,
+            timeout=budget,
+            text=True,
+        )
+        if out.returncode == 0:
+            return float(out.stdout.strip().splitlines()[-1])
+        log(f"pallas probe failed (rc={out.returncode})")
+    except subprocess.TimeoutExpired:
+        log(f"pallas probe exceeded {budget}s budget; using XLA path")
+    except Exception as e:  # pragma: no cover
+        log(f"pallas probe error: {type(e).__name__}: {e}")
+    return None
+
+
 def main():
+    import os
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--device-only":
+        print(bench_device(int(sys.argv[2])))
+        return
     n = 28
+    os.environ.setdefault("RUSTQIP_TPU_PALLAS", "0")
     try:
         device_rate = bench_device(n)
     except Exception as e:  # fall back to a smaller state if OOM
         log(f"n={n} failed ({type(e).__name__}: {e}); retrying n=26")
         n = 26
         device_rate = bench_device(n)
+    pallas_rate = _pallas_probe(n)
+    if pallas_rate is not None and pallas_rate > device_rate:
+        log(f"pallas path wins: {pallas_rate:.2f} vs {device_rate:.2f}")
+        device_rate = pallas_rate
     cpu_rate = bench_cpu_baseline(n)
     vs = device_rate / cpu_rate if cpu_rate == cpu_rate else float("nan")
     print(

@@ -151,6 +151,41 @@ class CompiledCircuit:
         return total
 
     # -- tracing -----------------------------------------------------------
+    @staticmethod
+    def _use_real_pairs() -> bool:
+        # On TPU the whole program runs on (re, im) float planes: no complex
+        # arrays on device at all (boundary transfers are unimplemented and
+        # XLA's complex-dot lowering reads operands twice); the hot fused
+        # pass goes through the Pallas MXU kernel.
+        return jax.default_backend() == "tpu"
+
+    def _run_segments_ri(self, re: jnp.ndarray, im: jnp.ndarray, key: jax.Array):
+        from rustqip_tpu.engine.real_apply import apply_ops_ri
+        from rustqip_tpu.ops.measurement_ops import measure_probs_ri, measure_ri
+
+        results: List[MeasResult] = []
+        for seg in self.segments:
+            if isinstance(seg, MeasureEntry):
+                if seg.stochastic:
+                    results.append(measure_probs_ri(self.n, seg.indices, re, im))
+                else:
+                    key, sub = jax.random.split(key)
+                    outcome, prob, re, im = measure_ri(
+                        self.n, seg.indices, re, im, key=sub
+                    )
+                    results.append((outcome, prob))
+            elif isinstance(seg, tuple) and seg[0] == "repeat":
+                _, times, body = seg
+                re, im = jax.lax.fori_loop(
+                    0,
+                    times,
+                    lambda _, s: apply_ops_ri(self.n, body, s[0], s[1]),
+                    (re, im),
+                )
+            else:
+                re, im = apply_ops_ri(self.n, seg, re, im)
+        return re, im, tuple(results)
+
     def _run_segments(self, state: jnp.ndarray, key: jax.Array):
         results: List[MeasResult] = []
         for seg in self.segments:
@@ -184,15 +219,20 @@ class CompiledCircuit:
             .at[initial_index]
             .set(1.0)
         )
-        state = jax.lax.complex(re, jnp.zeros_like(re)).astype(self.dtype)
+        im = jnp.zeros_like(re)
+        if self._use_real_pairs():
+            return self._run_segments_ri(re, im, key)
+        state = jax.lax.complex(re, im).astype(self.dtype)
         return self._run_segments(state, key)
 
     def _trace_from_state(
         self, state_re: jnp.ndarray, state_im: jnp.ndarray, key: jax.Array
     ):
-        state = jax.lax.complex(
-            state_re.astype(self.rdtype), state_im.astype(self.rdtype)
-        ).astype(self.dtype)
+        re = state_re.astype(self.rdtype)
+        im = state_im.astype(self.rdtype)
+        if self._use_real_pairs():
+            return self._run_segments_ri(re, im, key)
+        state = jax.lax.complex(re, im).astype(self.dtype)
         return self._run_segments(state, key)
 
     # -- execution ---------------------------------------------------------

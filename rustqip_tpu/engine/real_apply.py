@@ -1,0 +1,172 @@
+"""Real-pair (re, im) gate application — the TPU execution domain.
+
+Complex dtypes on this TPU backend can neither cross the host boundary nor
+avoid doubled operand reads in XLA's complex-dot lowering. The compiled
+circuit therefore runs entirely on float32/float64 plane pairs: gates,
+controls, swaps, and measurements all operate on (re, im) directly, with
+the hot low-qubit fused-gate pass dispatched to the Pallas MXU kernel
+(``pallas_kernels.c64_low_matmul``). Complex arrays never exist on device.
+
+Shares the host-side planning (_dense_plan block decomposition, tiling
+rationale) with ``apply.py``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from rustqip_tpu.engine import pallas_kernels
+from rustqip_tpu.engine.apply import (
+    _control_mask_2d,
+    _dense_plan,
+    _geometry,
+    _mat_key,
+)
+from rustqip_tpu.ops.matrix_ops import (
+    ControlOp,
+    DenseOp,
+    MatrixOp,
+    SparseOp,
+    SwapOp,
+    op_to_dense,
+)
+
+Pair = Tuple[jnp.ndarray, jnp.ndarray]
+
+#: Largest op support materialized dense (mirrors apply.DENSE_CAP).
+from rustqip_tpu.engine.apply import DENSE_CAP  # noqa: E402
+
+
+def _real_block_matmul(xr, xi, B: np.ndarray):
+    """x @ B.T on plane pairs, skipping all-zero imaginary parts."""
+    bt = np.ascontiguousarray(B.T)
+    br = np.real(bt)
+    bi = np.imag(bt)
+    brj = jnp.asarray(br, dtype=xr.dtype)
+    if not np.any(bi):
+        return xr @ brj, xi @ brj
+    bij = jnp.asarray(bi, dtype=xr.dtype)
+    return xr @ brj - xi @ bij, xr @ bij + xi @ brj
+
+
+def _scalar_mul(xr, xi, val: complex):
+    if val == 1:
+        return xr, xi
+    vr, vi = val.real, val.imag
+    if vi == 0:
+        return xr * vr, xi * vr
+    if vr == 0:
+        return -xi * vi, xr * vi
+    return xr * vr - xi * vi, xr * vi + xi * vr
+
+
+def _dense_ri(n: int, indices, mat: np.ndarray, re, im) -> Pair:
+    plan = _dense_plan(n, tuple(indices), _mat_key(mat))
+    if plan[0] == "low":
+        _, B, R, C = plan
+        out_r, out_i = pallas_kernels.c64_low_matmul(
+            re.reshape(R, C), im.reshape(R, C), B
+        )
+        return out_r.reshape(-1), out_i.reshape(-1)
+    _, blocks, seg_shape, h, R, C = plan
+    xr = re.reshape(seg_shape + (C,))
+    xi = im.reshape(seg_shape + (C,))
+    two_axes = tuple(range(1, 2 * h, 2))
+    strips = {}
+
+    def strip(i: int):
+        if i not in strips:
+            idx = [slice(None)] * len(seg_shape) + [slice(None)]
+            for pos, ax in enumerate(two_axes):
+                idx[ax] = (i >> (h - 1 - pos)) & 1
+            strips[i] = (
+                xr[tuple(idx)].reshape(-1, C),
+                xi[tuple(idx)].reshape(-1, C),
+            )
+        return strips[i]
+
+    outs_r: List = []
+    outs_i: List = []
+    for hj in range(1 << h):
+        acc_r = acc_i = None
+        for hi in range(1 << h):
+            blk = blocks.get((hj, hi))
+            if blk is None:
+                continue
+            sr, si = strip(hi)
+            if blk[0] == "scalar":
+                tr, ti = _scalar_mul(sr, si, blk[1])
+            else:
+                tr, ti = _real_block_matmul(sr, si, blk[1])
+            if acc_r is None:
+                acc_r, acc_i = tr, ti
+            else:
+                acc_r, acc_i = acc_r + tr, acc_i + ti
+        if acc_r is None:
+            z = jnp.zeros_like(strip(0)[0])
+            acc_r, acc_i = z, z
+        outs_r.append(acc_r)
+        outs_i.append(acc_i)
+
+    segs = seg_shape[0::2]
+    perm: List[int] = []
+    for j in range(h):
+        perm.append(h + j)
+        perm.append(j)
+    perm.append(2 * h)
+    perm.append(2 * h + 1)
+
+    def assemble(outs):
+        stacked = jnp.stack(outs, axis=0).reshape((2,) * h + segs + (C,))
+        return jnp.transpose(stacked, perm).reshape(-1)
+
+    return assemble(outs_r), assemble(outs_i)
+
+
+def _control_ri(n: int, op: ControlOp, re, im) -> Pair:
+    if op.num_indices <= DENSE_CAP:
+        return _dense_ri(n, op.indices, op_to_dense(op), re, im)
+    _, R, C = _geometry(n)
+    in_r, in_i = apply_op_ri(n, op.inner, re, im)
+    mask = _control_mask_2d(n, op.control_indices, R, C)
+    out_r = jnp.where(mask, in_r.reshape(R, C), re.reshape(R, C)).reshape(-1)
+    out_i = jnp.where(mask, in_i.reshape(R, C), im.reshape(R, C)).reshape(-1)
+    return out_r, out_i
+
+
+_SWAP2 = np.array(
+    [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+    dtype=np.complex128,
+)
+
+
+def apply_op_ri(n: int, op: MatrixOp, re: jnp.ndarray, im: jnp.ndarray) -> Pair:
+    """Apply one gate op to the (re, im) planes of a flat 2^n state."""
+    if isinstance(op, DenseOp):
+        return _dense_ri(n, op.indices, op.data, re, im)
+    if isinstance(op, SparseOp):
+        if op.num_indices > DENSE_CAP:
+            raise NotImplementedError(
+                f"Sparse op on {op.num_indices} qubits exceeds the dense "
+                f"materialization cap ({DENSE_CAP}); decompose it first"
+            )
+        return _dense_ri(n, op.indices, op_to_dense(op), re, im)
+    if isinstance(op, SwapOp):
+        h = op.half
+        for a, b in zip(op.indices[:h], op.indices[h:]):
+            re, im = _dense_ri(n, (a, b), _SWAP2, re, im)
+        return re, im
+    if isinstance(op, ControlOp):
+        return _control_ri(n, op, re, im)
+    raise TypeError(f"Unknown op {op!r}")
+
+
+def apply_ops_ri(
+    n: int, ops: Sequence[MatrixOp], re: jnp.ndarray, im: jnp.ndarray
+) -> Pair:
+    for op in ops:
+        re, im = apply_op_ri(n, op, re, im)
+    return re, im

@@ -95,30 +95,21 @@ def _probs_plan(n: int, indices: Tuple[int, ...]):
     return M_c, tuple(steps), perm, h, l, R, C
 
 
-def measure_probs(
-    n: int, indices: Sequence[int], state: jnp.ndarray
-) -> jnp.ndarray:
-    """Probability of every outcome of measuring ``indices``
-    (ref measurement_ops.rs:115). Shape (2^k,), entry m = P(qubit
-    indices[i] == bit i of m)."""
-    indices = tuple(int(i) for i in indices)
-    k = len(indices)
-    if len(set(indices)) != k:
-        raise CircuitError("Measurement indices must be unique")
+def _probs_from_sq(n: int, indices: Tuple[int, ...], sq: jnp.ndarray):
+    """Outcome distribution from the flat |amplitude|^2 vector."""
     if jax.default_backend() != "tpu":
         # CPU path: plain axis reduction on the rank-n view (cheapest FLOPs;
         # no tiling constraints off-TPU).
-        probs = (jnp.real(state) ** 2 + jnp.imag(state) ** 2).reshape((2,) * n)
+        probs = sq.reshape((2,) * n)
         other = tuple(ax for ax in range(n) if ax not in indices)
         reduced = jnp.sum(probs, axis=other) if other else probs
         srt = sorted(indices)
         perm = tuple(srt.index(q) for q in reversed(indices))
         return jnp.transpose(reduced, perm).reshape(-1)
     M_c, row_steps, perm, h, l, R, C = _probs_plan(n, indices)
-    real_dtype = jnp.real(state).dtype
-    p2d = (jnp.real(state) ** 2 + jnp.imag(state) ** 2).reshape(R, C)
+    p2d = sq.reshape(R, C)
     # Columns: one 0/1 matmul collapses every non-measured low qubit.
-    reduced = p2d @ jnp.asarray(M_c, dtype=real_dtype)  # (R, 2^l)
+    reduced = p2d @ jnp.asarray(M_c, dtype=sq.dtype)  # (R, 2^l)
     # Rows: top-down pairwise sums; sizes halve each step.
     for a, b in row_steps:
         cdim = reduced.shape[-1]
@@ -126,6 +117,32 @@ def measure_probs(
     # Now (2^h, 2^l) over sorted measured qubits, big-endian.
     flat = reduced.reshape(-1)
     return flat[jnp.asarray(perm)]
+
+
+def _check_indices(n: int, indices) -> Tuple[int, ...]:
+    indices = tuple(int(i) for i in indices)
+    if len(set(indices)) != len(indices):
+        raise CircuitError("Measurement indices must be unique")
+    return indices
+
+
+def measure_probs(
+    n: int, indices: Sequence[int], state: jnp.ndarray
+) -> jnp.ndarray:
+    """Probability of every outcome of measuring ``indices``
+    (ref measurement_ops.rs:115). Shape (2^k,), entry m = P(qubit
+    indices[i] == bit i of m)."""
+    indices = _check_indices(n, indices)
+    sq = jnp.real(state) ** 2 + jnp.imag(state) ** 2
+    return _probs_from_sq(n, indices, sq)
+
+
+def measure_probs_ri(
+    n: int, indices: Sequence[int], re: jnp.ndarray, im: jnp.ndarray
+) -> jnp.ndarray:
+    """measure_probs on (re, im) plane pairs (the TPU execution domain)."""
+    indices = _check_indices(n, indices)
+    return _probs_from_sq(n, indices, re * re + im * im)
 
 
 def measure_prob(
@@ -148,6 +165,29 @@ def soft_measure(
     return jax.random.categorical(key, jnp.log(probs))
 
 
+def _collapse_mask(n: int, indices: Tuple[int, ...], outcome) -> jnp.ndarray:
+    """(R, C) bool mask of basis states matching the outcome."""
+    m, R, C = _geometry(n)
+    n_m = n - m
+    rows = jnp.arange(R, dtype=jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
+    mask_r = jnp.ones((R,), dtype=bool)
+    mask_c = jnp.ones((C,), dtype=bool)
+    for t, q in enumerate(indices):
+        bit = ((outcome >> t) & 1).astype(jnp.int32)
+        if q < n_m:
+            mask_r = mask_r & (((rows >> (n_m - 1 - q)) & 1) == bit)
+        else:
+            mask_c = mask_c & (((cols >> (n - 1 - q)) & 1) == bit)
+    return mask_r[:, None] & mask_c[None, :]
+
+
+def _collapse_plane(plane, mask, scale, prob, R, C):
+    p2d = plane.reshape(R, C)
+    collapsed = jnp.where(mask, p2d * scale, jnp.zeros((), dtype=plane.dtype))
+    return jnp.where(prob > 0, collapsed, p2d).reshape(-1)
+
+
 def measure_state(
     n: int,
     indices: Sequence[int],
@@ -162,27 +202,36 @@ def measure_state(
     outcome, prob = measured
     outcome = jnp.asarray(outcome)
     m, R, C = _geometry(n)
-    n_m = n - m
-    s2d = state.reshape(R, C)
-    rows = jnp.arange(R, dtype=jnp.int32)
-    cols = jnp.arange(C, dtype=jnp.int32)
-    mask_r = jnp.ones((R,), dtype=bool)
-    mask_c = jnp.ones((C,), dtype=bool)
-    for t, q in enumerate(indices):
-        bit = ((outcome >> t) & 1).astype(jnp.int32)
-        if q < n_m:
-            mask_r = mask_r & (((rows >> (n_m - 1 - q)) & 1) == bit)
-        else:
-            mask_c = mask_c & (((cols >> (n - 1 - q)) & 1) == bit)
-    mask = mask_r[:, None] & mask_c[None, :]
+    mask = _collapse_mask(n, indices, outcome)
     real_dtype = jnp.real(state).dtype
     prob = jnp.asarray(prob, dtype=real_dtype)
     scale = jnp.where(
         prob > 0, jax.lax.rsqrt(jnp.maximum(prob, jnp.finfo(real_dtype).tiny)), 1.0
     ).astype(state.dtype)
-    collapsed = jnp.where(mask, s2d * scale, jnp.zeros((), dtype=state.dtype))
-    out = jnp.where(prob > 0, collapsed, s2d)
-    return out.reshape(-1)
+    return _collapse_plane(state, mask, scale, prob, R, C)
+
+
+def measure_state_ri(
+    n: int,
+    indices: Sequence[int],
+    measured,
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+):
+    """measure_state on (re, im) plane pairs."""
+    indices = tuple(int(i) for i in indices)
+    outcome, prob = measured
+    outcome = jnp.asarray(outcome)
+    m, R, C = _geometry(n)
+    mask = _collapse_mask(n, indices, outcome)
+    prob = jnp.asarray(prob, dtype=re.dtype)
+    scale = jnp.where(
+        prob > 0, jax.lax.rsqrt(jnp.maximum(prob, jnp.finfo(re.dtype).tiny)), 1.0
+    )
+    return (
+        _collapse_plane(re, mask, scale, prob, R, C),
+        _collapse_plane(im, mask, scale, prob, R, C),
+    )
 
 
 def measure(
@@ -213,3 +262,30 @@ def measure(
         prob = probs[outcome]
     collapsed = measure_state(n, indices, (outcome, prob), state)
     return outcome, prob, collapsed
+
+
+def measure_ri(
+    n: int,
+    indices: Sequence[int],
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    measured: Optional[MeasuredCondition] = None,
+):
+    """Sample-and-collapse on (re, im) plane pairs; returns
+    ``(outcome, prob, re, im)``."""
+    probs = measure_probs_ri(n, indices, re, im)
+    if measured is not None:
+        outcome = jnp.asarray(measured.measured)
+        prob = (
+            jnp.asarray(measured.prob)
+            if measured.prob is not None
+            else probs[outcome]
+        )
+    else:
+        if key is None:
+            raise CircuitError("measure() needs a PRNG key unless outcome is forced")
+        outcome = jax.random.categorical(key, jnp.log(probs))
+        prob = probs[outcome]
+    re, im = measure_state_ri(n, indices, (outcome, prob), re, im)
+    return outcome, prob, re, im
