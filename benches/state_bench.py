@@ -1,0 +1,142 @@
+"""Micro-benchmark suite mirroring the reference's bench harnesses.
+
+Covers the shapes of ``qip/benches/state_bench.rs`` and
+``qip-iterators/benches/matmul_bench.rs`` (SURVEY.md §6):
+
+  1. dense single-qubit gate expanded to the full n-qubit matrix (n=3, 8)
+  2. single H on qubit 0 of a large state (n=24 default; --big for 28)
+  3. (n-1)-controlled identity (n=3, 8, 16)
+  4. fused vs sequential multi-gate apply (n=5, 10, 16)
+  5. sparse identity apply (n=5, 10, 16)
+  6. optionally the native C++ CPU engine on the same shapes (--native)
+
+Usage: python benches/state_bench.py [--big] [--native] [--cpu]
+Note: on the axon relay each distinct shape costs minutes of remote
+compile; --cpu forces the CPU backend for quick local numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def sync(x):
+    return float(np.asarray(x).ravel()[0])
+
+
+def time_apply(n, ops, iters=5, dtype=np.float64):
+    import jax
+    import jax.numpy as jnp
+
+    from rustqip_tpu.engine.real_apply import apply_ops_ri
+
+    @jax.jit
+    def step(re, im):
+        return apply_ops_ri(n, ops, re, im)
+
+    re = jnp.zeros(1 << n, dtype).at[0].set(1.0)
+    im = jnp.zeros(1 << n, dtype)
+    re, im = step(re, im)
+    sync(re)
+    t0 = time.time()
+    for _ in range(iters):
+        re, im = step(re, im)
+    sync(re)
+    dt = (time.time() - t0) / iters / max(len(ops), 1)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--big", action="store_true", help="include n=24/28 cases")
+    ap.add_argument("--native", action="store_true", help="also time the C++ engine")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from rustqip_tpu.ops import gates
+    from rustqip_tpu.ops.matrix_ops import (
+        expand_op_matrix,
+        make_control_op,
+        make_matrix_op,
+        make_sparse_matrix_op,
+    )
+
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    rows = []
+
+    # 1. dense single-qubit gate expanded to the full n-qubit matrix
+    for n in (3, 8):
+        full = expand_op_matrix(gates.H, [0], n)
+        op = make_matrix_op(list(range(n)), full.reshape(-1))
+        rows.append((f"dense full-matrix H, n={n}", time_apply(n, [op])))
+
+    # 2. single H on qubit 0 of a large state
+    big_ns = (16, 20, 24) + ((28,) if args.big else ())
+    for n in big_ns:
+        op = make_matrix_op([0], gates.H.reshape(-1))
+        dtype = np.float32 if n >= 24 else np.float64
+        rows.append(
+            (f"H on qubit 0, n={n}", time_apply(n, [op], dtype=dtype))
+        )
+
+    # 3. (n-1)-controlled identity
+    for n in (3, 8, 16):
+        inner = make_matrix_op([n - 1], np.eye(2).reshape(-1))
+        op = make_control_op(list(range(n - 1)), inner)
+        rows.append((f"(n-1)-controlled identity, n={n}", time_apply(n, [op])))
+
+    # 4. fused vs sequential multi-gate
+    from rustqip_tpu.engine.fusion import fuse_ops
+
+    for n in (5, 10, 16):
+        ops = [make_matrix_op([q % n], gates.H.reshape(-1)) for q in range(6)]
+        seq = time_apply(n, ops)
+        fused = fuse_ops(ops)
+        fus = time_apply(n, fused) * len(fused) / len(ops)
+        rows.append((f"sequential 6 gates, n={n}", seq))
+        rows.append((f"fused 6 gates ({len(fused)} passes), n={n}", fus))
+
+    # 5. sparse identity
+    for n in (5, 10, 16):
+        sp = make_sparse_matrix_op([0, 1], [[(i, 1.0)] for i in range(4)])
+        rows.append((f"sparse identity [0,1], n={n}", time_apply(n, [sp])))
+
+    print(f"{'case':48s} {'s/gate':>12s} {'GB/s (c128)':>12s}")
+    for name, dt in rows:
+        nq = int(name.rsplit("n=", 1)[1])
+        gbps = (1 << nq) * 16 * 2 / dt / 1e9
+        print(f"{name:48s} {dt:12.3e} {gbps:12.1f}")
+
+    if args.native:
+        from rustqip_tpu.engine.cpu_native import load_library, native_apply_op
+
+        if load_library() is None:
+            print("native engine unavailable", file=sys.stderr)
+            return
+        print("\nnative C++ engine:")
+        for n in (16, 20, 24):
+            state = np.zeros(1 << n, dtype=np.complex128)
+            state[0] = 1.0
+            op = make_matrix_op([0], gates.H.reshape(-1))
+            t0 = time.time()
+            iters = 3
+            for _ in range(iters):
+                state = native_apply_op(n, op, state)
+            dt = (time.time() - t0) / iters
+            print(f"{'H on qubit 0, n=' + str(n):48s} {dt:12.3e}")
+
+
+if __name__ == "__main__":
+    main()

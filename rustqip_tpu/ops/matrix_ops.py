@@ -311,6 +311,17 @@ def op_to_dense(op: MatrixOp) -> np.ndarray:
     raise TypeError(f"Unknown op {op!r}")
 
 
+def select_matrix_coords(
+    n: int, indices: Sequence[int], row: int, col: int
+) -> Tuple[int, int]:
+    """Project full-matrix (row, col) onto an op's sub-matrix coordinates
+    (ref matrix_ops.rs:226-242)."""
+    return (
+        full_to_sub(n, list(indices), row),
+        full_to_sub(n, list(indices), col),
+    )
+
+
 def expand_op_matrix(
     mat: np.ndarray, positions: Sequence[int], k: int
 ) -> np.ndarray:

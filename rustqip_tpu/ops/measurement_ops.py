@@ -152,6 +152,31 @@ def measure_prob(
     return measure_probs(n, indices, state)[measured]
 
 
+def measure_prob_fn(
+    n: int, measured: int, indices: Sequence[int], f
+) -> float:
+    """Outcome probability from an amplitude *function* ``f(index) ->
+    complex`` rather than a stored vector (ref ``measure_prob_fn``,
+    measurement_ops.rs:65-112). Host-side: sums |f|^2 over the subspace
+    matching ``measured`` — useful for oracle-defined or implicit states.
+    """
+    indices = _check_indices(n, indices)
+    template = 0
+    for i, q in enumerate(indices):
+        if (measured >> i) & 1:
+            template |= 1 << (n - 1 - q)
+    remaining = [q for q in range(n) if q not in indices]
+    total = 0.0
+    for bits in range(1 << len(remaining)):
+        idx = template
+        for i, q in enumerate(remaining):
+            if (bits >> i) & 1:
+                idx |= 1 << (n - 1 - q)
+        amp = complex(f(idx))
+        total += amp.real * amp.real + amp.imag * amp.imag
+    return total
+
+
 def soft_measure(
     n: int, indices: Sequence[int], state: jnp.ndarray, key: jax.Array
 ) -> jnp.ndarray:
