@@ -164,7 +164,13 @@ class LocalBuilder(
     parameter (types.rs:6-13).
     """
 
-    def __init__(self, dtype=None, fuse: bool = True, max_fused_qubits: int = None):
+    def __init__(
+        self,
+        dtype=None,
+        fuse: bool = True,
+        max_fused_qubits: int = None,
+        native_conditioning: bool = True,
+    ):
         self.pipeline: List[PipelineItem] = []
         self._n = 0
         self._zeroed_qubits: List[Register] = []
@@ -172,6 +178,13 @@ class LocalBuilder(
         self.dtype = canonical_complex_dtype(dtype)
         self._fuse = fuse
         self._max_fused_qubits = max_fused_qubits
+        #: Conditioning strategy. True (default): controlled gates lower to
+        #: native engine Control ops — one pipeline entry, no temp qubits,
+        #: LINEAR cost under nested conditioning. False: the reference's
+        #: per-gate toffoli decompositions (builder.rs:663-815) — faithful
+        #: QASM gate streams, but gate count multiplies ~20x per nesting
+        #: level (the reference's exp_mod explodes to ~5M gates this way).
+        self._native_conditioning = native_conditioning
 
     # -- CircuitBuilder primitives ------------------------------------------
     @property
@@ -350,6 +363,8 @@ class LocalBuilder(
         obj = co.obj
         if isinstance(obj, MeasurementObject):
             raise CircuitError("Cannot condition measurements.")
+        if self._native_conditioning:
+            return self._native_condition(cr, r, co)
         if isinstance(obj, NamedGate):
             name = obj.name
             if name == "X":
@@ -448,6 +463,101 @@ class LocalBuilder(
             return res.selected, res.remaining
         raise CircuitError(f"Cannot condition circuit object {obj!r}")
 
+    def _push_controlled_mat(self, cr: Register, r: Register, mat: MatGate):
+        n_ctrl = cr.n
+        merged = self.merge_two_registers(cr, r)
+        indices = consume(merged, "controlled gate")
+        self.pipeline.append(
+            (indices, CircuitObject(len(indices), ControlledMatGate(n_ctrl, mat)))
+        )
+        res = self.split_register_relative(Register(indices), range(n_ctrl))
+        return res.selected, res.remaining
+
+    def _native_condition(
+        self, cr: Register, r: Register, co: CircuitObject
+    ) -> Tuple[Register, Register]:
+        """Native conditioning: one engine Control op per gate.
+
+        No temp qubits, no decomposition blowup; nested conditions just
+        extend the control list. (The decomposition path remains available
+        with native_conditioning=False for reference-faithful QASM.)
+        """
+        obj = co.obj
+        if isinstance(obj, NamedGate):
+            name = obj.name
+            if name == "SWAP":
+                # Per-pair controlled swaps keep matrices 4x4.
+                half = r.n // 2
+                if r.n % 2 != 0:
+                    raise CircuitError("SWAP requires an even number of qubits")
+                qs = self.split_all_register(r)
+                out_a, out_b = [], []
+                for qa, qb in zip(qs[:half], qs[half:]):
+                    pair = self.merge_two_registers(qa, qb)
+                    cr, pair = self._push_controlled_mat(
+                        cr, pair, MatGate(gates.SWAP)
+                    )
+                    qa, qb = self.split_first_qubit(pair)[::-1]
+                    # split_first_qubit -> (rest, first); reorder to (qa, qb)
+                    out_a.append(qa)
+                    out_b.append(qb)
+                return cr, self.merge_registers(out_a + out_b)
+            if name == "CNOT":
+                # The gate's own control joins the condition register.
+                rest, first = self.split_first_qubit(r)
+                cr = self.merge_two_registers(cr, first)
+                cr, rest = self._push_controlled_mat(cr, rest, MatGate(gates.X))
+                cr, first = self.split_last_qubit(cr)
+                return cr, self.merge_two_registers(first, rest)
+            mat = MatGate(getattr(gates, name))
+            if co.n == 1 and r.n > 1:
+                qs = self.split_all_register(r)
+                outs = []
+                for q in qs:
+                    cr, q = self._push_controlled_mat(cr, q, mat)
+                    outs.append(q)
+                return cr, self.merge_registers(outs)
+            return self._push_controlled_mat(cr, r, mat)
+        if isinstance(obj, RzGate):
+            mat = MatGate(gates.rz(obj.theta))
+            if r.n > 1:
+                qs = self.split_all_register(r)
+                outs = []
+                for q in qs:
+                    cr, q = self._push_controlled_mat(cr, q, mat)
+                    outs.append(q)
+                return cr, self.merge_registers(outs)
+            return self._push_controlled_mat(cr, r, mat)
+        if isinstance(obj, GlobalPhaseGate):
+            # Conditioned global phase = phase on the controls; realized as
+            # a controlled e^{i t} I on one target qubit (exact).
+            theta = obj.theta
+            phase = np.exp(
+                1j * (theta.to_float() if isinstance(theta, PiRational) else float(theta))
+            )
+            rest, first = self.split_first_qubit(r)
+            cr, first = self._push_controlled_mat(
+                cr, first, MatGate(phase * np.eye(2))
+            )
+            out = first if rest is None else self.merge_two_registers(first, rest)
+            return cr, out
+        if isinstance(obj, MatGate):
+            return self._push_controlled_mat(cr, r, obj)
+        if isinstance(obj, ControlledMatGate):
+            n_ctrl_new = cr.n + obj.n_ctrl
+            merged = self.merge_two_registers(cr, r)
+            indices = consume(merged, "controlled gate")
+            self.pipeline.append(
+                (
+                    indices,
+                    CircuitObject(len(indices), ControlledMatGate(n_ctrl_new, obj.mat)),
+                )
+            )
+            n_added = len(indices) - co.n
+            res = self.split_register_relative(Register(indices), range(n_added))
+            return res.selected, res.remaining
+        raise CircuitError(f"Cannot condition circuit object {obj!r}")
+
     def _conditioned_phase_like(self, cr, r, gate_fn):
         """Controlled-S/T via the temp-qubit toffoli trick
         (ref builder.rs:691-712)."""
@@ -493,7 +603,8 @@ class LocalBuilder(
 
     def new_similar(self) -> "LocalBuilder":
         return LocalBuilder(dtype=self.dtype, fuse=self._fuse,
-                            max_fused_qubits=self._max_fused_qubits)
+                            max_fused_qubits=self._max_fused_qubits,
+                            native_conditioning=self._native_conditioning)
 
     @staticmethod
     def invert_subcircuit(sc: List[PipelineItem]) -> List[PipelineItem]:

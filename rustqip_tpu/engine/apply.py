@@ -46,6 +46,7 @@ from rustqip_tpu.ops.matrix_ops import (
     ControlOp,
     DenseOp,
     MatrixOp,
+    PhaseProductOp,
     SparseOp,
     SwapOp,
     expand_op_matrix,
@@ -192,6 +193,53 @@ def _apply_dense(
     return jnp.transpose(stacked, perm).reshape(-1)
 
 
+def _phase_term_factor_2d(n: int, tidx, d: np.ndarray, R: int, C: int):
+    """Per-term diagonal factor as (fr, fi) broadcastable over the (R, C)
+    view, gathered from the 2^k diagonal by index-bit arithmetic (device
+    iotas; fuses into the consuming multiply). fi is None for real diags."""
+    n_m = R.bit_length() - 1
+    kt = len(tidx)
+    rows = jnp.arange(R, dtype=jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
+    idx_r = idx_c = None
+    for j, q in enumerate(tidx):
+        shift = kt - 1 - j
+        if q < n_m:
+            b = (((rows >> (n_m - 1 - q)) & 1) << shift).astype(jnp.int32)
+            idx_r = b if idx_r is None else idx_r + b
+        else:
+            b = (((cols >> (n - 1 - q)) & 1) << shift).astype(jnp.int32)
+            idx_c = b if idx_c is None else idx_c + b
+    if idx_r is not None and idx_c is not None:
+        idx = idx_r[:, None] + idx_c[None, :]
+    elif idx_r is not None:
+        idx = idx_r[:, None]
+    else:
+        idx = idx_c[None, :]
+    d = np.asarray(d, dtype=np.complex128)
+    dr = np.real(d)
+    di = np.imag(d)
+    fr = jnp.asarray(dr)[idx]
+    fi = jnp.asarray(di)[idx] if np.any(di) else None
+    return fr, fi
+
+
+def _apply_phase_product_2d(n: int, op, s2d: jnp.ndarray) -> jnp.ndarray:
+    """Complex-path PhaseProductOp: chain of broadcast multiplies (XLA fuses
+    the whole run into one pass over the state)."""
+    R, C = s2d.shape
+    rdtype = jnp.real(s2d).dtype
+    for tidx, tdiag in op.terms:
+        fr, fi = _phase_term_factor_2d(n, tidx, np.asarray(tdiag), R, C)
+        fr = fr.astype(rdtype)
+        if fi is None:
+            s2d = s2d * fr.astype(s2d.dtype)
+        else:
+            factor = jax.lax.complex(fr, fi.astype(rdtype)).astype(s2d.dtype)
+            s2d = s2d * factor
+    return s2d
+
+
 def _control_mask_2d(n: int, ctrl: Sequence[int], R: int, C: int) -> jnp.ndarray:
     """Bool (R, C) mask: True where all control qubits are |1>.
 
@@ -234,6 +282,9 @@ def _apply_swap(n: int, op: SwapOp, state: jnp.ndarray) -> jnp.ndarray:
 
 
 def _apply_to_state(n: int, op: MatrixOp, state: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(op, PhaseProductOp):
+        _, R, C = _geometry(n)
+        return _apply_phase_product_2d(n, op, state.reshape(R, C)).reshape(-1)
     if isinstance(op, DenseOp):
         return _apply_dense(n, op.indices, op.data, state)
     if isinstance(op, SparseOp):
@@ -269,6 +320,17 @@ def _t_dense(tensor: jnp.ndarray, mat: np.ndarray, axes: Sequence[int]) -> jnp.n
 
 
 def _t_apply(n: int, op: MatrixOp, tensor: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(op, PhaseProductOp):
+        for tidx, tdiag in op.terms:
+            kt = len(tidx)
+            dd = np.asarray(tdiag, dtype=np.complex128).reshape((2,) * kt)
+            order = tuple(np.argsort(tidx))
+            dd = dd.transpose(order)
+            bshape = [1] * n
+            for q in sorted(tidx):
+                bshape[q] = 2
+            tensor = tensor * jnp.asarray(dd.reshape(bshape), dtype=tensor.dtype)
+        return tensor
     if isinstance(op, DenseOp):
         return _t_dense(tensor, op.data, op.indices)
     if isinstance(op, SparseOp):

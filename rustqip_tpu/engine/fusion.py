@@ -18,6 +18,8 @@ import numpy as np
 from rustqip_tpu.ops.matrix_ops import (
     DenseOp,
     MatrixOp,
+    PhaseProductOp,
+    diagonal_of,
     expand_op_matrix,
     op_to_dense,
 )
@@ -33,14 +35,57 @@ def _embed(op: MatrixOp, joint: Tuple[int, ...]) -> np.ndarray:
     return expand_op_matrix(op_to_dense(op), positions, len(joint))
 
 
+def _coalesce_diagonals(
+    ops: Sequence[MatrixOp], max_qubits: int
+) -> List[MatrixOp]:
+    """Merge consecutive diagonal ops into PhaseProductOps.
+
+    Diagonal gates commute among themselves, so any maximal run — whatever
+    qubits it touches — is exactly one elementwise pass. Lone small
+    diagonals stay as dense ops for the regular fuser to absorb.
+    """
+    out: List[MatrixOp] = []
+    run: List = []
+
+    def flush():
+        nonlocal run
+        if not run:
+            return
+        if len(run) == 1 and len(run[0][0]) <= max_qubits:
+            idx, d = run[0]
+            out.append(DenseOp(tuple(idx), np.diag(np.asarray(d))))
+        else:
+            out.append(
+                PhaseProductOp(
+                    tuple(
+                        (tuple(idx), tuple(complex(v) for v in d))
+                        for idx, d in run
+                    )
+                )
+            )
+        run = []
+
+    for op in ops:
+        d = diagonal_of(op)
+        if d is not None:
+            run.append(d)
+        else:
+            flush()
+            out.append(op)
+    flush()
+    return out
+
+
 def fuse_ops(
     ops: Sequence[MatrixOp], max_qubits: int = DEFAULT_MAX_FUSED_QUBITS
 ) -> List[MatrixOp]:
-    """Greedily merge runs of ops whose union support has <= max_qubits.
+    """Merge adjacent ops: diagonal runs -> one elementwise pass; everything
+    else greedily into joint dense unitaries of <= max_qubits.
 
     Returns a new op list with identical semantics. Ops too wide to fuse
     (e.g. register-level SwapOps) pass through untouched.
     """
+    ops = _coalesce_diagonals(ops, max_qubits)
     fused: List[MatrixOp] = []
     block_indices: Tuple[int, ...] = ()
     block_mat: np.ndarray | None = None

@@ -143,8 +143,30 @@ _SWAP2 = np.array(
 )
 
 
+def _phase_product_ri(n: int, op, re, im) -> Pair:
+    from rustqip_tpu.engine.apply import _phase_term_factor_2d
+
+    _, R, C = _geometry(n)
+    r2d = re.reshape(R, C)
+    i2d = im.reshape(R, C)
+    for tidx, tdiag in op.terms:
+        fr, fi = _phase_term_factor_2d(n, tidx, np.asarray(tdiag), R, C)
+        fr = fr.astype(r2d.dtype)
+        if fi is None:
+            r2d = r2d * fr
+            i2d = i2d * fr
+        else:
+            fi = fi.astype(r2d.dtype)
+            r2d, i2d = r2d * fr - i2d * fi, r2d * fi + i2d * fr
+    return r2d.reshape(-1), i2d.reshape(-1)
+
+
 def apply_op_ri(n: int, op: MatrixOp, re: jnp.ndarray, im: jnp.ndarray) -> Pair:
     """Apply one gate op to the (re, im) planes of a flat 2^n state."""
+    from rustqip_tpu.ops.matrix_ops import PhaseProductOp
+
+    if isinstance(op, PhaseProductOp):
+        return _phase_product_ri(n, op, re, im)
     if isinstance(op, DenseOp):
         return _dense_ri(n, op.indices, op.data, re, im)
     if isinstance(op, SparseOp):

@@ -120,7 +120,72 @@ class ControlOp:
         return hash(("ControlOp", self.n_ctrl, self.indices, self.inner))
 
 
-MatrixOp = Union[DenseOp, SparseOp, SwapOp, ControlOp]
+@dataclass(frozen=True)
+class PhaseProductOp:
+    """A product of small diagonal gates applied as ONE elementwise pass.
+
+    TPU-native fusion target with no reference analog: diagonal ops (Rz, Z,
+    S, T, controlled-phases, global phases) commute, so any run of them —
+    regardless of qubit distance — composes into a single multiply over the
+    state, with each term's factor gathered from its 2^k diagonal by
+    index-bit arithmetic. A QFT layer's controlled-phase ladder becomes one
+    pass instead of one per gate.
+
+    ``terms`` is a tuple of (indices, diag) with diag length 2^len(indices).
+    """
+
+    terms: Tuple[Tuple[Tuple[int, ...], Tuple[complex, ...]], ...]
+
+    @property
+    def indices(self) -> Tuple[int, ...]:
+        seen = []
+        for idx, _ in self.terms:
+            for q in idx:
+                if q not in seen:
+                    seen.append(q)
+        return tuple(sorted(seen))
+
+    @property
+    def num_indices(self) -> int:
+        return len(self.indices)
+
+    def __hash__(self) -> int:
+        return hash(("PhaseProductOp", self.terms))
+
+
+MatrixOp = Union[DenseOp, SparseOp, SwapOp, ControlOp, PhaseProductOp]
+
+#: Largest diagonal materialized per term (2^16 complex values).
+DIAG_CAP = 16
+
+
+def diagonal_of(op) -> "Tuple[Tuple[int, ...], np.ndarray] | None":
+    """(indices, 2^k diagonal) if the op is diagonal in the computational
+    basis, else None. Controlled-diagonal ops are diagonal."""
+    if isinstance(op, DenseOp):
+        k = op.num_indices
+        if k > DIAG_CAP:
+            return None
+        d = np.diagonal(op.data)
+        if np.count_nonzero(op.data) == np.count_nonzero(d):
+            return op.indices, d.copy()
+        return None
+    if isinstance(op, SparseOp):
+        if op.num_indices > DIAG_CAP:
+            return None
+        if all(len(r) == 1 and r[0][0] == i for i, r in enumerate(op.rows)):
+            return op.indices, np.array([r[0][1] for r in op.rows])
+        return None
+    if isinstance(op, ControlOp):
+        inner = diagonal_of(op.inner)
+        if inner is None or op.num_indices > DIAG_CAP:
+            return None
+        _, d_in = inner
+        dim = 1 << op.num_indices
+        d = np.ones(dim, dtype=np.complex128)
+        d[dim - d_in.size :] = d_in
+        return op.indices, d
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -241,6 +306,13 @@ def from_tuples(tuples: Sequence[Tuple[float, float]]) -> np.ndarray:
 
 def conj_op(op: MatrixOp) -> MatrixOp:
     """Elementwise conjugate (ref matrix_ops.rs:157)."""
+    if isinstance(op, PhaseProductOp):
+        return PhaseProductOp(
+            tuple(
+                (idx, tuple(complex(v).conjugate() for v in d))
+                for idx, d in op.terms
+            )
+        )
     if isinstance(op, DenseOp):
         return DenseOp(op.indices, np.conj(op.data))
     if isinstance(op, SparseOp):
@@ -257,6 +329,8 @@ def conj_op(op: MatrixOp) -> MatrixOp:
 
 def transpose_op(op: MatrixOp) -> MatrixOp:
     """Matrix transpose (ref matrix_ops.rs:182)."""
+    if isinstance(op, PhaseProductOp):
+        return op  # diagonal
     if isinstance(op, DenseOp):
         return DenseOp(op.indices, op.data.T.copy())
     if isinstance(op, SparseOp):
@@ -308,6 +382,19 @@ def op_to_dense(op: MatrixOp) -> np.ndarray:
         off = dim - inner.shape[0]
         mat[off:, off:] = inner
         return mat
+    if isinstance(op, PhaseProductOp):
+        srt = op.indices
+        diag = np.ones(dim, dtype=np.complex128)
+        s = np.arange(dim)
+        for tidx, tdiag in op.terms:
+            kt = len(tidx)
+            t = np.zeros(dim, dtype=np.int64)
+            for j, q in enumerate(tidx):
+                pos = srt.index(q)
+                bit = (s >> (k - 1 - pos)) & 1
+                t |= bit << (kt - 1 - j)
+            diag = diag * np.asarray(tdiag)[t]
+        return np.diag(diag)
     raise TypeError(f"Unknown op {op!r}")
 
 

@@ -253,11 +253,10 @@ def _exp_mod_truth_table(n, k, ms):
         assert tt.decode(out, re) == (p * a**bval) % m, (a, bval, m, p)
 
 
-@pytest.mark.slow
 def test_exp_mod_truth_table_base_case():
     # e = (p * a^b) mod m, single exponent bit (recursion base case).
-    # ~20 qubits with scratch (times_mod's exponent register is n+1 wide) —
-    # heavy for 1-core CPU CI; fast on TPU. Run with `-m slow`.
+    # Feasible on CPU CI since native conditioning collapsed the circuit
+    # from ~1M decomposed gates to ~1k controlled ops.
     _exp_mod_truth_table(2, 1, (2, 3))
 
 

@@ -304,6 +304,7 @@ def restricted_circuit_matrix(b, r):
     return full
 
 
+@pytest.mark.parametrize("native", [True, False], ids=["native", "decomposed"])
 @pytest.mark.parametrize(
     "gate_name, mat",
     [
@@ -315,10 +316,10 @@ def restricted_circuit_matrix(b, r):
         ("t", gates.T),
     ],
 )
-def test_conditioned_named_gates_exact(gate_name, mat):
-    """Each conditioned gate decomposition equals the exact controlled-U
-    (validates builder.rs:663-815 decompositions)."""
-    b = LocalBuilder()
+def test_conditioned_named_gates_exact(gate_name, mat, native):
+    """Each conditioned gate (native Control op AND the reference-style
+    toffoli decomposition, builder.rs:663-815) equals exact controlled-U."""
+    b = LocalBuilder(native_conditioning=native)
     c = b.qubit()
     t = b.qubit()
     cb = b.condition_with(c)
@@ -329,9 +330,10 @@ def test_conditioned_named_gates_exact(gate_name, mat):
     np.testing.assert_allclose(full, controlled(mat), atol=1e-10, err_msg=gate_name)
 
 
-def test_conditioned_rz_exact():
+@pytest.mark.parametrize("native", [True, False], ids=["native", "decomposed"])
+def test_conditioned_rz_exact(native):
     theta = 0.918273
-    b = LocalBuilder()
+    b = LocalBuilder(native_conditioning=native)
     c = b.qubit()
     t = b.qubit()
     cb = b.condition_with(c)
@@ -357,9 +359,10 @@ def test_conditioned_mat_native():
     np.testing.assert_allclose(full, controlled(u), atol=1e-10)
 
 
-def test_nested_conditioning():
+@pytest.mark.parametrize("native", [True, False], ids=["native", "decomposed"])
+def test_nested_conditioning(native):
     # condition within condition = doubly-controlled
-    b = LocalBuilder()
+    b = LocalBuilder(native_conditioning=native)
     c1 = b.qubit()
     c2 = b.qubit()
     t = b.qubit()
@@ -375,11 +378,12 @@ def test_nested_conditioning():
     np.testing.assert_allclose(full, ccx, atol=1e-10)
 
 
-def test_conditioned_global_phase():
+@pytest.mark.parametrize("native", [True, False], ids=["native", "decomposed"])
+def test_conditioned_global_phase(native):
     # A conditioned global phase is a real phase on the control
     # (ref builder.rs:765-788).
     theta = 0.77
-    b = LocalBuilder()
+    b = LocalBuilder(native_conditioning=native)
     c = b.qubit()
     t = b.qubit()
     cb = b.condition_with(c)
@@ -438,8 +442,9 @@ def test_invert_mat_is_dagger():
 # ---------------------------------------------------------------------------
 
 
-def test_readme_cswap_example():
-    b = LocalBuilder()
+@pytest.mark.parametrize("native", [True, False], ids=["native", "decomposed"])
+def test_readme_cswap_example(native):
+    b = LocalBuilder(native_conditioning=native)
     q = b.qubit()
     ra = b.register(3)
     rb = b.register(3)
