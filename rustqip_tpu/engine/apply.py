@@ -193,51 +193,110 @@ def _apply_dense(
     return jnp.transpose(stacked, perm).reshape(-1)
 
 
-def _phase_term_factor_2d(n: int, tidx, d: np.ndarray, R: int, C: int):
-    """Per-term diagonal factor as (fr, fi) broadcastable over the (R, C)
-    view, gathered from the 2^k diagonal by index-bit arithmetic (device
-    iotas; fuses into the consuming multiply). fi is None for real diags."""
-    n_m = R.bit_length() - 1
+def _walsh_angle_coeffs(tidx, d: np.ndarray):
+    """Monomial (Moebius) decomposition of a unitary diagonal's phase:
+    angle(d)(b_1..b_k) = sum_S c_S prod_{q in S} b_q.
+
+    Every unitary diagonal has unit-modulus entries, so it is exactly
+    exp(i phi(bits)); decomposing phi over bit monomials lets an arbitrary
+    run of diagonal gates collapse into one bilinear angle form instead of
+    per-term (R, C) gathers (which OOM at scale). Returns {subset: coeff}
+    with subsets as tuples of qubits.
+    """
     kt = len(tidx)
+    phi = np.angle(np.asarray(d, dtype=np.complex128)).copy()
+    # Moebius transform over the subset lattice (bit j of the entry index is
+    # qubit tidx[j], big-endian: entry bit (kt-1-j) <-> tidx[j]).
+    for j in range(kt):
+        stride = 1 << (kt - 1 - j)
+        for base in range(1 << kt):
+            if base & stride:
+                phi[base] -= phi[base & ~stride]
+    out = {}
+    for mask in range(1 << kt):
+        c = phi[mask]
+        if abs(c) < 1e-15:
+            continue
+        subset = tuple(
+            tidx[j] for j in range(kt) if (mask >> (kt - 1 - j)) & 1
+        )
+        out[subset] = out.get(subset, 0.0) + float(c)
+    return out
+
+
+@lru_cache(maxsize=256)
+def _phase_plan(n: int, terms):
+    """Host plan for a PhaseProductOp: angle monomials split into row-only,
+    col-only, constant, and mixed (row-subset, col-subset, coeff) groups."""
+    m, R, C = _geometry(n)
+    n_m = n - m
+    const = 0.0
+    row_monos = {}
+    col_monos = {}
+    mixed = []
+    for tidx, tdiag in terms:
+        for subset, c in _walsh_angle_coeffs(tidx, np.asarray(tdiag)).items():
+            rq = tuple(q for q in subset if q < n_m)
+            cq = tuple(q for q in subset if q >= n_m)
+            if not subset:
+                const += c
+            elif not cq:
+                row_monos[rq] = row_monos.get(rq, 0.0) + c
+            elif not rq:
+                col_monos[cq] = col_monos.get(cq, 0.0) + c
+            else:
+                mixed.append((rq, cq, c))
+    return const, tuple(row_monos.items()), tuple(col_monos.items()), tuple(mixed)
+
+
+def _phase_angle_2d(n: int, op, dtype=jnp.float32) -> jnp.ndarray:
+    """Total phase angle of a PhaseProductOp over the (R, C) view.
+
+    Row/col monomials evaluate on 1-D iotas; genuinely mixed monomials form
+    one (R, M) @ (M, C) MXU matmul — the whole fused diagonal run costs one
+    transcendental pass over the state regardless of term count.
+    """
+    m, R, C = _geometry(n)
+    n_m = n - m
+    const, row_monos, col_monos, mixed = _phase_plan(n, op.terms)
     rows = jnp.arange(R, dtype=jnp.int32)
     cols = jnp.arange(C, dtype=jnp.int32)
-    idx_r = idx_c = None
-    for j, q in enumerate(tidx):
-        shift = kt - 1 - j
-        if q < n_m:
-            b = (((rows >> (n_m - 1 - q)) & 1) << shift).astype(jnp.int32)
-            idx_r = b if idx_r is None else idx_r + b
-        else:
-            b = (((cols >> (n - 1 - q)) & 1) << shift).astype(jnp.int32)
-            idx_c = b if idx_c is None else idx_c + b
-    if idx_r is not None and idx_c is not None:
-        idx = idx_r[:, None] + idx_c[None, :]
-    elif idx_r is not None:
-        idx = idx_r[:, None]
-    else:
-        idx = idx_c[None, :]
-    d = np.asarray(d, dtype=np.complex128)
-    dr = np.real(d)
-    di = np.imag(d)
-    fr = jnp.asarray(dr)[idx]
-    fi = jnp.asarray(di)[idx] if np.any(di) else None
-    return fr, fi
+
+    def row_bit(q):
+        return ((rows >> (n_m - 1 - q)) & 1).astype(dtype)
+
+    def col_bit(q):
+        return ((cols >> (n - 1 - q)) & 1).astype(dtype)
+
+    def mono(bits, coeff=1.0):
+        acc = None
+        for b in bits:
+            acc = b if acc is None else acc * b
+        return acc * coeff
+
+    row_angle = jnp.full((R,), const, dtype=dtype)
+    for rq, c in row_monos:
+        row_angle = row_angle + mono([row_bit(q) for q in rq], c)
+    col_angle = jnp.zeros((C,), dtype=dtype)
+    for cq, c in col_monos:
+        col_angle = col_angle + mono([col_bit(q) for q in cq], c)
+
+    angle = row_angle[:, None] + col_angle[None, :]
+    if mixed:
+        U = jnp.stack([mono([row_bit(q) for q in rq]) for rq, _, _ in mixed], axis=1)
+        V = jnp.stack(
+            [mono([col_bit(q) for q in cq], c) for _, cq, c in mixed], axis=1
+        )
+        angle = angle + U @ V.T
+    return angle
 
 
 def _apply_phase_product_2d(n: int, op, s2d: jnp.ndarray) -> jnp.ndarray:
-    """Complex-path PhaseProductOp: chain of broadcast multiplies (XLA fuses
-    the whole run into one pass over the state)."""
-    R, C = s2d.shape
+    """Complex-path PhaseProductOp: state * exp(i * angle) in one pass."""
     rdtype = jnp.real(s2d).dtype
-    for tidx, tdiag in op.terms:
-        fr, fi = _phase_term_factor_2d(n, tidx, np.asarray(tdiag), R, C)
-        fr = fr.astype(rdtype)
-        if fi is None:
-            s2d = s2d * fr.astype(s2d.dtype)
-        else:
-            factor = jax.lax.complex(fr, fi.astype(rdtype)).astype(s2d.dtype)
-            s2d = s2d * factor
-    return s2d
+    angle = _phase_angle_2d(n, op, rdtype)
+    factor = jax.lax.complex(jnp.cos(angle), jnp.sin(angle)).astype(s2d.dtype)
+    return s2d * factor
 
 
 def _control_mask_2d(n: int, ctrl: Sequence[int], R: int, C: int) -> jnp.ndarray:
@@ -385,6 +444,15 @@ def apply_op(n: int, op: MatrixOp, state: jnp.ndarray) -> jnp.ndarray:
     if _use_tiled_layout():
         return _apply_to_state(n, op, state)
     return _t_apply(n, op, state.reshape((2,) * n)).reshape(-1)
+
+
+def apply_op_add(
+    n: int, op: MatrixOp, state: jnp.ndarray, acc: jnp.ndarray
+) -> jnp.ndarray:
+    """Accumulating apply: ``acc + op @ state`` — the reference's
+    ``apply_op`` (+=) semantics (qip-iterators/src/matrix_ops.rs:98-123),
+    used when summing op contributions (e.g. building op matrices)."""
+    return jnp.asarray(acc) + apply_op(n, op, state)
 
 
 def apply_ops(n: int, ops: Sequence[MatrixOp], state: jnp.ndarray) -> jnp.ndarray:

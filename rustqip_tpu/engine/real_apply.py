@@ -144,21 +144,17 @@ _SWAP2 = np.array(
 
 
 def _phase_product_ri(n: int, op, re, im) -> Pair:
-    from rustqip_tpu.engine.apply import _phase_term_factor_2d
+    from rustqip_tpu.engine.apply import _phase_angle_2d
 
     _, R, C = _geometry(n)
     r2d = re.reshape(R, C)
     i2d = im.reshape(R, C)
-    for tidx, tdiag in op.terms:
-        fr, fi = _phase_term_factor_2d(n, tidx, np.asarray(tdiag), R, C)
-        fr = fr.astype(r2d.dtype)
-        if fi is None:
-            r2d = r2d * fr
-            i2d = i2d * fr
-        else:
-            fi = fi.astype(r2d.dtype)
-            r2d, i2d = r2d * fr - i2d * fi, r2d * fi + i2d * fr
-    return r2d.reshape(-1), i2d.reshape(-1)
+    angle = _phase_angle_2d(n, op, r2d.dtype)
+    ca = jnp.cos(angle)
+    sa = jnp.sin(angle)
+    out_r = r2d * ca - i2d * sa
+    out_i = r2d * sa + i2d * ca
+    return out_r.reshape(-1), out_i.reshape(-1)
 
 
 def apply_op_ri(n: int, op: MatrixOp, re: jnp.ndarray, im: jnp.ndarray) -> Pair:
