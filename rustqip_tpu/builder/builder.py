@@ -9,7 +9,7 @@ builder.rs:423-517).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Iterable, List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np

@@ -20,7 +20,7 @@ Non-register arguments precede the selectors, as in the reference:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Tuple, Union
 
 from rustqip_tpu.builder.registers import Register
 from rustqip_tpu.errors import CircuitError

@@ -23,7 +23,7 @@ axis — the top g = log2(D) qubits are the device index bits.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

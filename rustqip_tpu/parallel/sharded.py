@@ -22,13 +22,11 @@ from __future__ import annotations
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from rustqip_tpu.engine.compile import (
     CompiledCircuit,
-    MeasureEntry,
     PipelineEntry,
 )
 from rustqip_tpu.engine.fusion import DEFAULT_MAX_FUSED_QUBITS

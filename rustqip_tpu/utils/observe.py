@@ -18,7 +18,6 @@ import numpy as np
 
 from rustqip_tpu.builder.circuit_objects import (
     MeasurementObject,
-    RepeatBlock,
     flatten_pipeline,
 )
 

@@ -11,7 +11,6 @@ state is just an array).
 from __future__ import annotations
 
 import json
-from typing import List
 
 import numpy as np
 
