@@ -14,6 +14,7 @@ Prints ONE JSON line on stdout; diagnostics go to stderr.
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -26,7 +27,7 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def bench_device(n: int, reps_per_step: int = 10, steps: int = 10) -> float:
+def bench_device(n: int, reps_per_step: int = 30, steps: int = 6) -> float:
     """Steady-state gate applies/sec on the default JAX backend."""
     import jax
     import jax.numpy as jnp
@@ -43,7 +44,7 @@ def bench_device(n: int, reps_per_step: int = 10, steps: int = 10) -> float:
     for i in range(reps_per_step):
         ops.append(make_matrix_op([(i % 2) * (n - 1)], gates.H.reshape(-1)))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(re, im):
         return apply_ops_ri(n, ops, re, im)
 

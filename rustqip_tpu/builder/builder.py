@@ -98,6 +98,19 @@ class Measurements:
             raise CircuitError("Handle points at a collapsing measurement")
         return np.asarray(res)
 
+    def sample_counts(
+        self, handle: StochasticMeasurementHandle, shots: int, seed: int = None
+    ) -> dict:
+        """Draw ``shots`` classical samples from a stochastic measurement's
+        outcome distribution; returns {outcome: count}. (Shots are classical
+        post-processing — the quantum state was simulated exactly once.)"""
+        probs = np.asarray(self.get_stochastic_measurement(handle), dtype=np.float64)
+        probs = np.maximum(probs, 0)
+        probs = probs / probs.sum()
+        rng = np.random.default_rng(seed)
+        counts = rng.multinomial(shots, probs)
+        return {int(i): int(c) for i, c in enumerate(counts) if c}
+
 
 def _lower_item(item: PipelineItem) -> List[PipelineEntry]:
     """Lower one symbolic pipeline item to engine entries
@@ -326,19 +339,34 @@ class LocalBuilder(
         it: Iterable[Tuple[Register, int]] = (),
         key: Optional[jax.Array] = None,
         seed: Optional[int] = None,
+        conditions: Optional[dict] = None,
     ) -> Tuple[np.ndarray, Measurements]:
         """Execute the circuit from the given classical init
         (ref builder.rs:400-519). Randomness comes from ``key``/``seed``
-        (reproducible), not a global RNG."""
+        (reproducible), not a global RNG.
+
+        ``conditions`` forces measurement outcomes (the MeasuredCondition
+        path, ref measurement_ops.rs:181): a dict mapping MeasurementHandle
+        (or ordinal int) -> desired outcome."""
         if self._n == 0:
             raise CircuitError("Circuit has no qubits")
         if key is None:
             key = jax.random.PRNGKey(
                 seed if seed is not None else np.random.randint(0, 2**31 - 1)
             )
+        forced = None
+        if conditions:
+            forced = {}
+            for handle, outcome in conditions.items():
+                ordinal = handle.id if isinstance(handle, MeasurementHandle) else int(handle)
+                from rustqip_tpu.ops.measurement_ops import MeasuredCondition
+
+                if isinstance(outcome, MeasuredCondition):
+                    outcome = outcome.measured
+                forced[ordinal] = int(outcome)
         cc = self.compile()
         state, results = cc.run_complex(
-            initial_index=self.initial_index(it), key=key
+            initial_index=self.initial_index(it), key=key, forced=forced
         )
         results_py = [
             (int(res[0]), float(res[1])) if isinstance(res, tuple) else np.asarray(res)

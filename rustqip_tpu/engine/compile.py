@@ -31,7 +31,7 @@ import numpy as np
 from rustqip_tpu.engine.apply import apply_ops
 from rustqip_tpu.engine.fusion import DEFAULT_MAX_FUSED_QUBITS, fuse_ops
 from rustqip_tpu.ops.matrix_ops import MatrixOp
-from rustqip_tpu.ops.measurement_ops import measure, measure_probs
+from rustqip_tpu.ops.measurement_ops import measure_probs
 from rustqip_tpu.types import real_dtype_of
 
 
@@ -104,6 +104,7 @@ class CompiledCircuit:
         self.segments = self._plan(fuse, max_fused_qubits)
         self._fn = jax.jit(self._trace_from_index)
         self._fn_state = jax.jit(self._trace_from_state)
+        self._fn_forced = None  # lazily jitted: MeasuredCondition forcing
 
     # -- planning ----------------------------------------------------------
     def _plan(self, fuse: bool, max_fused_qubits: int):
@@ -159,21 +160,42 @@ class CompiledCircuit:
         # pass goes through the Pallas MXU kernel.
         return jax.default_backend() == "tpu"
 
-    def _run_segments_ri(self, re: jnp.ndarray, im: jnp.ndarray, key: jax.Array):
+    def _run_segments_ri(
+        self,
+        re: jnp.ndarray,
+        im: jnp.ndarray,
+        key: jax.Array,
+        forced_mask=None,
+        forced_vals=None,
+    ):
         from rustqip_tpu.engine.real_apply import apply_ops_ri
-        from rustqip_tpu.ops.measurement_ops import measure_probs_ri, measure_ri
+        from rustqip_tpu.ops.measurement_ops import (
+            measure_probs_ri,
+            measure_state_ri,
+        )
 
         results: List[MeasResult] = []
+        m_i = 0
         for seg in self.segments:
             if isinstance(seg, MeasureEntry):
                 if seg.stochastic:
                     results.append(measure_probs_ri(self.n, seg.indices, re, im))
+                    m_i += 1
                 else:
                     key, sub = jax.random.split(key)
-                    outcome, prob, re, im = measure_ri(
-                        self.n, seg.indices, re, im, key=sub
+                    probs = measure_probs_ri(self.n, seg.indices, re, im)
+                    outcome = jax.random.categorical(sub, jnp.log(probs))
+                    if forced_mask is not None:
+                        # MeasuredCondition forcing (ref measurement_ops.rs:181)
+                        outcome = jnp.where(
+                            forced_mask[m_i], forced_vals[m_i], outcome
+                        )
+                    prob = probs[outcome]
+                    re, im = measure_state_ri(
+                        self.n, seg.indices, (outcome, prob), re, im
                     )
                     results.append((outcome, prob))
+                    m_i += 1
             elif isinstance(seg, tuple) and seg[0] == "repeat":
                 _, times, body = seg
                 re, im = jax.lax.fori_loop(
@@ -186,18 +208,32 @@ class CompiledCircuit:
                 re, im = apply_ops_ri(self.n, seg, re, im)
         return re, im, tuple(results)
 
-    def _run_segments(self, state: jnp.ndarray, key: jax.Array):
+    def _run_segments(
+        self, state: jnp.ndarray, key: jax.Array, forced_mask=None, forced_vals=None
+    ):
+        from rustqip_tpu.ops.measurement_ops import measure_state
+
         results: List[MeasResult] = []
+        m_i = 0
         for seg in self.segments:
             if isinstance(seg, MeasureEntry):
                 if seg.stochastic:
                     results.append(measure_probs(self.n, seg.indices, state))
+                    m_i += 1
                 else:
                     key, sub = jax.random.split(key)
-                    outcome, prob, state = measure(
-                        self.n, seg.indices, state, key=sub
+                    probs = measure_probs(self.n, seg.indices, state)
+                    outcome = jax.random.categorical(sub, jnp.log(probs))
+                    if forced_mask is not None:
+                        outcome = jnp.where(
+                            forced_mask[m_i], forced_vals[m_i], outcome
+                        )
+                    prob = probs[outcome]
+                    state = measure_state(
+                        self.n, seg.indices, (outcome, prob), state
                     )
                     results.append((outcome, prob))
+                    m_i += 1
             elif isinstance(seg, tuple) and seg[0] == "repeat":
                 _, times, body = seg
                 state = jax.lax.fori_loop(
@@ -236,18 +272,48 @@ class CompiledCircuit:
         return self._run_segments(state, key)
 
     # -- execution ---------------------------------------------------------
+    def _trace_forced(self, initial_index, key, forced_mask, forced_vals):
+        re = (
+            jnp.zeros(1 << self.n, dtype=self.rdtype)
+            .at[initial_index]
+            .set(1.0)
+        )
+        im = jnp.zeros_like(re)
+        if self._use_real_pairs():
+            return self._run_segments_ri(re, im, key, forced_mask, forced_vals)
+        state = jax.lax.complex(re, im).astype(self.dtype)
+        return self._run_segments(state, key, forced_mask, forced_vals)
+
     def run(
         self,
         initial_index: int = 0,
         key: Optional[jax.Array] = None,
         initial_state: Optional[np.ndarray] = None,
+        forced: Optional[dict] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[MeasResult, ...]]:
         """Execute; returns (state_re, state_im, measurement results).
 
-        Results stay on device; callers (the builder) decide when to sync.
+        ``forced`` maps measurement ordinal -> forced outcome int (the
+        MeasuredCondition path). Results stay on device; callers (the
+        builder) decide when to sync.
         """
         if key is None:
             key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        if forced:
+            if initial_state is not None:
+                raise NotImplementedError(
+                    "forced outcomes with an explicit initial state"
+                )
+            if self._fn_forced is None:
+                self._fn_forced = jax.jit(self._trace_forced)
+            mask = np.zeros(max(self.num_measurements, 1), dtype=bool)
+            vals = np.zeros(max(self.num_measurements, 1), dtype=np.int32)
+            for ordinal, outcome in forced.items():
+                mask[ordinal] = True
+                vals[ordinal] = outcome
+            return self._fn_forced(
+                jnp.int32(initial_index), key, jnp.asarray(mask), jnp.asarray(vals)
+            )
         if initial_state is not None:
             arr = np.asarray(initial_state)
             re = jnp.asarray(np.real(arr), dtype=self.rdtype)
@@ -260,9 +326,10 @@ class CompiledCircuit:
         initial_index: int = 0,
         key: Optional[jax.Array] = None,
         initial_state: Optional[np.ndarray] = None,
+        forced: Optional[dict] = None,
     ) -> Tuple[np.ndarray, Tuple[MeasResult, ...]]:
         """Execute and fetch the final state as a host complex array."""
-        re, im, results = self.run(initial_index, key, initial_state)
+        re, im, results = self.run(initial_index, key, initial_state, forced)
         state = np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
         if self.dtype == np.dtype(np.complex64):
             state = state.astype(np.complex64)
