@@ -272,6 +272,9 @@ class CompiledCircuit:
         return self._run_segments(state, key)
 
     # -- execution ---------------------------------------------------------
+    def _make_forced_fn(self):
+        return jax.jit(self._trace_forced)
+
     def _trace_forced(self, initial_index, key, forced_mask, forced_vals):
         re = (
             jnp.zeros(1 << self.n, dtype=self.rdtype)
@@ -305,7 +308,7 @@ class CompiledCircuit:
                     "forced outcomes with an explicit initial state"
                 )
             if self._fn_forced is None:
-                self._fn_forced = jax.jit(self._trace_forced)
+                self._fn_forced = self._make_forced_fn()
             mask = np.zeros(max(self.num_measurements, 1), dtype=bool)
             vals = np.zeros(max(self.num_measurements, 1), dtype=np.int32)
             for ordinal, outcome in forced.items():

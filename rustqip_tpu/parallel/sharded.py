@@ -69,6 +69,17 @@ class ShardedCircuit(CompiledCircuit):
             in_shardings=(state_sharding, state_sharding, replicated),
             out_shardings=(state_sharding, state_sharding, None),
         )
+        self._state_sharding = state_sharding
+        self._replicated = replicated
+
+    def _make_forced_fn(self):
+        import jax as _jax
+
+        return _jax.jit(
+            self._trace_forced,
+            in_shardings=(self._replicated,) * 4,
+            out_shardings=(self._state_sharding, self._state_sharding, None),
+        )
 
 
 _CACHE: Dict[tuple, ShardedCircuit] = {}
