@@ -188,6 +188,9 @@ class LocalBuilder(
         self._n = 0
         self._zeroed_qubits: List[Register] = []
         self._measurements = 0
+        #: Per-ordinal kind ('collapse' | 'stochastic') — forced-outcome
+        #: conditions are only meaningful for collapsing measurements.
+        self._measurement_kinds: List[str] = []
         self.dtype = canonical_complex_dtype(dtype)
         self._fuse = fuse
         self._max_fused_qubits = max_fused_qubits
@@ -224,9 +227,14 @@ class LocalBuilder(
     ) -> SplitResult:
         rn = r.n
         all_indices = consume(r, "split")
-        rel = [i for i in indices if 0 <= i < rn]
-        seen = set()
-        rel = [i for i in rel if not (i in seen or seen.add(i))]
+        rel = [int(i) for i in indices]
+        for i in rel:
+            if not 0 <= i < rn:
+                raise CircuitError(
+                    f"Split index {i} out of range for a {rn}-qubit register"
+                )
+        if len(set(rel)) != len(rel):
+            raise CircuitError("Split indices must be unique")
         selected = tuple(all_indices[i] for i in rel)
         remaining = tuple(a for a in all_indices if a not in selected)
         sel_r = Register(selected) if selected else None
@@ -297,6 +305,7 @@ class LocalBuilder(
         )
         handle = MeasurementHandle(self._measurements)
         self._measurements += 1
+        self._measurement_kinds.append("collapse")
         return Register(indices), handle
 
     def measure_stochastic(
@@ -308,6 +317,7 @@ class LocalBuilder(
         )
         handle = StochasticMeasurementHandle(self._measurements)
         self._measurements += 1
+        self._measurement_kinds.append("stochastic")
         return Register(indices), handle
 
     # -- execution ------------------------------------------------------------
@@ -346,8 +356,10 @@ class LocalBuilder(
         (reproducible), not a global RNG.
 
         ``conditions`` forces measurement outcomes (the MeasuredCondition
-        path, ref measurement_ops.rs:181): a dict mapping MeasurementHandle
-        (or ordinal int) -> desired outcome."""
+        path, ref measurement_ops.rs:181-218): a dict mapping
+        MeasurementHandle (or ordinal int) -> desired outcome, given as an
+        int, a ``MeasuredCondition`` (whose optional ``prob`` overrides the
+        collapse rescale probability), or an ``(outcome, prob)`` tuple."""
         if self._n == 0:
             raise CircuitError("Circuit has no qubits")
         if key is None:
@@ -356,14 +368,42 @@ class LocalBuilder(
             )
         forced = None
         if conditions:
+            from rustqip_tpu.ops.measurement_ops import MeasuredCondition
+
             forced = {}
             for handle, outcome in conditions.items():
-                ordinal = handle.id if isinstance(handle, MeasurementHandle) else int(handle)
-                from rustqip_tpu.ops.measurement_ops import MeasuredCondition
-
+                if isinstance(handle, StochasticMeasurementHandle):
+                    raise CircuitError(
+                        "Cannot force a stochastic measurement (it returns "
+                        "the full distribution and never collapses)"
+                    )
+                ordinal = (
+                    handle.id
+                    if isinstance(handle, MeasurementHandle)
+                    else int(handle)
+                )
+                if not 0 <= ordinal < len(self._measurement_kinds):
+                    raise CircuitError(
+                        f"Forced condition ordinal {ordinal} does not refer "
+                        f"to a measurement (circuit has "
+                        f"{len(self._measurement_kinds)})"
+                    )
+                if self._measurement_kinds[ordinal] != "collapse":
+                    raise CircuitError(
+                        f"Forced condition ordinal {ordinal} refers to a "
+                        "stochastic measurement; only collapsing "
+                        "measurements can be forced"
+                    )
+                prob = None
                 if isinstance(outcome, MeasuredCondition):
+                    prob = outcome.prob
                     outcome = outcome.measured
-                forced[ordinal] = int(outcome)
+                elif isinstance(outcome, tuple):
+                    outcome, prob = outcome
+                forced[ordinal] = (
+                    int(outcome),
+                    None if prob is None else float(prob),
+                )
         cc = self.compile()
         state, results = cc.run_complex(
             initial_index=self.initial_index(it), key=key, forced=forced

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rustqip_tpu.errors import CircuitError
 from rustqip_tpu.ops.matrix_ops import (
     ControlOp,
     DenseOp,
@@ -194,64 +195,99 @@ def _apply_dense(
     return jnp.transpose(stacked, perm).reshape(-1)
 
 
-def _walsh_angle_coeffs(tidx, d: np.ndarray):
-    """Monomial (Moebius) decomposition of a unitary diagonal's phase:
-    angle(d)(b_1..b_k) = sum_S c_S prod_{q in S} b_q.
+def _walsh_coeffs(tidx, d: np.ndarray):
+    """Monomial (Moebius) decomposition of a diagonal's complex log:
+    log d (b_1..b_k) = sum_S c_S prod_{q in S} b_q, split into
+    (angle_coeffs, logmag_coeffs).
 
-    Every unitary diagonal has unit-modulus entries, so it is exactly
-    exp(i phi(bits)); decomposing phi over bit monomials lets an arbitrary
-    run of diagonal gates collapse into one bilinear angle form instead of
-    per-term (R, C) gathers (which OOM at scale). Returns {subset: coeff}
-    with subsets as tuples of qubits.
+    Unitary diagonals have unit-modulus entries (pure phase); non-unitary
+    but nonzero diagonals additionally carry a log-magnitude component —
+    the reference applies non-unitary matrices faithfully
+    (qip-iterators/src/matrix_ops.rs:127 has no unitarity check), so the
+    fused TPU path must too. ``logmag_coeffs`` is None when all entries are
+    unit modulus (the common case — skips an exp pass). Entries of modulus
+    zero cannot be log-decomposed; callers must not build PhaseProductOps
+    from diagonals containing zeros (fusion.py gates on this).
     """
     kt = len(tidx)
-    phi = np.angle(np.asarray(d, dtype=np.complex128)).copy()
+    dd = np.asarray(d, dtype=np.complex128)
+    mags = np.abs(dd)
+    if np.any(mags == 0):
+        raise CircuitError(
+            "PhaseProductOp terms must have nonzero diagonal entries"
+        )
+    phi = np.angle(dd).copy()
+    unit = bool(np.allclose(mags, 1.0, rtol=0, atol=1e-14))
+    lm = None if unit else np.log(mags)
+
     # Moebius transform over the subset lattice (bit j of the entry index is
     # qubit tidx[j], big-endian: entry bit (kt-1-j) <-> tidx[j]).
-    for j in range(kt):
-        stride = 1 << (kt - 1 - j)
-        for base in range(1 << kt):
-            if base & stride:
-                phi[base] -= phi[base & ~stride]
-    out = {}
-    for mask in range(1 << kt):
-        c = phi[mask]
-        if abs(c) < 1e-15:
-            continue
-        subset = tuple(
-            tidx[j] for j in range(kt) if (mask >> (kt - 1 - j)) & 1
-        )
-        out[subset] = out.get(subset, 0.0) + float(c)
-    return out
+    def moebius(v):
+        v = v.copy()
+        for j in range(kt):
+            stride = 1 << (kt - 1 - j)
+            for base in range(1 << kt):
+                if base & stride:
+                    v[base] -= v[base & ~stride]
+        out = {}
+        for mask in range(1 << kt):
+            c = v[mask]
+            if abs(c) < 1e-15:
+                continue
+            subset = tuple(
+                tidx[j] for j in range(kt) if (mask >> (kt - 1 - j)) & 1
+            )
+            out[subset] = out.get(subset, 0.0) + float(c)
+        return out
+
+    return moebius(phi), (moebius(lm) if lm is not None else None)
 
 
 @lru_cache(maxsize=256)
 def _phase_plan(n: int, terms):
-    """Host plan for a PhaseProductOp: angle monomials split into row-only,
-    col-only, constant, and mixed (row-subset, col-subset, coeff) groups."""
+    """Host plan for a PhaseProductOp: monomials split into row-only,
+    col-only, constant, and mixed (row-subset, col-subset, coeff) groups —
+    one group set for the phase angle, an optional second for the
+    log-magnitude of non-unit-modulus diagonals."""
     m, R, C = _geometry(n)
     n_m = n - m
-    const = 0.0
-    row_monos = {}
-    col_monos = {}
-    mixed = []
+
+    def empty():
+        return [0.0, {}, {}, []]  # const, row_monos, col_monos, mixed
+
+    angle_g = empty()
+    mag_g = empty()
+    has_mag = False
+
+    def add(groups, subset, c):
+        rq = tuple(q for q in subset if q < n_m)
+        cq = tuple(q for q in subset if q >= n_m)
+        if not subset:
+            groups[0] += c
+        elif not cq:
+            groups[1][rq] = groups[1].get(rq, 0.0) + c
+        elif not rq:
+            groups[2][cq] = groups[2].get(cq, 0.0) + c
+        else:
+            groups[3].append((rq, cq, c))
+
     for tidx, tdiag in terms:
-        for subset, c in _walsh_angle_coeffs(tidx, np.asarray(tdiag)).items():
-            rq = tuple(q for q in subset if q < n_m)
-            cq = tuple(q for q in subset if q >= n_m)
-            if not subset:
-                const += c
-            elif not cq:
-                row_monos[rq] = row_monos.get(rq, 0.0) + c
-            elif not rq:
-                col_monos[cq] = col_monos.get(cq, 0.0) + c
-            else:
-                mixed.append((rq, cq, c))
-    return const, tuple(row_monos.items()), tuple(col_monos.items()), tuple(mixed)
+        acoef, mcoef = _walsh_coeffs(tidx, np.asarray(tdiag))
+        for subset, c in acoef.items():
+            add(angle_g, subset, c)
+        if mcoef is not None:
+            has_mag = True
+            for subset, c in mcoef.items():
+                add(mag_g, subset, c)
+
+    def freeze(g):
+        return (g[0], tuple(g[1].items()), tuple(g[2].items()), tuple(g[3]))
+
+    return freeze(angle_g), (freeze(mag_g) if has_mag else None)
 
 
-def _phase_angle_2d(n: int, op, dtype=jnp.float32) -> jnp.ndarray:
-    """Total phase angle of a PhaseProductOp over the (R, C) view.
+def _eval_bilinear_2d(n: int, groups, dtype) -> jnp.ndarray:
+    """Evaluate one monomial group set over the (R, C) view.
 
     Row/col monomials evaluate on 1-D iotas; genuinely mixed monomials form
     one (R, M) @ (M, C) MXU matmul — the whole fused diagonal run costs one
@@ -259,7 +295,7 @@ def _phase_angle_2d(n: int, op, dtype=jnp.float32) -> jnp.ndarray:
     """
     m, R, C = _geometry(n)
     n_m = n - m
-    const, row_monos, col_monos, mixed = _phase_plan(n, op.terms)
+    const, row_monos, col_monos, mixed = groups
     rows = jnp.arange(R, dtype=jnp.int32)
     cols = jnp.arange(C, dtype=jnp.int32)
 
@@ -275,28 +311,42 @@ def _phase_angle_2d(n: int, op, dtype=jnp.float32) -> jnp.ndarray:
             acc = b if acc is None else acc * b
         return acc * coeff
 
-    row_angle = jnp.full((R,), const, dtype=dtype)
+    row_val = jnp.full((R,), const, dtype=dtype)
     for rq, c in row_monos:
-        row_angle = row_angle + mono([row_bit(q) for q in rq], c)
-    col_angle = jnp.zeros((C,), dtype=dtype)
+        row_val = row_val + mono([row_bit(q) for q in rq], c)
+    col_val = jnp.zeros((C,), dtype=dtype)
     for cq, c in col_monos:
-        col_angle = col_angle + mono([col_bit(q) for q in cq], c)
+        col_val = col_val + mono([col_bit(q) for q in cq], c)
 
-    angle = row_angle[:, None] + col_angle[None, :]
+    val = row_val[:, None] + col_val[None, :]
     if mixed:
         U = jnp.stack([mono([row_bit(q) for q in rq]) for rq, _, _ in mixed], axis=1)
         V = jnp.stack(
             [mono([col_bit(q) for q in cq], c) for _, cq, c in mixed], axis=1
         )
-        angle = angle + U @ V.T
-    return angle
+        val = val + U @ V.T
+    return val
+
+
+def _phase_factor_planes(n: int, op, dtype=jnp.float32):
+    """(factor_re, factor_im) of a PhaseProductOp over the (R, C) view:
+    exp(logmag) * (cos angle, sin angle), magnitude pass skipped for
+    unit-modulus (unitary) diagonals."""
+    angle_g, mag_g = _phase_plan(n, op.terms)
+    angle = _eval_bilinear_2d(n, angle_g, dtype)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    if mag_g is not None:
+        mag = jnp.exp(_eval_bilinear_2d(n, mag_g, dtype))
+        ca, sa = ca * mag, sa * mag
+    return ca, sa
 
 
 def _apply_phase_product_2d(n: int, op, s2d: jnp.ndarray) -> jnp.ndarray:
-    """Complex-path PhaseProductOp: state * exp(i * angle) in one pass."""
+    """Complex-path PhaseProductOp: state * (mag * exp(i angle)) in one
+    pass."""
     rdtype = jnp.real(s2d).dtype
-    angle = _phase_angle_2d(n, op, rdtype)
-    factor = jax.lax.complex(jnp.cos(angle), jnp.sin(angle)).astype(s2d.dtype)
+    ca, sa = _phase_factor_planes(n, op, rdtype)
+    factor = jax.lax.complex(ca, sa).astype(s2d.dtype)
     return s2d * factor
 
 
@@ -417,6 +467,14 @@ def _t_apply(n: int, op: MatrixOp, tensor: jnp.ndarray) -> jnp.ndarray:
 
 
 def _reindex_op(op: MatrixOp, new_indices: Tuple[int, ...]) -> MatrixOp:
+    if isinstance(op, PhaseProductOp):
+        remap = dict(zip(op.indices, new_indices))
+        return PhaseProductOp(
+            tuple(
+                (tuple(remap[q] for q in tidx), tdiag)
+                for tidx, tdiag in op.terms
+            )
+        )
     if isinstance(op, DenseOp):
         return DenseOp(new_indices, op.data)
     if isinstance(op, SparseOp):

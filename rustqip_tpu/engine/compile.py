@@ -28,9 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rustqip_tpu.engine.apply import apply_ops
+from rustqip_tpu.engine.apply import _geometry, apply_ops
 from rustqip_tpu.engine.fusion import DEFAULT_MAX_FUSED_QUBITS, fuse_ops
-from rustqip_tpu.ops.matrix_ops import MatrixOp
+from rustqip_tpu.errors import CircuitError
+from rustqip_tpu.ops.matrix_ops import MatrixOp, op_fingerprint
 from rustqip_tpu.ops.measurement_ops import measure_probs
 from rustqip_tpu.types import real_dtype_of
 
@@ -42,7 +43,10 @@ class UnitaryEntry:
     op: MatrixOp
 
     def fingerprint(self):
-        return ("u", hash(self.op))
+        # Structural (exact-bytes) fingerprint — a 64-bit hash() could
+        # collide and silently return a cached circuit for the wrong
+        # pipeline.
+        return ("u", op_fingerprint(self.op))
 
 
 @dataclass(frozen=True)
@@ -105,6 +109,7 @@ class CompiledCircuit:
         self._fn = jax.jit(self._trace_from_index)
         self._fn_state = jax.jit(self._trace_from_state)
         self._fn_forced = None  # lazily jitted: MeasuredCondition forcing
+        self._fn_forced_state = None  # forcing + explicit initial state
 
     # -- planning ----------------------------------------------------------
     def _plan(self, fuse: bool, max_fused_qubits: int):
@@ -167,6 +172,8 @@ class CompiledCircuit:
         key: jax.Array,
         forced_mask=None,
         forced_vals=None,
+        forced_pmask=None,
+        forced_probs=None,
     ):
         from rustqip_tpu.engine.real_apply import apply_ops_ri
         from rustqip_tpu.ops.measurement_ops import (
@@ -191,6 +198,15 @@ class CompiledCircuit:
                             forced_mask[m_i], forced_vals[m_i], outcome
                         )
                     prob = probs[outcome]
+                    if forced_pmask is not None:
+                        # MeasuredCondition.prob override: the collapse
+                        # rescale uses the supplied probability instead of
+                        # the computed one (ref measurement_ops.rs:181-218).
+                        prob = jnp.where(
+                            forced_pmask[m_i],
+                            forced_probs[m_i].astype(prob.dtype),
+                            prob,
+                        )
                     re, im = measure_state_ri(
                         self.n, seg.indices, (outcome, prob), re, im
                     )
@@ -209,7 +225,13 @@ class CompiledCircuit:
         return re, im, tuple(results)
 
     def _run_segments(
-        self, state: jnp.ndarray, key: jax.Array, forced_mask=None, forced_vals=None
+        self,
+        state: jnp.ndarray,
+        key: jax.Array,
+        forced_mask=None,
+        forced_vals=None,
+        forced_pmask=None,
+        forced_probs=None,
     ):
         from rustqip_tpu.ops.measurement_ops import measure_state
 
@@ -229,6 +251,12 @@ class CompiledCircuit:
                             forced_mask[m_i], forced_vals[m_i], outcome
                         )
                     prob = probs[outcome]
+                    if forced_pmask is not None:
+                        prob = jnp.where(
+                            forced_pmask[m_i],
+                            forced_probs[m_i].astype(prob.dtype),
+                            prob,
+                        )
                     state = measure_state(
                         self.n, seg.indices, (outcome, prob), state
                     )
@@ -246,16 +274,24 @@ class CompiledCircuit:
                 state = apply_ops(self.n, seg, state)
         return jnp.real(state), jnp.imag(state), tuple(results)
 
-    def _trace_from_index(self, initial_index: jnp.ndarray, key: jax.Array):
+    def _one_hot(self, initial_row, initial_col):
         # One-hot basis state built on device via a scatter (an arange
         # comparison would materialize a 2^n int vector); complex never
-        # crosses the jit boundary.
+        # crosses the jit boundary. The index arrives as a (row, col) pair
+        # of the (R, C) canonical view so each component fits int32 at any
+        # supported qubit count (a flat index overflows int32 at n >= 32 —
+        # exactly the sharded 33q target).
+        _, R, C = _geometry(self.n)
         re = (
-            jnp.zeros(1 << self.n, dtype=self.rdtype)
-            .at[initial_index]
+            jnp.zeros((R, C), dtype=self.rdtype)
+            .at[initial_row, initial_col]
             .set(1.0)
+            .reshape(-1)
         )
-        im = jnp.zeros_like(re)
+        return re, jnp.zeros_like(re)
+
+    def _trace_from_index(self, initial_row, initial_col, key: jax.Array):
+        re, im = self._one_hot(initial_row, initial_col)
         if self._use_real_pairs():
             return self._run_segments_ri(re, im, key)
         state = jax.lax.complex(re, im).astype(self.dtype)
@@ -275,17 +311,64 @@ class CompiledCircuit:
     def _make_forced_fn(self):
         return jax.jit(self._trace_forced)
 
-    def _trace_forced(self, initial_index, key, forced_mask, forced_vals):
-        re = (
-            jnp.zeros(1 << self.n, dtype=self.rdtype)
-            .at[initial_index]
-            .set(1.0)
-        )
-        im = jnp.zeros_like(re)
+    def _make_forced_state_fn(self):
+        return jax.jit(self._trace_forced_state)
+
+    def _trace_forced(
+        self, initial_row, initial_col, key, fmask, fvals, fpmask, fprobs
+    ):
+        re, im = self._one_hot(initial_row, initial_col)
         if self._use_real_pairs():
-            return self._run_segments_ri(re, im, key, forced_mask, forced_vals)
+            return self._run_segments_ri(
+                re, im, key, fmask, fvals, fpmask, fprobs
+            )
         state = jax.lax.complex(re, im).astype(self.dtype)
-        return self._run_segments(state, key, forced_mask, forced_vals)
+        return self._run_segments(state, key, fmask, fvals, fpmask, fprobs)
+
+    def _trace_forced_state(
+        self, state_re, state_im, key, fmask, fvals, fpmask, fprobs
+    ):
+        re = state_re.astype(self.rdtype)
+        im = state_im.astype(self.rdtype)
+        if self._use_real_pairs():
+            return self._run_segments_ri(
+                re, im, key, fmask, fvals, fpmask, fprobs
+            )
+        state = jax.lax.complex(re, im).astype(self.dtype)
+        return self._run_segments(state, key, fmask, fvals, fpmask, fprobs)
+
+    def _split_index(self, initial_index: int) -> Tuple[np.int32, np.int32]:
+        initial_index = int(initial_index)
+        if not 0 <= initial_index < (1 << self.n):
+            raise CircuitError(
+                f"initial_index {initial_index} out of range for "
+                f"{self.n} qubits"
+            )
+        _, _, C = _geometry(self.n)
+        row, col = divmod(initial_index, C)
+        return np.int32(row), np.int32(col)
+
+    @staticmethod
+    def _forced_arrays(forced: dict, num_measurements: int):
+        """Normalize {ordinal: outcome | (outcome, prob|None)} into the four
+        traced forcing arrays."""
+        size = max(num_measurements, 1)
+        mask = np.zeros(size, dtype=bool)
+        vals = np.zeros(size, dtype=np.int32)
+        pmask = np.zeros(size, dtype=bool)
+        probs = np.zeros(size, dtype=np.float64)
+        for ordinal, spec in forced.items():
+            prob = None
+            if isinstance(spec, tuple):
+                outcome, prob = spec
+            else:
+                outcome = spec
+            mask[ordinal] = True
+            vals[ordinal] = int(outcome)
+            if prob is not None:
+                pmask[ordinal] = True
+                probs[ordinal] = float(prob)
+        return tuple(jnp.asarray(a) for a in (mask, vals, pmask, probs))
 
     def run(
         self,
@@ -296,33 +379,34 @@ class CompiledCircuit:
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[MeasResult, ...]]:
         """Execute; returns (state_re, state_im, measurement results).
 
-        ``forced`` maps measurement ordinal -> forced outcome int (the
-        MeasuredCondition path). Results stay on device; callers (the
+        ``forced`` maps measurement ordinal -> forced outcome, either an
+        int or an ``(outcome, prob)`` tuple overriding the collapse
+        probability (the MeasuredCondition path, ref
+        measurement_ops.rs:181-218). Results stay on device; callers (the
         builder) decide when to sync.
         """
         if key is None:
             key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         if forced:
+            fargs = self._forced_arrays(forced, self.num_measurements)
             if initial_state is not None:
-                raise NotImplementedError(
-                    "forced outcomes with an explicit initial state"
-                )
+                if self._fn_forced_state is None:
+                    self._fn_forced_state = self._make_forced_state_fn()
+                arr = np.asarray(initial_state)
+                re = jnp.asarray(np.real(arr), dtype=self.rdtype)
+                im = jnp.asarray(np.imag(arr), dtype=self.rdtype)
+                return self._fn_forced_state(re, im, key, *fargs)
             if self._fn_forced is None:
                 self._fn_forced = self._make_forced_fn()
-            mask = np.zeros(max(self.num_measurements, 1), dtype=bool)
-            vals = np.zeros(max(self.num_measurements, 1), dtype=np.int32)
-            for ordinal, outcome in forced.items():
-                mask[ordinal] = True
-                vals[ordinal] = outcome
-            return self._fn_forced(
-                jnp.int32(initial_index), key, jnp.asarray(mask), jnp.asarray(vals)
-            )
+            row, col = self._split_index(initial_index)
+            return self._fn_forced(row, col, key, *fargs)
         if initial_state is not None:
             arr = np.asarray(initial_state)
             re = jnp.asarray(np.real(arr), dtype=self.rdtype)
             im = jnp.asarray(np.imag(arr), dtype=self.rdtype)
             return self._fn_state(re, im, key)
-        return self._fn(jnp.int32(initial_index), key)
+        row, col = self._split_index(initial_index)
+        return self._fn(row, col, key)
 
     def run_complex(
         self,

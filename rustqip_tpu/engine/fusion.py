@@ -67,7 +67,11 @@ def _coalesce_diagonals(
 
     for op in ops:
         d = diagonal_of(op)
-        if d is not None:
+        # Zero diagonal entries (projector-like non-unitary ops, which the
+        # reference applies faithfully) cannot enter the log-monomial
+        # PhaseProductOp decomposition; they stay as ordinary ops. Non-unit
+        # magnitudes are fine (the phase plan carries a log-magnitude part).
+        if d is not None and np.all(np.asarray(d[1]) != 0):
             run.append(d)
         else:
             flush()

@@ -144,14 +144,12 @@ _SWAP2 = np.array(
 
 
 def _phase_product_ri(n: int, op, re, im) -> Pair:
-    from rustqip_tpu.engine.apply import _phase_angle_2d
+    from rustqip_tpu.engine.apply import _phase_factor_planes
 
     _, R, C = _geometry(n)
     r2d = re.reshape(R, C)
     i2d = im.reshape(R, C)
-    angle = _phase_angle_2d(n, op, r2d.dtype)
-    ca = jnp.cos(angle)
-    sa = jnp.sin(angle)
+    ca, sa = _phase_factor_planes(n, op, r2d.dtype)
     out_r = r2d * ca - i2d * sa
     out_i = r2d * sa + i2d * ca
     return out_r.reshape(-1), out_i.reshape(-1)

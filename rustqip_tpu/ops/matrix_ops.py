@@ -304,6 +304,22 @@ def from_tuples(tuples: Sequence[Tuple[float, float]]) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def op_fingerprint(op: MatrixOp) -> tuple:
+    """Structural, exact-bytes fingerprint of an op (for compile caching —
+    hash() is 64-bit and could collide between different gate sequences)."""
+    if isinstance(op, DenseOp):
+        return ("D", op.indices, op.data.tobytes())
+    if isinstance(op, SparseOp):
+        return ("S", op.indices, op.rows)
+    if isinstance(op, SwapOp):
+        return ("W", op.indices)
+    if isinstance(op, ControlOp):
+        return ("C", op.n_ctrl, op.indices, op_fingerprint(op.inner))
+    if isinstance(op, PhaseProductOp):
+        return ("P", op.terms)
+    raise TypeError(f"Unknown op {op!r}")
+
+
 def conj_op(op: MatrixOp) -> MatrixOp:
     """Elementwise conjugate (ref matrix_ops.rs:157)."""
     if isinstance(op, PhaseProductOp):

@@ -33,7 +33,14 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from rustqip_tpu.engine.real_apply import apply_op_ri
 from rustqip_tpu.engine.apply import _reindex_op
 from rustqip_tpu.errors import CircuitError
-from rustqip_tpu.ops.matrix_ops import ControlOp, DenseOp, MatrixOp, SwapOp
+from rustqip_tpu.ops.matrix_ops import (
+    ControlOp,
+    DenseOp,
+    MatrixOp,
+    PhaseProductOp,
+    SwapOp,
+    make_swap_op,
+)
 
 Pair = Tuple[jnp.ndarray, jnp.ndarray]
 
@@ -57,15 +64,24 @@ def apply_sharded_op(
 ) -> Pair:
     """Apply one gate op to a mesh-sharded (re, im) state pair.
 
-    Supports: ops entirely on local qubits; dense/swap ops touching at most
-    one global qubit; controls on any mix of global/local qubits with local
-    targets. (The GSPMD executor in ``sharded.py`` covers the general case;
-    this path exists to pin the collective schedule by hand.)
+    Every op class is supported, each with its cheapest hand-picked
+    schedule: local ops run shard-local (zero comms); diagonals on any
+    qubits run zero-comms (device-index phase gather); dense/swap ops on
+    one global qubit cost a single ppermute exchange; controls with global
+    controls and local targets cost zero comms (device-index select); the
+    general case (multi-global dense, global-target controls) relocates
+    global target qubits into free local slots (2 exchanges per qubit).
+    The GSPMD executor in ``sharded.py`` is the compiler-scheduled
+    alternative; this path pins the collective schedule by hand.
     """
     axis, d, g = _mesh_geometry(mesh)
     local_n = n - g
 
     globals_ = tuple(q for q in op.indices if q < g)
+    if isinstance(op, PhaseProductOp) and globals_:
+        # Diagonal ops never exchange amplitudes: a shard's factor depends
+        # only on its device-index bits (global qubits) and local bits.
+        return _phase_product_sharded(mesh, n, op, re, im)
     if not globals_:
         lop = _local_op(op, g)
 
@@ -164,10 +180,99 @@ def apply_sharded_op(
 
         return run_exchange(re, im)
 
-    raise NotImplementedError(
-        f"shard_ops: op touching global qubits {globals_} not supported on "
-        "this path; use the GSPMD executor (rustqip_tpu.parallel.sharded)"
+    # General case (multi-global dense ops, global-target controls, ...):
+    # relocate each global *target* qubit into a free local slot via a
+    # single-exchange swap, apply the op shard-locally, and swap back — the
+    # standard distributed-simulator qubit-relocation schedule (2 exchanges
+    # per relocated qubit, each one ppermute over ICI). Global *control*
+    # qubits never move: the zero-communication device-index select above
+    # handles them after remapping.
+    return _apply_via_relocation(mesh, n, op, re, im)
+
+
+def _phase_product_sharded(
+    mesh: jax.sharding.Mesh, n: int, op: PhaseProductOp, re: jnp.ndarray,
+    im: jnp.ndarray,
+) -> Pair:
+    """Zero-communication diagonal apply on a sharded state.
+
+    Each term's 2^k factor table is embedded as a constant; every shard
+    gathers its own factors from (traced device-index bits | local iota
+    bits) — no ppermute, one elementwise pass.
+    """
+    axis, d, g = _mesh_geometry(mesh)
+    local_n = n - g
+    terms = []
+    for tidx, tdiag in op.terms:
+        arr = np.asarray(tdiag, dtype=np.complex128)
+        terms.append((tuple(tidx), np.real(arr), np.imag(arr)))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
     )
+    def run_diag(re_s, im_s):
+        my = jax.lax.axis_index(axis)
+        flat = jnp.arange(re_s.size, dtype=jnp.int32)
+        rr, ii = re_s.reshape(-1), im_s.reshape(-1)
+        for tidx, tre, tim in terms:
+            kt = len(tidx)
+            pat = jnp.zeros((), dtype=jnp.int32)
+            vec = jnp.zeros_like(flat)
+            for t, q in enumerate(tidx):
+                shift = kt - 1 - t
+                if q < g:
+                    pat = pat | (((my >> (g - 1 - q)) & 1) << shift)
+                else:
+                    vec = vec | (
+                        ((flat >> (local_n - 1 - (q - g))) & 1) << shift
+                    )
+            idx = vec | pat
+            fr = jnp.take(jnp.asarray(tre, dtype=rr.dtype), idx)
+            fi = jnp.take(jnp.asarray(tim, dtype=rr.dtype), idx)
+            rr, ii = rr * fr - ii * fi, rr * fi + ii * fr
+        return rr.reshape(re_s.shape), ii.reshape(im_s.shape)
+
+    return run_diag(re, im)
+
+
+def _remap_op(op: MatrixOp, mapping: dict) -> MatrixOp:
+    return _reindex_op(op, tuple(mapping.get(q, q) for q in op.indices))
+
+
+def _apply_via_relocation(
+    mesh: jax.sharding.Mesh, n: int, op: MatrixOp, re: jnp.ndarray,
+    im: jnp.ndarray,
+) -> Pair:
+    _, d, g = _mesh_geometry(mesh)
+    if isinstance(op, ControlOp):
+        # Global controls stay put (handled by the index select); only the
+        # inner target qubits must become local.
+        move = [q for q in op.target_indices if q < g]
+    else:
+        move = [q for q in op.indices if q < g]
+    free_local = [q for q in range(g, n) if q not in op.indices]
+    if len(free_local) < len(move):
+        raise CircuitError(
+            f"Cannot relocate {len(move)} global qubits: only "
+            f"{len(free_local)} free local qubits (n={n}, mesh={d})"
+        )
+    # Highest-index free slots: on the engine's (R, C) layout those are
+    # column qubits, so the post-swap local apply rides the MXU fast path.
+    slots = free_local[-len(move):]
+    mapping = {}
+    for gq, lq in zip(move, slots):
+        mapping[gq] = lq
+        mapping[lq] = gq
+    swaps = [make_swap_op([gq], [mapping[gq]]) for gq in move]
+    for s in swaps:
+        re, im = apply_sharded_op(mesh, n, s, re, im)
+    re, im = apply_sharded_op(mesh, n, _remap_op(op, mapping), re, im)
+    for s in swaps:
+        re, im = apply_sharded_op(mesh, n, s, re, im)
+    return re, im
 
 
 def make_sharded_pair(

@@ -61,7 +61,7 @@ class ShardedCircuit(CompiledCircuit):
         # Outputs: (re, im, results) — results replicated.
         self._fn = jax.jit(
             self._trace_from_index,
-            in_shardings=(replicated, replicated),
+            in_shardings=(replicated, replicated, replicated),
             out_shardings=(state_sharding, state_sharding, None),
         )
         self._fn_state = jax.jit(
@@ -77,7 +77,17 @@ class ShardedCircuit(CompiledCircuit):
 
         return _jax.jit(
             self._trace_forced,
-            in_shardings=(self._replicated,) * 4,
+            in_shardings=(self._replicated,) * 7,
+            out_shardings=(self._state_sharding, self._state_sharding, None),
+        )
+
+    def _make_forced_state_fn(self):
+        import jax as _jax
+
+        return _jax.jit(
+            self._trace_forced_state,
+            in_shardings=(self._state_sharding, self._state_sharding)
+            + (self._replicated,) * 5,
             out_shardings=(self._state_sharding, self._state_sharding, None),
         )
 
@@ -94,12 +104,20 @@ def compile_sharded(
     max_fused_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
 ) -> ShardedCircuit:
     dtype = np.dtype(dtype)
+    # Key the mesh by its device ids + axis names, NOT id(mesh): a GC'd mesh
+    # can alias a new object at the same address and hand back a circuit
+    # bound to dead devices.
+    mesh_key = (
+        tuple(d.id for d in mesh.devices.flat),
+        mesh.axis_names,
+        mesh.devices.shape,
+    )
     fp = (
         n,
         dtype.str,
         fuse,
         max_fused_qubits,
-        id(mesh),
+        mesh_key,
         tuple(e.fingerprint() for e in entries),
     )
     cached = _CACHE.get(fp)

@@ -35,8 +35,11 @@ class TruthTable:
         self.regs = dict(regs)  # name -> final register handle
         self.n = b.n
         self.cc = b.compile()
+        from rustqip_tpu.engine.apply import _geometry
+
+        _, _, C = _geometry(self.n)
         self._vm = jax.vmap(
-            lambda i: self.cc._fn(i, jax.random.PRNGKey(0))[:2]
+            lambda i: self.cc._fn(i // C, i % C, jax.random.PRNGKey(0))[:2]
         )
 
     def init_index(self, init_regs, values):

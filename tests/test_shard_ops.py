@@ -79,10 +79,65 @@ def test_mixed_control_local_target():
     run_both(make_control_op([1, 4], make_matrix_op([6], gates.Z.reshape(-1))))
 
 
-def test_unsupported_falls_back_loudly():
+def test_two_global_qubit_dense():
+    # Entangling gate across two global qubits: qubit-relocation schedule.
     require_8()
+    run_both(make_matrix_op([0, 1], gates.CNOT.reshape(-1)))
+
+
+def test_three_global_qubit_dense():
+    require_8()
+    rng = np.random.default_rng(9)
+    m = rng.normal(size=(8, 8)) + 1j * rng.normal(size=(8, 8))
+    u, _ = np.linalg.qr(m)
+    run_both(make_matrix_op([0, 1, 2], u.reshape(-1)))
+
+
+def test_global_target_control():
+    # Control on a local qubit, target on a global qubit.
+    require_8()
+    run_both(make_control_op([5], make_matrix_op([1], gates.X.reshape(-1))))
+
+
+def test_global_control_global_target():
+    require_8()
+    run_both(make_control_op([0], make_matrix_op([2], gates.Y.reshape(-1))))
+
+
+def test_both_global_swap():
+    require_8()
+    run_both(make_swap_op([0], [2]))
+
+
+def test_sharded_phase_product():
+    # Diagonal spanning global + local qubits: zero-communication path.
+    require_8()
+    from rustqip_tpu.ops.matrix_ops import PhaseProductOp
+
+    rng = np.random.default_rng(11)
+    d1 = np.exp(1j * rng.uniform(-3, 3, 4))
+    d2 = np.exp(1j * rng.uniform(-3, 3, 8))
+    op = PhaseProductOp(
+        (
+            ((0, 5), tuple(complex(v) for v in d1)),
+            ((2, 1, 6), tuple(complex(v) for v in d2)),
+        )
+    )
+    run_both(op)
+
+
+def test_relocation_needs_free_local_slots():
+    require_8()
+    from rustqip_tpu.errors import CircuitError
+
     mesh = make_shard_mesh(8)
     re, im = make_sharded_pair(mesh, N)
-    op = make_matrix_op([0, 1], gates.CNOT.reshape(-1))  # two global qubits
-    with pytest.raises(NotImplementedError):
+    # op spanning every qubit leaves no free local slot to relocate into
+    rng = np.random.default_rng(1)
+    m = rng.normal(size=(1 << N, 1 << N)) + 1j * rng.normal(
+        size=(1 << N, 1 << N)
+    )
+    u, _ = np.linalg.qr(m)
+    op = make_matrix_op(list(range(N)), u.reshape(-1))
+    with pytest.raises(CircuitError):
         apply_sharded_op(mesh, N, op, re, im)
