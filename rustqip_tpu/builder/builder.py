@@ -24,6 +24,7 @@ from rustqip_tpu.builder.circuit_objects import (
     PipelineItem,
     RepeatBlock,
     RzGate,
+    SparseMatGate,
     flatten_pipeline,
     invert_circuit_object,
 )
@@ -49,6 +50,7 @@ from rustqip_tpu.ops import gates
 from rustqip_tpu.ops.matrix_ops import (
     make_control_op,
     make_matrix_op,
+    make_sparse_matrix_op,
     make_swap_op,
 )
 from rustqip_tpu.types import (
@@ -148,8 +150,17 @@ def _lower_item(item: PipelineItem) -> List[PipelineEntry]:
         ]
     if isinstance(obj, MatGate):
         return [UnitaryEntry(make_matrix_op(list(indices), obj.data.reshape(-1)))]
+    if isinstance(obj, SparseMatGate):
+        return [UnitaryEntry(make_sparse_matrix_op(list(indices), obj.rows))]
     if isinstance(obj, ControlledMatGate):
-        inner = make_matrix_op(list(indices[obj.n_ctrl :]), obj.mat.data.reshape(-1))
+        if isinstance(obj.mat, SparseMatGate):
+            inner = make_sparse_matrix_op(
+                list(indices[obj.n_ctrl :]), obj.mat.rows
+            )
+        else:
+            inner = make_matrix_op(
+                list(indices[obj.n_ctrl :]), obj.mat.data.reshape(-1)
+            )
         return [UnitaryEntry(make_control_op(list(indices[: obj.n_ctrl]), inner))]
     if isinstance(obj, RepeatBlock):
         body: List[PipelineEntry] = []
@@ -255,6 +266,35 @@ class LocalBuilder(
         else:
             self.pipeline.append((indices, co))
         return Register(indices)
+
+    def apply_sparse_matrix(self, r: Register, rows, order=None) -> Register:
+        """Apply a sparse unitary given as per-row (col, val) entries — the
+        oracle pathway (ref ``UnitaryBuilder`` sparse mat surface,
+        qip/src/builder.rs; iterator at qubit_iterators.rs:60). Width is
+        unbounded: >10-qubit classical oracles lower to gather passes.
+        ``order`` selects the row/column bit convention (default BigEndian,
+        matching the engine)."""
+        from rustqip_tpu.types import Representation
+
+        if order is None:
+            order = Representation.BigEndian
+        # Normalize/validate through the ops constructor, then record.
+        op = make_sparse_matrix_op(list(range(r.n)), rows, order)
+        return self.apply_circuit_object(
+            r, CircuitObject(r.n, SparseMatGate(op.rows))
+        )
+
+    def apply_sparse_matrix_from_function(self, r: Register, f, order=None):
+        """Record a sparse unitary built from a row -> entries function
+        (ref ``make_sparse_matrix_from_function``, matrix_ops.rs:128 — the
+        FunctionOpIterator analog, qubit_iterators.rs:223)."""
+        from rustqip_tpu.ops.matrix_ops import make_sparse_matrix_from_function
+        from rustqip_tpu.types import Representation
+
+        if order is None:
+            order = Representation.BigEndian
+        rows = make_sparse_matrix_from_function(r.n, f, order)
+        return self.apply_sparse_matrix(r, rows)
 
     # -- rotations primitive -------------------------------------------------
     def rz(self, r: Register, theta: Angle) -> Register:
@@ -508,7 +548,7 @@ class LocalBuilder(
             cr, r = self.toffoli(cr, r)
             r = self.rz(r, half)
             return cr, r
-        if isinstance(obj, MatGate):
+        if isinstance(obj, (MatGate, SparseMatGate)):
             # Native controlled arbitrary unitary (reference todo!()).
             n_ctrl = cr.n
             merged = self.merge_two_registers(cr, r)
@@ -609,7 +649,7 @@ class LocalBuilder(
             )
             out = first if rest is None else self.merge_two_registers(first, rest)
             return cr, out
-        if isinstance(obj, MatGate):
+        if isinstance(obj, (MatGate, SparseMatGate)):
             return self._push_controlled_mat(cr, r, obj)
         if isinstance(obj, ControlledMatGate):
             n_ctrl_new = cr.n + obj.n_ctrl

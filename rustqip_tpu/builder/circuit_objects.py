@@ -100,6 +100,49 @@ class MatGate:
         return f"MatGate(n={self.n})"
 
 
+class SparseMatGate:
+    """Arbitrary sparse unitary stored as per-row (col, val) entries —
+    the builder-level oracle pathway (ref ``sparse_mat``,
+    qip/src/builder.rs and ``SparseMatrixOpIterator``,
+    qip-iterators/src/iterators/qubit_iterators.rs:60). Unlike dense MAT,
+    width is unbounded: the engine applies it as gather passes, so
+    >10-qubit classical oracles (Grover/Shor style) are one op.
+    """
+
+    __slots__ = ("rows",)
+
+    def __init__(self, rows):
+        self.rows = tuple(
+            tuple((int(c), complex(v)) for c, v in row) for row in rows
+        )
+        dim = len(self.rows)
+        if dim == 0 or (dim & (dim - 1)) != 0:
+            raise CircuitError(
+                f"Sparse MAT needs 2^n rows, got {dim}"
+            )
+        for rix, row in enumerate(self.rows):
+            if not row:
+                raise CircuitError(
+                    f"All rows of sparse matrix must have data ({rix} empty)"
+                )
+
+    @property
+    def n(self) -> int:
+        return len(self.rows).bit_length() - 1
+
+    def fingerprint(self):
+        return ("smat", self.rows)
+
+    def __eq__(self, other):
+        return isinstance(other, SparseMatGate) and self.rows == other.rows
+
+    def __hash__(self):
+        return hash(self.fingerprint())
+
+    def __repr__(self):
+        return f"SparseMatGate(n={self.n})"
+
+
 class ControlledMatGate:
     """n_ctrl-controlled arbitrary unitary — native controlled-MAT (the
     reference's missing case, builder.rs:808)."""
@@ -163,7 +206,8 @@ class RepeatBlock:
 
 
 UnitaryObject = Union[
-    NamedGate, RzGate, GlobalPhaseGate, MatGate, ControlledMatGate, RepeatBlock
+    NamedGate, RzGate, GlobalPhaseGate, MatGate, SparseMatGate,
+    ControlledMatGate, RepeatBlock,
 ]
 
 
@@ -237,6 +281,15 @@ def invert_circuit_object(co: CircuitObject) -> List[CircuitObject]:
         seq = [GlobalPhaseGate(_neg(obj.theta))]
     elif isinstance(obj, MatGate):
         seq = [MatGate(obj.data.conj().T)]
+    elif isinstance(obj, SparseMatGate):
+        from rustqip_tpu.utils import transpose_sparse
+
+        rows = transpose_sparse([list(r) for r in obj.rows])
+        seq = [
+            SparseMatGate(
+                [[(c, complex(v).conjugate()) for c, v in r] for r in rows]
+            )
+        ]
     elif isinstance(obj, ControlledMatGate):
         seq = [ControlledMatGate(obj.n_ctrl, MatGate(obj.mat.data.conj().T))]
     elif isinstance(obj, RepeatBlock):

@@ -350,6 +350,104 @@ def _apply_phase_product_2d(n: int, op, s2d: jnp.ndarray) -> jnp.ndarray:
     return s2d * factor
 
 
+@lru_cache(maxsize=64)
+def _sparse_plan(n: int, indices: Tuple[int, ...], rows):
+    """Host plan for a gather-based sparse apply of ANY width.
+
+    The reference streams sparse ops of any width lazily
+    (``SparseMatrixOpIterator``, qip-iterators/src/iterators/
+    qubit_iterators.rs:60); the TPU-native equivalent is columnar: pad each
+    sub-row's entries to the max nonzeros-per-row ``T``, then the apply is
+    ``T`` gather+multiply-accumulate passes over the (R, C) state view —
+    one pass for permutation/oracle ops. All per-row tables (2^k entries)
+    embed as program constants; the (R, C)-shaped source coordinates come
+    from row/col iota bit arithmetic, never a flat 2^n index (int32-safe at
+    any n).
+    """
+    k = len(indices)
+    m, R, C = _geometry(n)
+    n_m = n - m
+    dim = 1 << k
+    max_nnz = max(len(r) for r in rows)
+    cols_t = np.zeros((max_nnz, dim), np.int32)
+    vre_t = np.zeros((max_nnz, dim), np.float64)
+    vim_t = np.zeros((max_nnz, dim), np.float64)
+    for row, entries in enumerate(rows):
+        for t, (c, v) in enumerate(entries):
+            cols_t[t, row] = c
+            vre_t[t, row] = v.real
+            vim_t[t, row] = v.imag
+    row_mask = col_mask = 0
+    for j, q in enumerate(indices):
+        if q < n_m:
+            row_mask |= 1 << (n_m - 1 - q)
+        else:
+            col_mask |= 1 << (n - 1 - q)
+    s = np.arange(dim, dtype=np.int64)
+    spread_row = np.zeros(dim, np.int32)
+    spread_col = np.zeros(dim, np.int32)
+    for j, q in enumerate(indices):
+        bit = ((s >> (k - 1 - j)) & 1).astype(np.int64)
+        if q < n_m:
+            spread_row |= (bit << (n_m - 1 - q)).astype(np.int32)
+        else:
+            spread_col |= (bit << (n - 1 - q)).astype(np.int32)
+    return (
+        k, max_nnz, cols_t, vre_t, vim_t,
+        row_mask, col_mask, spread_row, spread_col,
+    )
+
+
+def _sparse_apply_planes(n: int, op, re2d: jnp.ndarray, im2d: jnp.ndarray):
+    """Gather-based sparse apply on (R, C) float planes (both backends)."""
+    plan = _sparse_plan(n, tuple(op.indices), op.rows)
+    (k, max_nnz, cols_t, vre_t, vim_t,
+     row_mask, col_mask, spread_row, spread_col) = plan
+    m, R, C = _geometry(n)
+    n_m = n - m
+    rows = jnp.arange(R, dtype=jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
+    rowpat = jnp.zeros((R,), jnp.int32)
+    colpat = jnp.zeros((C,), jnp.int32)
+    for j, q in enumerate(op.indices):
+        sh = k - 1 - j
+        if q < n_m:
+            rowpat = rowpat | (((rows >> (n_m - 1 - q)) & 1) << sh)
+        else:
+            colpat = colpat | (((cols >> (n - 1 - q)) & 1) << sh)
+    pat = rowpat[:, None] | colpat[None, :]
+    base_row = (rows & np.int32(~row_mask))[:, None]
+    base_col = (cols & np.int32(~col_mask))[None, :]
+    srj = jnp.asarray(spread_row)
+    scj = jnp.asarray(spread_col)
+    rdtype = re2d.dtype
+    out_r = out_i = None
+    for t in range(max_nnz):
+        sc = jnp.take(jnp.asarray(cols_t[t]), pat)
+        src_row = base_row | jnp.take(srj, sc)
+        src_col = base_col | jnp.take(scj, sc)
+        gr = re2d[src_row, src_col]
+        gi = im2d[src_row, src_col]
+        vr = jnp.take(jnp.asarray(vre_t[t], dtype=rdtype), pat)
+        tr, ti = gr * vr, gi * vr
+        if np.any(vim_t[t]):
+            vi = jnp.take(jnp.asarray(vim_t[t], dtype=rdtype), pat)
+            tr, ti = tr - gi * vi, ti + gr * vi
+        out_r = tr if out_r is None else out_r + tr
+        out_i = ti if out_i is None else out_i + ti
+    return out_r, out_i
+
+
+def _apply_sparse_wide(n: int, op, state: jnp.ndarray) -> jnp.ndarray:
+    """Complex-path wrapper over the gather sparse apply."""
+    _, R, C = _geometry(n)
+    s2d = state.reshape(R, C)
+    out_r, out_i = _sparse_apply_planes(
+        n, op, jnp.real(s2d), jnp.imag(s2d)
+    )
+    return jax.lax.complex(out_r, out_i).astype(state.dtype).reshape(-1)
+
+
 def _control_mask_2d(n: int, ctrl: Sequence[int], R: int, C: int) -> jnp.ndarray:
     """Bool (R, C) mask: True where all control qubits are |1>.
 
@@ -399,10 +497,9 @@ def _apply_to_state(n: int, op: MatrixOp, state: jnp.ndarray) -> jnp.ndarray:
         return _apply_dense(n, op.indices, op.data, state)
     if isinstance(op, SparseOp):
         if op.num_indices > DENSE_CAP:
-            raise NotImplementedError(
-                f"Sparse op on {op.num_indices} qubits exceeds the dense "
-                f"materialization cap ({DENSE_CAP}); decompose it first"
-            )
+            # Wide sparse/oracle ops: gather passes, never a dense matrix
+            # (ref streams any width — qubit_iterators.rs:60,223).
+            return _apply_sparse_wide(n, op, state)
         return _apply_dense(n, op.indices, op_to_dense(op), state)
     if isinstance(op, SwapOp):
         return _apply_swap(n, op, state)
@@ -444,6 +541,9 @@ def _t_apply(n: int, op: MatrixOp, tensor: jnp.ndarray) -> jnp.ndarray:
     if isinstance(op, DenseOp):
         return _t_dense(tensor, op.data, op.indices)
     if isinstance(op, SparseOp):
+        if op.num_indices > DENSE_CAP:
+            flat = _apply_sparse_wide(n, op, tensor.reshape(-1))
+            return flat.reshape(tensor.shape)
         return _t_dense(tensor, op_to_dense(op), op.indices)
     if isinstance(op, SwapOp):
         h = op.half

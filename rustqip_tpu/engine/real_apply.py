@@ -165,10 +165,13 @@ def apply_op_ri(n: int, op: MatrixOp, re: jnp.ndarray, im: jnp.ndarray) -> Pair:
         return _dense_ri(n, op.indices, op.data, re, im)
     if isinstance(op, SparseOp):
         if op.num_indices > DENSE_CAP:
-            raise NotImplementedError(
-                f"Sparse op on {op.num_indices} qubits exceeds the dense "
-                f"materialization cap ({DENSE_CAP}); decompose it first"
+            from rustqip_tpu.engine.apply import _sparse_apply_planes
+
+            _, R, C = _geometry(n)
+            out_r, out_i = _sparse_apply_planes(
+                n, op, re.reshape(R, C), im.reshape(R, C)
             )
+            return out_r.reshape(-1), out_i.reshape(-1)
         return _dense_ri(n, op.indices, op_to_dense(op), re, im)
     if isinstance(op, SwapOp):
         h = op.half
