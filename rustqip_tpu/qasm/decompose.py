@@ -1,0 +1,237 @@
+"""Numeric unitary -> qelib1 gate-stream decomposition (export backend).
+
+The reference exports gate streams for everything it can build because its
+conditioning decomposes at build time (``qip/src/qasm.rs:112-184``). This
+framework conditions natively (one engine Control op — linear cost), so
+export-time decomposition restores gate-level QASM parity without giving up
+fast builds:
+
+* 1-qubit unitaries  -> ZYZ: ``U = e^{i a} u3(theta, phi, lam)``;
+* k-qubit unitaries  -> quantum Shannon decomposition (cosine-sine
+  recursion with multiplexed Ry/Rz), the standard O(4^k)-CNOT synthesis;
+* controlled unitaries -> cx/ccx/cu3 special cases, or the dense embed of
+  the controlled matrix through the same QSD.
+
+Gates are produced as an intermediate IR ``(name, params, qubits)`` with
+exact qelib1 matrix semantics (``u3``, ``u1``, ``cx``), plus a tracked
+global phase so the emitted stream equals the target unitary *exactly*
+(the phase is realized in-gate via the ``u1-x-u1-x`` identity when
+requested). All angles are radians.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from rustqip_tpu.errors import CircuitError
+
+#: A gate IR entry: (name, params, qubits). Names: u3, u1, cx.
+Gate = Tuple[str, Tuple[float, ...], Tuple[int, ...]]
+
+#: Largest unitary (total qubits, controls included) synthesized to gates.
+QSD_CAP = 8
+
+
+def _u3_matrix(theta: float, phi: float, lam: float) -> np.ndarray:
+    c, s = np.cos(theta / 2), np.sin(theta / 2)
+    return np.array(
+        [
+            [c, -np.exp(1j * lam) * s],
+            [np.exp(1j * phi) * s, np.exp(1j * (phi + lam)) * c],
+        ]
+    )
+
+
+def gate_matrix(name: str, params: Sequence[float]) -> np.ndarray:
+    """Exact qelib1 semantics of an IR gate (for tests/import)."""
+    if name == "u3":
+        return _u3_matrix(*params)
+    if name == "u1":
+        return np.diag([1.0, np.exp(1j * params[0])])
+    if name == "cx":
+        return np.array(
+            [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]],
+            dtype=np.complex128,
+        )
+    raise CircuitError(f"Unknown IR gate {name}")
+
+
+def zyz_angles(U: np.ndarray) -> Tuple[float, float, float, float]:
+    """(alpha, theta, phi, lam) with ``U = e^{i alpha} u3(theta, phi, lam)``
+    for any U in U(2)."""
+    U = np.asarray(U, dtype=np.complex128)
+    a00, a01 = U[0, 0], U[0, 1]
+    a10 = U[1, 0]
+    theta = 2.0 * np.arctan2(np.abs(a10), np.abs(a00))
+    if abs(a00) > 1e-12:
+        alpha = np.angle(a00)
+        if abs(a10) > 1e-12:
+            lam = np.angle(a01) - alpha - np.pi if abs(a01) > 1e-12 else 0.0
+            phi = np.angle(a10) - alpha
+        else:
+            # theta ~ 0: diagonal; U11 = e^{i(alpha+phi+lam)}
+            phi = 0.0
+            lam = np.angle(U[1, 1]) - alpha
+    else:
+        # theta == pi: cos term vanishes; lam is a free parameter.
+        lam = 0.0
+        alpha = np.angle(a01) - np.pi
+        phi = np.angle(a10) - alpha
+    return float(alpha), float(theta), float(phi), float(lam)
+
+
+def _emit_rot(kind: str, angle: float, target: int, gates: List[Gate],
+              phase: List[float]) -> None:
+    if abs(angle) < 1e-12:
+        return
+    if kind == "ry":
+        gates.append(("u3", (float(angle), 0.0, 0.0), (target,)))
+    else:  # true Rz via u1: u1(a) = e^{i a/2} Rz(a)
+        gates.append(("u1", (float(angle),), (target,)))
+        phase[0] -= angle / 2.0
+
+
+def _multiplexed_rot(
+    kind: str,
+    angles: np.ndarray,
+    select: Sequence[int],
+    target: int,
+    gates: List[Gate],
+    phase: List[float],
+) -> None:
+    """Uniformly-controlled rotation: apply R_kind(angles[p]) to ``target``
+    when the select qubits read pattern p (bit r-1-j of p = select[j]).
+    Standard CX/rotation ladder: 2^r rotations + 2^r CXs.
+    """
+    r = len(select)
+    if r == 0:
+        _emit_rot(kind, float(angles[0]), target, gates, phase)
+        return
+    # Split over the LAST select qubit. In application order:
+    # R(mu+), CX(s,t), R(mu-), CX(s,t) with mu+- = (l0 +- l1)/2, using
+    # X R(a) X = R(-a) (Ry and Rz): select=0 gives R(mu- + mu+) = R(l0),
+    # select=1 gives R(mu+ - mu-)... = R(l1).
+    half = angles.reshape(-1, 2)
+    plus = (half[:, 0] + half[:, 1]) / 2.0
+    minus = (half[:, 0] - half[:, 1]) / 2.0
+    s = select[-1]
+    _multiplexed_rot(kind, plus, select[:-1], target, gates, phase)
+    gates.append(("cx", (), (s, target)))
+    _multiplexed_rot(kind, minus, select[:-1], target, gates, phase)
+    gates.append(("cx", (), (s, target)))
+
+
+def _demultiplex(A: np.ndarray, B: np.ndarray):
+    """block_diag(A, B) = (I (x) V) . multiplexed-Rz . (I (x) W).
+
+    Returns (V, rz_angles, W): A = V diag(d) W, B = V diag(d)* W with
+    d = e^{-i angles/2}.
+    """
+    from scipy.linalg import schur
+
+    X = A @ B.conj().T
+    T, Z = schur(X, output="complex")
+    d2 = np.diagonal(T)
+    d = np.sqrt(d2.astype(np.complex128))
+    V = Z
+    W = np.diag(d) @ V.conj().T @ B
+    angles = -2.0 * np.angle(d)
+    return V, angles, W
+
+
+def _qsd(U: np.ndarray, qubits: Sequence[int], gates: List[Gate],
+         phase: List[float]) -> None:
+    """Quantum Shannon decomposition (Shende-Bullock-Markov).
+
+    ``qubits[0]`` is the most significant bit of the matrix index. Appends
+    to ``gates`` in application order (first entry acts first).
+    """
+    k = len(qubits)
+    if k == 1:
+        alpha, theta, phi, lam = zyz_angles(U)
+        if abs(theta) > 1e-12 or abs(phi) > 1e-12 or abs(lam) > 1e-12:
+            gates.append(("u3", (theta, phi, lam), (qubits[0],)))
+        phase[0] += alpha
+        return
+    from scipy.linalg import cossin
+
+    half = 1 << (k - 1)
+    (L1, L2), theta, (R1, R2) = cossin(U, p=half, q=half, separate=True)
+    msb, low = qubits[0], qubits[1:]
+
+    # U = (L1+L2) . [[C,-S],[S,C]] . (R1+R2); rightmost acts first.
+    V, rz_ang, W = _demultiplex(R1, R2)
+    _qsd(W, low, gates, phase)
+    _multiplexed_rot("rz", rz_ang, low, msb, gates, phase)
+    _qsd(V, low, gates, phase)
+
+    # CS factor == multiplexed Ry(2 theta_i) on msb, selected by low.
+    _multiplexed_rot("ry", 2.0 * np.asarray(theta), low, msb, gates, phase)
+
+    V, rz_ang, W = _demultiplex(L1, L2)
+    _qsd(W, low, gates, phase)
+    _multiplexed_rot("rz", rz_ang, low, msb, gates, phase)
+    _qsd(V, low, gates, phase)
+
+
+def synthesize_unitary(
+    U: np.ndarray, qubits: Sequence[int], exact_phase: bool = True
+) -> List[Gate]:
+    """Decompose an arbitrary 2^k x 2^k unitary over ``qubits`` (msb first)
+    into a u3/u1/cx gate stream. With ``exact_phase`` the stream equals U
+    exactly (the residual global phase is realized as u1-x-u1-x on
+    ``qubits[0]``); otherwise it equals U up to global phase."""
+    U = np.asarray(U, dtype=np.complex128)
+    k = len(qubits)
+    if U.shape != (1 << k, 1 << k):
+        raise CircuitError(
+            f"Matrix shape {U.shape} does not match {k} qubits"
+        )
+    if k > QSD_CAP:
+        raise CircuitError(
+            f"Refusing to synthesize a {k}-qubit unitary (cap {QSD_CAP})"
+        )
+    gates: List[Gate] = []
+    phase = [0.0]
+    _qsd(U, list(qubits), gates, phase)
+    alpha = float(phase[0]) % (2 * np.pi)
+    if exact_phase and abs(alpha) > 1e-12 and abs(alpha - 2 * np.pi) > 1e-12:
+        # global phase e^{i a} = u1(a) . X . u1(a) . X (applied in order)
+        q = (qubits[0],)
+        x = ("u3", (float(np.pi), 0.0, float(np.pi)), q)  # u3(pi,0,pi) = X
+        gates.extend([x, ("u1", (alpha,), q), x, ("u1", (alpha,), q)])
+    return gates
+
+
+def synthesize_controlled(
+    U: np.ndarray, controls: Sequence[int], targets: Sequence[int],
+    exact_phase: bool = True,
+) -> List[Gate]:
+    """Gate stream for controls-on-|1..1> applied U: embeds the controlled
+    matrix densely over (controls + targets) and synthesizes it. Cap:
+    QSD_CAP total qubits."""
+    nc, nt = len(controls), len(targets)
+    dim_t = 1 << nt
+    dim = 1 << (nc + nt)
+    full = np.eye(dim, dtype=np.complex128)
+    full[dim - dim_t:, dim - dim_t:] = np.asarray(U, dtype=np.complex128)
+    return synthesize_unitary(
+        full, list(controls) + list(targets), exact_phase
+    )
+
+
+def gates_to_matrix(gates: Sequence[Gate], qubits: Sequence[int]) -> np.ndarray:
+    """Product of an IR gate stream over the given qubit list (test/debug
+    oracle; first gate acts first)."""
+    from rustqip_tpu.ops.matrix_ops import make_matrix_op, make_op_matrix
+
+    pos = {q: i for i, q in enumerate(qubits)}
+    k = len(qubits)
+    out = np.eye(1 << k, dtype=np.complex128)
+    for name, params, qs in gates:
+        mat = gate_matrix(name, params)
+        op = make_matrix_op([pos[q] for q in qs], mat.reshape(-1))
+        out = make_op_matrix(k, op) @ out
+    return out

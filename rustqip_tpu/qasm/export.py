@@ -8,14 +8,22 @@ emit qelib1 gates. Same conventions as the reference:
 * CNOT entries emit ``cx`` control->target (:127-134); SWAP emits pairwise
   ``swap`` across register halves (:137-154);
 * Rz angles print as decimal radians (trimmed) or symbolic ``k*pi/m``
-  (:192-214);
-* global phases, arbitrary matrices, and stochastic measurements are not
-  representable in OpenQASM 2.0 and emit comments.
+  (:192-214).
+
+Beyond the reference: arbitrary (and natively-conditioned) unitaries export
+as REAL gate streams via export-time decomposition (``decompose.py`` —
+ZYZ / quantum Shannon / cu3+ccx special cases), where the reference could
+only export what its build-time decompositions produced (conditioning a
+raw MAT is ``todo!()`` at builder.rs:808). Only stochastic measurements and
+unitaries wider than ``decompose.QSD_CAP`` fall back to comments (OpenQASM
+2.0 has no construct for either).
 """
 
 from __future__ import annotations
 
 from typing import List
+
+import numpy as np
 
 from rustqip_tpu.builder.circuit_objects import (
     ControlledMatGate,
@@ -24,6 +32,13 @@ from rustqip_tpu.builder.circuit_objects import (
     MeasurementObject,
     NamedGate,
     RzGate,
+    SparseMatGate,
+)
+from rustqip_tpu.qasm.decompose import (
+    QSD_CAP,
+    synthesize_controlled,
+    synthesize_unitary,
+    zyz_angles,
 )
 from rustqip_tpu.types import Angle, PiRational
 
@@ -37,6 +52,80 @@ def format_angle(theta: Angle) -> str:
         return f"{num}*pi/{den}"
     text = f"{float(theta):.12f}".rstrip("0").rstrip(".")
     return text if text else "0"
+
+
+def _fmt(x: float) -> str:
+    return format_angle(float(x))
+
+
+def _emit_ir(gates, out: List[str]) -> None:
+    """Print decompose.py gate IR as qelib1 statements."""
+    for name, params, qs in gates:
+        if name == "cx":
+            out.append(f"cx q[{qs[0]}],q[{qs[1]}];")
+        elif name == "u1":
+            out.append(f"u1({_fmt(params[0])}) q[{qs[0]}];")
+        elif name == "u3":
+            t, p, l = params
+            out.append(f"u3({_fmt(t)},{_fmt(p)},{_fmt(l)}) q[{qs[0]}];")
+        else:  # pragma: no cover
+            raise AssertionError(name)
+
+
+_X = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+_SWAP4 = np.array(
+    [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+    dtype=np.complex128,
+)
+
+
+def _emit_controlled_mat(obj: ControlledMatGate, indices, out: List[str]):
+    nc = obj.n_ctrl
+    ctrls = list(indices[:nc])
+    tgts = list(indices[nc:])
+    mat = obj.mat
+    if isinstance(mat, SparseMatGate):
+        from rustqip_tpu.ops.matrix_ops import SparseOp, op_to_dense
+
+        if mat.n + nc > QSD_CAP:
+            out.append(
+                f"// controlled sparse unitary on {list(indices)} exceeds "
+                f"synthesis cap ({QSD_CAP} qubits)"
+            )
+            return
+        data = op_to_dense(SparseOp(tuple(range(mat.n)), mat.rows))
+    else:
+        data = mat.data
+    k = len(tgts)
+    if k == 1:
+        if np.allclose(data, _X, atol=1e-12):
+            if nc == 1:
+                out.append(f"cx q[{ctrls[0]}],q[{tgts[0]}];")
+                return
+            if nc == 2:
+                out.append(f"ccx q[{ctrls[0]}],q[{ctrls[1]}],q[{tgts[0]}];")
+                return
+        if nc == 1:
+            alpha, theta, phi, lam = zyz_angles(data)
+            if abs(alpha) > 1e-12:
+                out.append(f"u1({_fmt(alpha)}) q[{ctrls[0]}];")
+            out.append(
+                f"cu3({_fmt(theta)},{_fmt(phi)},{_fmt(lam)}) "
+                f"q[{ctrls[0]}],q[{tgts[0]}];"
+            )
+            return
+    if k == 2 and nc == 1 and np.allclose(data, _SWAP4, atol=1e-12):
+        out.append(f"cswap q[{ctrls[0]}],q[{tgts[0]}],q[{tgts[1]}];")
+        return
+    if nc + k > QSD_CAP:
+        out.append(
+            f"// controlled unitary on {list(indices)} exceeds synthesis "
+            f"cap ({QSD_CAP} qubits)"
+        )
+        return
+    _emit_ir(
+        synthesize_controlled(data, ctrls, tgts, exact_phase=False), out
+    )
 
 
 def _emit_unitary(obj, indices, out: List[str]) -> None:
@@ -54,9 +143,7 @@ def _emit_unitary(obj, indices, out: List[str]) -> None:
             k = len(indices)
             if k < 2:
                 return
-            if k == 2:
-                out.append(f"swap q[{indices[0]}],q[{indices[1]}];")
-            elif k % 2 == 0:
+            if k % 2 == 0:
                 half = k // 2
                 for i in range(half):
                     out.append(
@@ -77,15 +164,38 @@ def _emit_unitary(obj, indices, out: List[str]) -> None:
             "(ignored in OpenQASM 2.0)"
         )
     elif isinstance(obj, MatGate):
-        out.append(
-            f"// generic unitary on {list(indices)} "
-            "(not emitted in OpenQASM 2.0)"
-        )
+        if obj.n == 1:
+            _, theta, phi, lam = zyz_angles(obj.data)
+            out.append(
+                f"u3({_fmt(theta)},{_fmt(phi)},{_fmt(lam)}) q[{indices[0]}];"
+            )
+        elif obj.n <= QSD_CAP:
+            _emit_ir(
+                synthesize_unitary(obj.data, list(indices),
+                                   exact_phase=False),
+                out,
+            )
+        else:
+            out.append(
+                f"// unitary on {list(indices)} exceeds synthesis cap "
+                f"({QSD_CAP} qubits)"
+            )
+    elif isinstance(obj, SparseMatGate):
+        if obj.n <= QSD_CAP:
+            from rustqip_tpu.ops.matrix_ops import SparseOp, op_to_dense
+
+            data = op_to_dense(SparseOp(tuple(range(obj.n)), obj.rows))
+            _emit_ir(
+                synthesize_unitary(data, list(indices), exact_phase=False),
+                out,
+            )
+        else:
+            out.append(
+                f"// sparse unitary on {list(indices)} exceeds synthesis "
+                f"cap ({QSD_CAP} qubits)"
+            )
     elif isinstance(obj, ControlledMatGate):
-        out.append(
-            f"// controlled generic unitary on {list(indices)} "
-            "(not emitted in OpenQASM 2.0)"
-        )
+        _emit_controlled_mat(obj, indices, out)
 
 
 def to_openqasm(builder) -> str:

@@ -59,14 +59,15 @@ def test_rz_float_angle_trimmed():
     assert "rz(0.5) q[0];" in text
 
 
-def test_global_phase_and_mat_comments():
+def test_global_phase_comment_and_mat_synthesis():
     b = LocalBuilder()
     q = b.qubit()
     q = b.apply_global_phase_pi_by(q, 2)
     b.apply_vec_matrix(q, np.eye(2).reshape(-1))
     text = b.to_openqasm()
     assert "// global phase 1*pi/2" in text
-    assert "// generic unitary" in text
+    # MatGates now synthesize to real gates (round 2); identity -> u3(0,0,0)
+    assert "u3(0,0,0) q[0];" in text
 
 
 def test_stochastic_comment():
