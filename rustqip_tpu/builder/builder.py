@@ -194,6 +194,7 @@ class LocalBuilder(
         fuse: bool = True,
         max_fused_qubits: int = None,
         native_conditioning: bool = True,
+        check_norm: Optional[bool] = None,
     ):
         self.pipeline: List[PipelineItem] = []
         self._n = 0
@@ -212,6 +213,8 @@ class LocalBuilder(
         #: QASM gate streams, but gate count multiplies ~20x per nesting
         #: level (the reference's exp_mod explodes to ~5M gates this way).
         self._native_conditioning = native_conditioning
+        #: Opt-in per-segment norm-drift runtime asserts (debug).
+        self._check_norm = check_norm
 
     # -- CircuitBuilder primitives ------------------------------------------
     @property
@@ -369,6 +372,8 @@ class LocalBuilder(
         kwargs = {}
         if self._max_fused_qubits is not None:
             kwargs["max_fused_qubits"] = self._max_fused_qubits
+        if self._check_norm is not None:
+            kwargs["check_norm"] = self._check_norm
         return compile_pipeline(self._n, entries, self.dtype, self._fuse, **kwargs)
 
     def initial_index(
@@ -712,7 +717,8 @@ class LocalBuilder(
     def new_similar(self) -> "LocalBuilder":
         return LocalBuilder(dtype=self.dtype, fuse=self._fuse,
                             max_fused_qubits=self._max_fused_qubits,
-                            native_conditioning=self._native_conditioning)
+                            native_conditioning=self._native_conditioning,
+                            check_norm=self._check_norm)
 
     @staticmethod
     def invert_subcircuit(sc: List[PipelineItem]) -> List[PipelineItem]:

@@ -87,6 +87,30 @@ PipelineEntry = Union[UnitaryEntry, MeasureEntry, RepeatEntry]
 MeasResult = Union[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+#: Norm-drift violations observed by the opt-in runtime checks (tests and
+#: debugging read this; it is never consulted on the hot path).
+NORM_VIOLATIONS: List[tuple] = []
+
+
+def _norm_check_cb(total, seg_index, tol):
+    import warnings
+
+    total = float(total)
+    if abs(total - 1.0) > tol:
+        NORM_VIOLATIONS.append((int(seg_index), total))
+        warnings.warn(
+            f"norm drift after segment {int(seg_index)}: |psi|^2 = {total!r}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+
+def _check_norm_enabled() -> bool:
+    import os
+
+    return os.environ.get("RUSTQIP_TPU_CHECK_NORM") == "1"
+
+
 class CompiledCircuit:
     """An executable circuit: one jitted function over (init index, key)."""
 
@@ -97,7 +121,16 @@ class CompiledCircuit:
         dtype,
         fuse: bool = True,
         max_fused_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
+        check_norm: Optional[bool] = None,
     ):
+        #: Opt-in per-segment |psi|^2 runtime asserts (host callback — adds
+        #: a sync per segment; debug only). None = follow the
+        #: RUSTQIP_TPU_CHECK_NORM env var. Meaningful for unitary pipelines
+        #: (projector-like non-unitary ops legitimately change the norm).
+        self._check_norm = (
+            _check_norm_enabled() if check_norm is None else bool(check_norm)
+        )
+        self._norm_tol = 1e-3 if np.dtype(dtype).itemsize == 8 else 1e-9
         self.n = n
         self.dtype = np.dtype(dtype)
         self.rdtype = real_dtype_of(self.dtype)
@@ -183,7 +216,7 @@ class CompiledCircuit:
 
         results: List[MeasResult] = []
         m_i = 0
-        for seg in self.segments:
+        for s_i, seg in enumerate(self.segments):
             if isinstance(seg, MeasureEntry):
                 if seg.stochastic:
                     results.append(measure_probs_ri(self.n, seg.indices, re, im))
@@ -222,6 +255,13 @@ class CompiledCircuit:
                 )
             else:
                 re, im = apply_ops_ri(self.n, seg, re, im)
+            if self._check_norm:
+                jax.debug.callback(
+                    _norm_check_cb,
+                    jnp.sum(re * re + im * im),
+                    s_i,
+                    self._norm_tol,
+                )
         return re, im, tuple(results)
 
     def _run_segments(
@@ -237,7 +277,7 @@ class CompiledCircuit:
 
         results: List[MeasResult] = []
         m_i = 0
-        for seg in self.segments:
+        for s_i, seg in enumerate(self.segments):
             if isinstance(seg, MeasureEntry):
                 if seg.stochastic:
                     results.append(measure_probs(self.n, seg.indices, state))
@@ -272,6 +312,13 @@ class CompiledCircuit:
                 )
             else:
                 state = apply_ops(self.n, seg, state)
+            if self._check_norm:
+                jax.debug.callback(
+                    _norm_check_cb,
+                    jnp.sum(jnp.real(state) ** 2 + jnp.imag(state) ** 2),
+                    s_i,
+                    self._norm_tol,
+                )
         return jnp.real(state), jnp.imag(state), tuple(results)
 
     def _one_hot(self, initial_row, initial_col):
@@ -432,18 +479,23 @@ def compile_pipeline(
     dtype,
     fuse: bool = True,
     max_fused_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
+    check_norm: Optional[bool] = None,
 ) -> CompiledCircuit:
     """Compile (with caching) a lowered pipeline into a CompiledCircuit."""
     dtype = np.dtype(dtype)
+    norm_flag = _check_norm_enabled() if check_norm is None else bool(check_norm)
     fp = (
         n,
         dtype.str,
         fuse,
         max_fused_qubits,
+        norm_flag,
         tuple(e.fingerprint() for e in entries),
     )
     cached = _CACHE.get(fp)
     if cached is None:
-        cached = CompiledCircuit(n, entries, dtype, fuse, max_fused_qubits)
+        cached = CompiledCircuit(
+            n, entries, dtype, fuse, max_fused_qubits, check_norm=norm_flag
+        )
         _CACHE[fp] = cached
     return cached

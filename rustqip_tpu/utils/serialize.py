@@ -24,6 +24,7 @@ from rustqip_tpu.builder.circuit_objects import (
     PipelineItem,
     RepeatBlock,
     RzGate,
+    SparseMatGate,
 )
 from rustqip_tpu.errors import CircuitError
 from rustqip_tpu.types import PiRational
@@ -56,6 +57,19 @@ def _mat_from_json(d) -> np.ndarray:
     return (re + 1j * im).reshape(d["shape"])
 
 
+def _sparse_to_json(rows):
+    return [
+        [[int(c), float(v.real), float(v.imag)] for c, v in row]
+        for row in rows
+    ]
+
+
+def _sparse_from_json(rows):
+    return [
+        [(int(c), complex(re, im)) for c, re, im in row] for row in rows
+    ]
+
+
 def _obj_to_json(co: CircuitObject):
     obj = co.obj
     if isinstance(obj, NamedGate):
@@ -66,12 +80,21 @@ def _obj_to_json(co: CircuitObject):
         body = {"kind": "global_phase", "theta": _angle_to_json(obj.theta)}
     elif isinstance(obj, MatGate):
         body = {"kind": "mat", "data": _mat_to_json(obj.data)}
+    elif isinstance(obj, SparseMatGate):
+        body = {"kind": "smat", "rows": _sparse_to_json(obj.rows)}
     elif isinstance(obj, ControlledMatGate):
-        body = {
-            "kind": "cmat",
-            "n_ctrl": obj.n_ctrl,
-            "data": _mat_to_json(obj.mat.data),
-        }
+        if isinstance(obj.mat, SparseMatGate):
+            body = {
+                "kind": "csmat",
+                "n_ctrl": obj.n_ctrl,
+                "rows": _sparse_to_json(obj.mat.rows),
+            }
+        else:
+            body = {
+                "kind": "cmat",
+                "n_ctrl": obj.n_ctrl,
+                "data": _mat_to_json(obj.mat.data),
+            }
     elif isinstance(obj, MeasurementObject):
         body = {"kind": "measure", "stochastic": obj.stochastic}
     elif isinstance(obj, RepeatBlock):
@@ -96,8 +119,14 @@ def _obj_from_json(d) -> CircuitObject:
         obj = GlobalPhaseGate(_angle_from_json(d["theta"]))
     elif kind == "mat":
         obj = MatGate(_mat_from_json(d["data"]))
+    elif kind == "smat":
+        obj = SparseMatGate(_sparse_from_json(d["rows"]))
     elif kind == "cmat":
         obj = ControlledMatGate(int(d["n_ctrl"]), MatGate(_mat_from_json(d["data"])))
+    elif kind == "csmat":
+        obj = ControlledMatGate(
+            int(d["n_ctrl"]), SparseMatGate(_sparse_from_json(d["rows"]))
+        )
     elif kind == "measure":
         obj = MeasurementObject(bool(d["stochastic"]))
     elif kind == "repeat":
@@ -144,8 +173,16 @@ def builder_from_json(text: str, dtype=None):
         raise CircuitError(f"Unknown circuit version {d.get('version')}")
     b = LocalBuilder(dtype=dtype)
     b._n = int(d["n"])
-    b._measurements = int(d.get("measurements", 0))
     b.pipeline = [_item_from_json(i) for i in d["pipeline"]]
+    # Measurement bookkeeping is derivable from the pipeline (measurements
+    # cannot hide inside repeat blocks); deriving keeps old files loadable.
+    kinds = [
+        "stochastic" if co.obj.stochastic else "collapse"
+        for _, co in b.pipeline
+        if isinstance(co.obj, MeasurementObject)
+    ]
+    b._measurement_kinds = kinds
+    b._measurements = len(kinds)
     return b
 
 

