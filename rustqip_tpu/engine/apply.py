@@ -151,6 +151,9 @@ def _apply_dense(
     _, blocks, seg_shape, h, R, C = plan
     x = state.reshape(seg_shape + (C,))
     two_axes = tuple(range(1, 2 * h, 2))
+    strip_shape = tuple(
+        1 if ax in two_axes else d for ax, d in enumerate(seg_shape)
+    ) + (C,)
     strips = {}
 
     def strip(i: int):
@@ -180,19 +183,18 @@ def _apply_dense(
             acc = term if acc is None else acc + term
         if acc is None:
             acc = jnp.zeros_like(strip(0))
-        outs.append(acc)
-    # Reassemble: stack the strips then interleave bit axes back into the
-    # row segments. (Measured on-chip: this stack+transpose form fuses
-    # better than a direct axis-1 stack — 94.5 vs 59.5 applies/s at n=28.)
-    segs = seg_shape[0::2]
-    stacked = jnp.stack(outs, axis=0).reshape((2,) * h + segs + (C,))
-    perm: List[int] = []
-    for j in range(h):
-        perm.append(h + j)  # seg_j
-        perm.append(j)  # bit_j
-    perm.append(2 * h)  # trailing seg
-    perm.append(2 * h + 1)  # C
-    return jnp.transpose(stacked, perm).reshape(-1)
+        outs.append(acc.reshape(strip_shape))
+    # Reassemble by pairwise concatenation along each bit axis (last bit
+    # first): slice/concat chains stay inside one XLA fusion, unlike the
+    # round-1 stack+transpose which cost an extra full HBM pass (measured
+    # 75 vs 1138 applies/s for H(0) at n=28 on v5e).
+    for j in reversed(range(h)):
+        ax = two_axes[j]
+        outs = [
+            jnp.concatenate((outs[2 * t], outs[2 * t + 1]), axis=ax)
+            for t in range(len(outs) // 2)
+        ]
+    return outs[0].reshape(-1)
 
 
 def _walsh_coeffs(tidx, d: np.ndarray):
@@ -328,26 +330,89 @@ def _eval_bilinear_2d(n: int, groups, dtype) -> jnp.ndarray:
     return val
 
 
-def _phase_factor_planes(n: int, op, dtype=jnp.float32):
-    """(factor_re, factor_im) of a PhaseProductOp over the (R, C) view:
-    exp(logmag) * (cos angle, sin angle), magnitude pass skipped for
-    unit-modulus (unitary) diagonals."""
+#: Mixed row x col monomial count above which the phase factor falls back
+#: to the bilinear (R, M) @ (M, C) matmul form. Below it, per-monomial
+#: where-selects stay elementwise and fuse into the state multiply (the
+#: matmul materializes a full (R, C) angle plane — an extra HBM pass).
+MIXED_SELECT_CAP = 24
+
+
+def _phase_mul_ri(n: int, op, r2d: jnp.ndarray, i2d: jnp.ndarray):
+    """Multiply (re, im) planes by a PhaseProductOp's diagonal, elementwise.
+
+    Row-only and col-only monomial groups evaluate on 1-D iotas (cheap
+    transcendentals on R- and C-vectors, broadcast into the multiply);
+    each genuinely mixed monomial becomes a bool-mask select of a constant
+    phase. Everything is elementwise over (R, C), so XLA fuses the whole
+    diagonal run — and any adjacent elementwise gate pass — into one HBM
+    sweep."""
+    dtype = r2d.dtype
+    m, R, C = _geometry(n)
+    n_m = n - m
     angle_g, mag_g = _phase_plan(n, op.terms)
-    angle = _eval_bilinear_2d(n, angle_g, dtype)
-    ca, sa = jnp.cos(angle), jnp.sin(angle)
-    if mag_g is not None:
-        mag = jnp.exp(_eval_bilinear_2d(n, mag_g, dtype))
-        ca, sa = ca * mag, sa * mag
-    return ca, sa
+    const, row_monos, col_monos, mixed = angle_g
+    rows = jnp.arange(R, dtype=jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
+
+    def row_bit(q):
+        return ((rows >> (n_m - 1 - q)) & 1).astype(dtype)
+
+    def col_bit(q):
+        return ((cols >> (n - 1 - q)) & 1).astype(dtype)
+
+    def mono(bits, coeff=1.0):
+        acc = None
+        for b in bits:
+            acc = b if acc is None else acc * b
+        return acc * coeff
+
+    if mag_g is not None or len(mixed) > MIXED_SELECT_CAP:
+        # General/bilinear path: full (R, C) angle (+ magnitude) planes.
+        angle = _eval_bilinear_2d(n, angle_g, dtype)
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        if mag_g is not None:
+            mag = jnp.exp(_eval_bilinear_2d(n, mag_g, dtype))
+            ca, sa = ca * mag, sa * mag
+        return r2d * ca - i2d * sa, r2d * sa + i2d * ca
+
+    row_angle = jnp.full((R,), const, dtype=dtype)
+    for rq, c in row_monos:
+        row_angle = row_angle + mono([row_bit(q) for q in rq], c)
+    col_angle = jnp.zeros((C,), dtype=dtype)
+    for cq, c in col_monos:
+        col_angle = col_angle + mono([col_bit(q) for q in cq], c)
+
+    # separable part: (e^{i row} outer e^{i col}) via two broadcast muls
+    rc, rs = jnp.cos(row_angle)[:, None], jnp.sin(row_angle)[:, None]
+    out_r = r2d * rc - i2d * rs
+    out_i = r2d * rs + i2d * rc
+    cc, cs = jnp.cos(col_angle)[None, :], jnp.sin(col_angle)[None, :]
+    out_r, out_i = out_r * cc - out_i * cs, out_r * cs + out_i * cc
+
+    for rq, cq, c in mixed:
+        rmask = jnp.ones((R,), dtype=bool)
+        for q in rq:
+            rmask = rmask & (((rows >> (n_m - 1 - q)) & 1) == 1)
+        cmask = jnp.ones((C,), dtype=bool)
+        for q in cq:
+            cmask = cmask & (((cols >> (n - 1 - q)) & 1) == 1)
+        mask = rmask[:, None] & cmask[None, :]
+        pc = np.float64(np.cos(c)).astype(np.dtype(dtype))
+        ps = np.float64(np.sin(c)).astype(np.dtype(dtype))
+        out_r, out_i = (
+            jnp.where(mask, out_r * pc - out_i * ps, out_r),
+            jnp.where(mask, out_r * ps + out_i * pc, out_i),
+        )
+    return out_r, out_i
 
 
 def _apply_phase_product_2d(n: int, op, s2d: jnp.ndarray) -> jnp.ndarray:
-    """Complex-path PhaseProductOp: state * (mag * exp(i angle)) in one
-    pass."""
+    """Complex-path PhaseProductOp: one fused elementwise pass."""
     rdtype = jnp.real(s2d).dtype
-    ca, sa = _phase_factor_planes(n, op, rdtype)
-    factor = jax.lax.complex(ca, sa).astype(s2d.dtype)
-    return s2d * factor
+    out_r, out_i = _phase_mul_ri(
+        n, op, jnp.real(s2d).astype(rdtype), jnp.imag(s2d).astype(rdtype)
+    )
+    return jax.lax.complex(out_r, out_i).astype(s2d.dtype)
 
 
 @lru_cache(maxsize=64)

@@ -29,6 +29,7 @@ from rustqip_tpu.ops.matrix_ops import (
     ControlOp,
     DenseOp,
     MatrixOp,
+    PhaseProductOp,
     SparseOp,
     SwapOp,
     op_to_dense,
@@ -75,6 +76,9 @@ def _dense_ri(n: int, indices, mat: np.ndarray, re, im) -> Pair:
     xr = re.reshape(seg_shape + (C,))
     xi = im.reshape(seg_shape + (C,))
     two_axes = tuple(range(1, 2 * h, 2))
+    strip_shape = tuple(
+        1 if ax in two_axes else d for ax, d in enumerate(seg_shape)
+    ) + (C,)
     strips = {}
 
     def strip(i: int):
@@ -108,20 +112,21 @@ def _dense_ri(n: int, indices, mat: np.ndarray, re, im) -> Pair:
         if acc_r is None:
             z = jnp.zeros_like(strip(0)[0])
             acc_r, acc_i = z, z
-        outs_r.append(acc_r)
-        outs_i.append(acc_i)
+        outs_r.append(acc_r.reshape(strip_shape))
+        outs_i.append(acc_i.reshape(strip_shape))
 
-    segs = seg_shape[0::2]
-    perm: List[int] = []
-    for j in range(h):
-        perm.append(h + j)
-        perm.append(j)
-    perm.append(2 * h)
-    perm.append(2 * h + 1)
-
+    # Reassemble by pairwise concatenation along each bit axis (last bit
+    # first). Unlike the round-1 stack+transpose (which materialized an
+    # extra full pass: 75 vs 1138 applies/s for H(0) at n=28 on v5e), pure
+    # slice/concat chains stay inside one XLA fusion.
     def assemble(outs):
-        stacked = jnp.stack(outs, axis=0).reshape((2,) * h + segs + (C,))
-        return jnp.transpose(stacked, perm).reshape(-1)
+        for j in reversed(range(h)):
+            ax = two_axes[j]
+            outs = [
+                jnp.concatenate((outs[2 * t], outs[2 * t + 1]), axis=ax)
+                for t in range(len(outs) // 2)
+            ]
+        return outs[0].reshape(-1)
 
     return assemble(outs_r), assemble(outs_i)
 
@@ -144,14 +149,10 @@ _SWAP2 = np.array(
 
 
 def _phase_product_ri(n: int, op, re, im) -> Pair:
-    from rustqip_tpu.engine.apply import _phase_factor_planes
+    from rustqip_tpu.engine.apply import _phase_mul_ri
 
     _, R, C = _geometry(n)
-    r2d = re.reshape(R, C)
-    i2d = im.reshape(R, C)
-    ca, sa = _phase_factor_planes(n, op, r2d.dtype)
-    out_r = r2d * ca - i2d * sa
-    out_i = r2d * sa + i2d * ca
+    out_r, out_i = _phase_mul_ri(n, op, re.reshape(R, C), im.reshape(R, C))
     return out_r.reshape(-1), out_i.reshape(-1)
 
 
@@ -183,9 +184,132 @@ def apply_op_ri(n: int, op: MatrixOp, re: jnp.ndarray, im: jnp.ndarray) -> Pair:
     raise TypeError(f"Unknown op {op!r}")
 
 
+def _plan_of(n: int, op) -> "tuple | None":
+    if isinstance(op, DenseOp):
+        return _dense_plan(n, tuple(op.indices), _mat_key(op.data))
+    if isinstance(op, PhaseProductOp):
+        # A diagonal entirely on column qubits is a (C, C) diagonal matrix:
+        # let it join a composed low-qubit matmul run for free.
+        from rustqip_tpu.types import MINOR_QUBITS
+
+        m = min(n, MINOR_QUBITS)
+        if op.indices and all(q >= n - m for q in op.indices):
+            return _dense_plan(
+                n, tuple(op.indices), _mat_key(op_to_dense(op))
+            )
+    return None
+
+
+def _is_scalar_high(plan) -> bool:
+    return (
+        plan is not None
+        and plan[0] == "blocks"
+        and all(b[0] == "scalar" for b in plan[1].values())
+    )
+
+
+def _paired_sweep_ri(n, high_plan, low_B: np.ndarray, re, im) -> Pair:
+    """One HBM sweep executing a scalar-block high-qubit op followed by a
+    composed low-qubit C x C matmul: strips are combined (VPU) and
+    matmul'd (MXU) before reassembly, so the pair costs one read+write of
+    the state — measured 194 vs 93 applies/s on the alternating
+    H(0)/H(27) pattern at n=28 (v5e)."""
+    _, blocks, seg_shape, h, R, C = high_plan
+    xr = re.reshape(seg_shape + (C,))
+    xi = im.reshape(seg_shape + (C,))
+    two_axes = tuple(range(1, 2 * h, 2))
+    strip_shape = tuple(
+        1 if ax in two_axes else d for ax, d in enumerate(seg_shape)
+    ) + (C,)
+    strips = {}
+
+    def strip(i: int):
+        if i not in strips:
+            idx = [slice(None)] * len(seg_shape) + [slice(None)]
+            for pos, ax in enumerate(two_axes):
+                idx[ax] = (i >> (h - 1 - pos)) & 1
+            strips[i] = (
+                xr[tuple(idx)].reshape(-1, C),
+                xi[tuple(idx)].reshape(-1, C),
+            )
+        return strips[i]
+
+    outs_r: List = []
+    outs_i: List = []
+    for hj in range(1 << h):
+        acc_r = acc_i = None
+        for hi in range(1 << h):
+            blk = blocks.get((hj, hi))
+            if blk is None:
+                continue
+            sr, si = strip(hi)
+            tr, ti = _scalar_mul(sr, si, blk[1])
+            if acc_r is None:
+                acc_r, acc_i = tr, ti
+            else:
+                acc_r, acc_i = acc_r + tr, acc_i + ti
+        if acc_r is None:
+            z = jnp.zeros_like(strip(0)[0])
+            acc_r, acc_i = z, z
+        acc_r, acc_i = _real_block_matmul(acc_r, acc_i, low_B)
+        outs_r.append(acc_r.reshape(strip_shape))
+        outs_i.append(acc_i.reshape(strip_shape))
+
+    def assemble(outs):
+        for j in reversed(range(h)):
+            ax = two_axes[j]
+            outs = [
+                jnp.concatenate((outs[2 * t], outs[2 * t + 1]), axis=ax)
+                for t in range(len(outs) // 2)
+            ]
+        return outs[0].reshape(-1)
+
+    return assemble(outs_r), assemble(outs_i)
+
+
 def apply_ops_ri(
     n: int, ops: Sequence[MatrixOp], re: jnp.ndarray, im: jnp.ndarray
 ) -> Pair:
-    for op in ops:
+    """Apply ops in sequence with sweep pairing: a dense op whose blocks
+    are pure scalars (support entirely on row qubits) followed by a run of
+    low-qubit dense ops executes as ONE sweep (the strips combine, the
+    composed C x C gate matmuls, reassembly happens once). Consecutive
+    low-only dense ops also compose into a single matmul ahead of time."""
+    ops = list(ops)
+    i = 0
+    while i < len(ops):
+        op = ops[i]
+        plan = _plan_of(n, op)
+        # Collect a run of consecutive low-only dense ops into one matmul.
+        if plan is not None and plan[0] == "low":
+            B = plan[1]
+            j = i + 1
+            while j < len(ops):
+                pj = _plan_of(n, ops[j])
+                if pj is None or pj[0] != "low":
+                    break
+                B = pj[1] @ B
+                j += 1
+            re, im = pallas_kernels.c64_low_matmul(
+                re.reshape(plan[2], plan[3]), im.reshape(plan[2], plan[3]), B
+            )
+            re, im = re.reshape(-1), im.reshape(-1)
+            i = j
+            continue
+        if _is_scalar_high(plan):
+            # Fold the following low-only dense run into this sweep.
+            B = None
+            j = i + 1
+            while j < len(ops):
+                pj = _plan_of(n, ops[j])
+                if pj is None or pj[0] != "low":
+                    break
+                B = pj[1] if B is None else pj[1] @ B
+                j += 1
+            if B is not None:
+                re, im = _paired_sweep_ri(n, plan, B, re, im)
+                i = j
+                continue
         re, im = apply_op_ri(n, op, re, im)
+        i += 1
     return re, im

@@ -1,0 +1,111 @@
+"""Sweep pairing in apply_ops_ri: scalar-high + low-run fusion must be
+exactly equivalent to sequential per-op application."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rustqip_tpu.engine.real_apply import apply_op_ri, apply_ops_ri
+from rustqip_tpu.ops import gates
+from rustqip_tpu.ops.matrix_ops import (
+    PhaseProductOp,
+    make_control_op,
+    make_matrix_op,
+)
+
+N = 10
+
+
+def _rand_u(k, seed):
+    r = np.random.default_rng(seed)
+    m = r.normal(size=(1 << k, 1 << k)) + 1j * r.normal(
+        size=(1 << k, 1 << k)
+    )
+    q, _ = np.linalg.qr(m)
+    return q
+
+
+def _check(ops):
+    rng = np.random.default_rng(0)
+    state = rng.normal(size=1 << N) + 1j * rng.normal(size=1 << N)
+    state /= np.linalg.norm(state)
+    re, im = jnp.asarray(state.real), jnp.asarray(state.imag)
+    gr, gi = apply_ops_ri(N, ops, re, im)
+    er, ei = re, im
+    for op in ops:
+        er, ei = apply_op_ri(N, op, er, ei)
+    got = np.asarray(gr) + 1j * np.asarray(gi)
+    want = np.asarray(er) + 1j * np.asarray(ei)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_alternating_high_low():
+    ops = [
+        make_matrix_op([(i % 2) * (N - 1)], gates.H.reshape(-1))
+        for i in range(8)
+    ]
+    _check(ops)
+
+
+def test_low_run_composition():
+    ops = [
+        make_matrix_op([N - 1], gates.H.reshape(-1)),
+        make_matrix_op([N - 2], _rand_u(1, 1).reshape(-1)),
+        make_matrix_op([N - 1, N - 3], _rand_u(2, 2).reshape(-1)),
+        make_matrix_op([N - 2], gates.T.reshape(-1)),
+    ]
+    _check(ops)
+
+
+def test_scalar_high_then_low_run():
+    ops = [
+        make_matrix_op([0], gates.H.reshape(-1)),
+        make_matrix_op([N - 1], gates.H.reshape(-1)),
+        make_matrix_op([N - 2], _rand_u(1, 3).reshape(-1)),
+    ]
+    _check(ops)
+
+
+def test_two_bit_scalar_high_pairing():
+    # scalar-high op on two row qubits (X(x)Z) followed by a low gate
+    xz = np.kron(gates.X, gates.Z)
+    ops = [
+        make_matrix_op([0, 2], xz.reshape(-1)),
+        make_matrix_op([N - 1], gates.H.reshape(-1)),
+    ]
+    _check(ops)
+
+
+def test_mixed_sequence_with_unpairable_ops():
+    ops = [
+        make_matrix_op([0], gates.H.reshape(-1)),
+        PhaseProductOp((((0, N - 1), (1, 1, 1, -1)),)),  # breaks the pair
+        make_matrix_op([N - 1], gates.H.reshape(-1)),
+        make_control_op([0], make_matrix_op([N - 1], gates.X.reshape(-1))),
+        make_matrix_op([1], gates.Y.reshape(-1)),
+        make_matrix_op([3, N - 1], _rand_u(2, 4).reshape(-1)),  # mixed supp
+        make_matrix_op([0], gates.H.reshape(-1)),  # trailing scalar-high
+    ]
+    _check(ops)
+
+
+def test_col_only_phase_joins_low_run():
+    # A diagonal entirely on column qubits converts to a (C, C) matrix and
+    # composes into the adjacent low-qubit matmul run.
+    ops = [
+        make_matrix_op([N - 1], gates.H.reshape(-1)),
+        PhaseProductOp((((N - 1, N - 2), (1, 1, 1, 1j)),)),
+        make_matrix_op([N - 2], gates.H.reshape(-1)),
+    ]
+    _check(ops)
+    # ... and pairs behind a scalar-high op.
+    ops = [make_matrix_op([0], gates.H.reshape(-1))] + ops
+    _check(ops)
+
+
+def test_trailing_high_without_low():
+    ops = [
+        make_matrix_op([N - 1], gates.H.reshape(-1)),
+        make_matrix_op([0], gates.H.reshape(-1)),
+    ]
+    _check(ops)
