@@ -16,10 +16,16 @@ from rustqip_tpu.parallel.sharded import (
     compile_sharded,
     sharded_calculate_state,
 )
+from rustqip_tpu.parallel.explicit import (
+    ExplicitShardedCircuit,
+    compile_sharded_explicit,
+)
 
 __all__ = [
     "make_shard_mesh",
     "ShardedCircuit",
     "compile_sharded",
     "sharded_calculate_state",
+    "ExplicitShardedCircuit",
+    "compile_sharded_explicit",
 ]

@@ -6,7 +6,9 @@ TPU-native realization of the amplitude-exchange the reference's
 ``input_offset``/``output_offset`` seams anticipate but never implement
 (qip-iterators/src/matrix_ops.rs:96-104):
 
-* gate on local qubits                -> shard-local engine pass, zero comms;
+* gate on local qubits                -> shard-local engine pass (with the
+  engine's sweep pairing), zero comms;
+* diagonal on any qubits              -> zero comms (device-index factor);
 * dense gate on one global qubit      -> one ``ppermute`` pairing each shard
   with its partner (the two halves of the qubit's amplitude pairs live on
   devices differing in that index bit), then a 2x2 recombination — exactly
@@ -14,7 +16,14 @@ TPU-native realization of the amplitude-exchange the reference's
 * control on global qubits            -> zero communication: devices whose
   index bits satisfy the controls apply the inner op locally, the rest
   pass through (the distributed analog of the reference's
-  ControlledOpIterator identity rows).
+  ControlledOpIterator identity rows);
+* anything else (multi-global dense, global-target controls) -> global
+  target qubits relocate into free local slots (2 exchanges per qubit).
+
+``apply_sharded_ops`` lowers a whole op sequence into ONE shard_map body:
+consecutive local ops batch into a single engine pass run, and every
+exchange lives in the same XLA program, so the compiler can overlap
+collectives with compute — the hand-pinned schedule GSPMD has to infer.
 
 State convention: flat 2^n amplitudes sharded contiguously over the mesh
 axis — the top g = log2(D) qubits are the device index bits.
@@ -23,14 +32,14 @@ axis — the top g = log2(D) qubits are the device index bits.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from rustqip_tpu.engine.real_apply import apply_op_ri
+from rustqip_tpu.engine.real_apply import apply_ops_ri
 from rustqip_tpu.engine.apply import _reindex_op
 from rustqip_tpu.errors import CircuitError
 from rustqip_tpu.ops.matrix_ops import (
@@ -40,6 +49,8 @@ from rustqip_tpu.ops.matrix_ops import (
     PhaseProductOp,
     SwapOp,
     make_swap_op,
+    op_to_dense,
+    expand_op_matrix,
 )
 
 Pair = Tuple[jnp.ndarray, jnp.ndarray]
@@ -59,208 +70,111 @@ def _local_op(op: MatrixOp, g: int) -> MatrixOp:
     return _reindex_op(op, tuple(q - g for q in op.indices))
 
 
-def apply_sharded_op(
-    mesh: jax.sharding.Mesh, n: int, op: MatrixOp, re: jnp.ndarray, im: jnp.ndarray
-) -> Pair:
-    """Apply one gate op to a mesh-sharded (re, im) state pair.
+def _remap_op(op: MatrixOp, mapping: dict) -> MatrixOp:
+    return _reindex_op(op, tuple(mapping.get(q, q) for q in op.indices))
 
-    Every op class is supported, each with its cheapest hand-picked
-    schedule: local ops run shard-local (zero comms); diagonals on any
-    qubits run zero-comms (device-index phase gather); dense/swap ops on
-    one global qubit cost a single ppermute exchange; controls with global
-    controls and local targets cost zero comms (device-index select); the
-    general case (multi-global dense, global-target controls) relocates
-    global target qubits into free local slots (2 exchanges per qubit).
-    The GSPMD executor in ``sharded.py`` is the compiler-scheduled
-    alternative; this path pins the collective schedule by hand.
-    """
-    axis, d, g = _mesh_geometry(mesh)
+
+# ---------------------------------------------------------------------------
+# Schedule lowering (host side)
+# ---------------------------------------------------------------------------
+#
+# Schedule entries:
+#   ("local", [ops...])           shard-local engine ops (already reindexed)
+#   ("ctrl", gctrl, inner_op)     global controls -> device-index select
+#   ("exchange", d_mask, blocks, rest_local)
+#                                 single-global dense: ppermute + 2x2 blocks
+#   ("diag", terms)               zero-comm diagonal factor gather
+
+
+def _lower_op(n: int, g: int, op: MatrixOp, sched: List) -> None:
     local_n = n - g
-
     globals_ = tuple(q for q in op.indices if q < g)
+
     if isinstance(op, PhaseProductOp) and globals_:
-        # Diagonal ops never exchange amplitudes: a shard's factor depends
-        # only on its device-index bits (global qubits) and local bits.
-        return _phase_product_sharded(mesh, n, op, re, im)
+        terms = []
+        for tidx, tdiag in op.terms:
+            arr = np.asarray(tdiag, dtype=np.complex128)
+            terms.append((tuple(tidx), np.real(arr), np.imag(arr)))
+        sched.append(("diag", tuple(terms)))
+        return
+
     if not globals_:
         lop = _local_op(op, g)
-
-        @partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(axis), P(axis)),
-            out_specs=(P(axis), P(axis)),
-        )
-        def run_local(re_s, im_s):
-            return apply_op_ri(local_n, lop, re_s, im_s)
-
-        return run_local(re, im)
+        if sched and sched[-1][0] == "local":
+            sched[-1][1].append(lop)
+        else:
+            sched.append(("local", [lop]))
+        return
 
     if isinstance(op, ControlOp) and all(q >= g for q in op.inner.indices):
-        # Global controls, local targets: zero-communication select.
         gctrl = tuple(q for q in op.control_indices if q < g)
         lctrl = tuple(q for q in op.control_indices if q >= g)
         inner = op.inner if not lctrl else ControlOp(
             len(lctrl), lctrl + op.inner.indices, op.inner
         )
-        linner = _local_op(inner, g)
-
-        @partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(axis), P(axis)),
-            out_specs=(P(axis), P(axis)),
-        )
-        def run_ctrl(re_s, im_s):
-            my = jax.lax.axis_index(axis)
-            active = jnp.bool_(True)
-            for q in gctrl:
-                active = active & (((my >> (g - 1 - q)) & 1) == 1)
-            nr, ni = apply_op_ri(local_n, linner, re_s, im_s)
-            out_r = jnp.where(active, nr, re_s)
-            out_i = jnp.where(active, ni, im_s)
-            return out_r, out_i
-
-        return run_ctrl(re, im)
+        sched.append(("ctrl", gctrl, _local_op(inner, g)))
+        return
 
     if isinstance(op, (DenseOp, SwapOp)) and len(globals_) == 1:
         # One global qubit: block-decompose the gate over that qubit's bit
         # and exchange partner shards with a single ppermute.
-        from rustqip_tpu.ops.matrix_ops import op_to_dense
-
         q = globals_[0]
         mask = 1 << (g - 1 - q)
-        perm = [(i, i ^ mask) for i in range(d)]
         mat = op_to_dense(op)
         # Reorder so the global qubit is the leading (most significant) bit.
-        from rustqip_tpu.ops.matrix_ops import expand_op_matrix
-
         order = sorted(op.indices, key=lambda x: (x != q, x))
         pos = tuple(order.index(x) for x in op.indices)
         mat_o = expand_op_matrix(mat, pos, len(op.indices))
         k = len(op.indices)
         half = 1 << (k - 1)
-        # Blocks over the global bit: U = [[B00, B01], [B10, B11]] where
-        # each Bij acts on the remaining (local) qubits.
-        blocks = [
-            [mat_o[:half, :half], mat_o[:half, half:]],
-            [mat_o[half:, :half], mat_o[half:, half:]],
-        ]
+        blocks = (
+            (mat_o[:half, :half], mat_o[:half, half:]),
+            (mat_o[half:, :half], mat_o[half:, half:]),
+        )
         rest = tuple(x for x in order if x != q)
         rest_local = tuple(x - g for x in rest)
+        sched.append(("exchange", mask, blocks, rest_local))
+        return
 
-        def blk_apply(b, re_s, im_s):
-            if not np.any(b):
-                return jnp.zeros_like(re_s), jnp.zeros_like(im_s)
-            if rest_local:
-                lop = DenseOp(rest_local, np.ascontiguousarray(b))
-                return apply_op_ri(local_n, lop, re_s, im_s)
-            val = complex(b[0, 0])
-            return re_s * val.real - im_s * val.imag, re_s * val.imag + im_s * val.real
-
-        @partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(axis), P(axis)),
-            out_specs=(P(axis), P(axis)),
-        )
-        def run_exchange(re_s, im_s):
-            my = jax.lax.axis_index(axis)
-            bit = (my & mask) != 0
-            pre = jax.lax.ppermute(re_s, axis, perm)
-            pim = jax.lax.ppermute(im_s, axis, perm)
-            # own shard has global bit = bit; partner has the complement.
-            r00, i00 = blk_apply(blocks[0][0], re_s, im_s)
-            r01, i01 = blk_apply(blocks[0][1], pre, pim)
-            r10, i10 = blk_apply(blocks[1][0], pre, pim)
-            r11, i11 = blk_apply(blocks[1][1], re_s, im_s)
-            out_r = jnp.where(bit, r10 + r11, r00 + r01)
-            out_i = jnp.where(bit, i10 + i11, i00 + i01)
-            return out_r, out_i
-
-        return run_exchange(re, im)
-
-    # General case (multi-global dense ops, global-target controls, ...):
-    # relocate each global *target* qubit into a free local slot via a
-    # single-exchange swap, apply the op shard-locally, and swap back — the
-    # standard distributed-simulator qubit-relocation schedule (2 exchanges
-    # per relocated qubit, each one ppermute over ICI). Global *control*
-    # qubits never move: the zero-communication device-index select above
-    # handles them after remapping.
-    return _apply_via_relocation(mesh, n, op, re, im)
-
-
-def _phase_product_sharded(
-    mesh: jax.sharding.Mesh, n: int, op: PhaseProductOp, re: jnp.ndarray,
-    im: jnp.ndarray,
-) -> Pair:
-    """Zero-communication diagonal apply on a sharded state.
-
-    Each term's 2^k factor table is embedded as a constant; every shard
-    gathers its own factors from (traced device-index bits | local iota
-    bits) — no ppermute, one elementwise pass.
-    """
-    axis, d, g = _mesh_geometry(mesh)
-    local_n = n - g
-    terms = []
-    for tidx, tdiag in op.terms:
-        arr = np.asarray(tdiag, dtype=np.complex128)
-        terms.append((tuple(tidx), np.real(arr), np.imag(arr)))
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis), P(axis)),
-    )
-    def run_diag(re_s, im_s):
-        my = jax.lax.axis_index(axis)
-        flat = jnp.arange(re_s.size, dtype=jnp.int32)
-        rr, ii = re_s.reshape(-1), im_s.reshape(-1)
-        for tidx, tre, tim in terms:
-            kt = len(tidx)
-            pat = jnp.zeros((), dtype=jnp.int32)
-            vec = jnp.zeros_like(flat)
-            for t, q in enumerate(tidx):
-                shift = kt - 1 - t
-                if q < g:
-                    pat = pat | (((my >> (g - 1 - q)) & 1) << shift)
-                else:
-                    vec = vec | (
-                        ((flat >> (local_n - 1 - (q - g))) & 1) << shift
-                    )
-            idx = vec | pat
-            fr = jnp.take(jnp.asarray(tre, dtype=rr.dtype), idx)
-            fi = jnp.take(jnp.asarray(tim, dtype=rr.dtype), idx)
-            rr, ii = rr * fr - ii * fi, rr * fi + ii * fr
-        return rr.reshape(re_s.shape), ii.reshape(im_s.shape)
-
-    return run_diag(re, im)
-
-
-def _remap_op(op: MatrixOp, mapping: dict) -> MatrixOp:
-    return _reindex_op(op, tuple(mapping.get(q, q) for q in op.indices))
-
-
-def _apply_via_relocation(
-    mesh: jax.sharding.Mesh, n: int, op: MatrixOp, re: jnp.ndarray,
-    im: jnp.ndarray,
-) -> Pair:
-    _, d, g = _mesh_geometry(mesh)
+    # General case: relocate each global *target* qubit into a free local
+    # slot via single-exchange swaps, apply shard-locally, swap back —
+    # the standard distributed-simulator qubit-relocation schedule. Global
+    # *control* qubits never move (the index select handles them).
     if isinstance(op, ControlOp):
-        # Global controls stay put (handled by the index select); only the
-        # inner target qubits must become local.
         move = [q for q in op.target_indices if q < g]
+        spare = 0  # the ctrl branch needs ALL targets local
     else:
-        move = [q for q in op.indices if q < g]
+        move = list(globals_)
+        spare = 1  # the single-exchange branch absorbs one leftover global
     free_local = [q for q in range(g, n) if q not in op.indices]
-    if len(free_local) < len(move):
+    if len(move) - spare > len(free_local):
+        from rustqip_tpu.engine.apply import DENSE_CAP
+
+        if isinstance(op, ControlOp) and op.num_indices <= DENSE_CAP:
+            # Fold the control into a dense op; its globals then relocate
+            # with the one-leftover allowance.
+            _lower_op(
+                n, g, DenseOp(op.indices, op_to_dense(op)), sched
+            )
+            return
+        if (
+            not isinstance(op, ControlOp)
+            and op.num_indices <= DENSE_CAP
+        ):
+            # No room to relocate at all: direct multi-global block
+            # exchange (2^h - 1 XOR-ppermutes; see _lower_multi_exchange).
+            _lower_multi_exchange(n, g, op, globals_, sched)
+            return
         raise CircuitError(
             f"Cannot relocate {len(move)} global qubits: only "
-            f"{len(free_local)} free local qubits (n={n}, mesh={d})"
+            f"{len(free_local)} free local qubits (n={n})"
         )
-    # Highest-index free slots: on the engine's (R, C) layout those are
-    # column qubits, so the post-swap local apply rides the MXU fast path.
+    if len(move) > len(free_local):
+        # Partial relocation: leave one global in place; the remapped op
+        # reaches the single-global exchange branch.
+        move = move[1:]
+    # Highest-index free slots: column qubits on the engine's (R, C)
+    # layout, so the post-swap local apply rides the MXU fast path.
     slots = free_local[-len(move):]
     mapping = {}
     for gq, lq in zip(move, slots):
@@ -268,11 +182,210 @@ def _apply_via_relocation(
         mapping[lq] = gq
     swaps = [make_swap_op([gq], [mapping[gq]]) for gq in move]
     for s in swaps:
-        re, im = apply_sharded_op(mesh, n, s, re, im)
-    re, im = apply_sharded_op(mesh, n, _remap_op(op, mapping), re, im)
+        _lower_op(n, g, s, sched)
+    _lower_op(n, g, _remap_op(op, mapping), sched)
     for s in swaps:
-        re, im = apply_sharded_op(mesh, n, s, re, im)
-    return re, im
+        _lower_op(n, g, s, sched)
+
+
+def _lower_multi_exchange(
+    n: int, g: int, op: MatrixOp, globals_, sched: List
+) -> None:
+    """Direct block exchange for a dense op on h >= 2 global qubits when no
+    free local slots exist (tiny-n circuits): each shard fetches its 2^h-1
+    partner shards with XOR-ppermutes and combines them through the op's
+    (2^h x 2^h) grid of sub-blocks, its own row selected by device index.
+    """
+    local_n = n - g
+    h = len(globals_)
+    k = op.num_indices
+    dl = 1 << (k - h)
+    order = sorted(globals_) + sorted(q for q in op.indices if q >= g)
+    pos = tuple(order.index(x) for x in op.indices)
+    mat_o = expand_op_matrix(op_to_dense(op), pos, k)
+    bstack = np.empty((1 << h, 1 << h, dl, dl), dtype=np.complex128)
+    for gj in range(1 << h):
+        for gi in range(1 << h):
+            bstack[gj, gi] = mat_o[
+                gj * dl : (gj + 1) * dl, gi * dl : (gi + 1) * dl
+            ]
+    rest_local = tuple(q - g for q in order[h:])
+    gq_sorted = tuple(sorted(globals_))
+    sched.append(("exchange_multi", gq_sorted, bstack, rest_local, local_n))
+
+
+def _traced_local_apply(U, rest_local, local_n, re_s, im_s):
+    """Apply a TRACED (dl, dl) complex matrix on the given local qubits.
+
+    Groups the local index bits into runs around the support bits (rank
+    2*(k-h)+1, never rank-local_n — TPU chokes on high ranks), moves the
+    support axes to the front, and contracts. Fallback path only."""
+    kk = len(rest_local)
+    srt = sorted(rest_local)
+    shape: List[int] = []
+    axes: List[int] = []
+    prev = 0
+    for q in srt:
+        shape.append(1 << (q - prev))
+        shape.append(2)
+        axes.append(len(shape) - 1)
+        prev = q + 1
+    shape.append(1 << (local_n - prev))
+    x = jax.lax.complex(re_s, im_s).reshape(shape)
+    # listed-order support: op bit j <-> rest_local[j]
+    front = [axes[srt.index(q)] for q in rest_local]
+    x = jnp.moveaxis(x, front, list(range(kk)))
+    lead = x.shape[:kk]
+    x2 = x.reshape(1 << kk, -1)
+    y2 = U.astype(x2.dtype) @ x2
+    y = y2.reshape(lead + x.shape[kk:])
+    y = jnp.moveaxis(y, list(range(kk)), front)
+    y = y.reshape(re_s.shape)
+    return jnp.real(y), jnp.imag(y)
+
+
+def _lower_schedule(n: int, g: int, ops: Sequence[MatrixOp]) -> List:
+    sched: List = []
+    for op in ops:
+        _lower_op(n, g, op, sched)
+    return [
+        (e[0], tuple(e[1]), *e[2:]) if e[0] == "local" else e for e in sched
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Execution
+# ---------------------------------------------------------------------------
+
+
+def apply_sharded_ops(
+    mesh: jax.sharding.Mesh,
+    n: int,
+    ops: Sequence[MatrixOp],
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+) -> Pair:
+    """Apply a gate-op sequence to a mesh-sharded (re, im) state pair as
+    ONE shard_map program with a hand-pinned collective schedule."""
+    axis, d, g = _mesh_geometry(mesh)
+    local_n = n - g
+    sched = _lower_schedule(n, g, list(ops))
+
+    def blk_apply(b, re_s, im_s, rest_local):
+        if not np.any(b):
+            return jnp.zeros_like(re_s), jnp.zeros_like(im_s)
+        if rest_local:
+            lop = DenseOp(rest_local, np.ascontiguousarray(b))
+            return apply_ops_ri(local_n, [lop], re_s, im_s)
+        val = complex(b[0, 0])
+        return (
+            re_s * val.real - im_s * val.imag,
+            re_s * val.imag + im_s * val.real,
+        )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    def run(re_s, im_s):
+        my = jax.lax.axis_index(axis)
+        for entry in sched:
+            kind = entry[0]
+            if kind == "local":
+                re_s, im_s = apply_ops_ri(local_n, entry[1], re_s, im_s)
+            elif kind == "ctrl":
+                _, gctrl, inner = entry
+                active = jnp.bool_(True)
+                for q in gctrl:
+                    active = active & (((my >> (g - 1 - q)) & 1) == 1)
+                nr, ni = apply_ops_ri(local_n, [inner], re_s, im_s)
+                re_s = jnp.where(active, nr, re_s)
+                im_s = jnp.where(active, ni, im_s)
+            elif kind == "exchange_multi":
+                _, gq, bstack, rest_local, _ = entry
+                h = len(gq)
+                e = jnp.zeros((), jnp.int32)
+                for j, q in enumerate(gq):
+                    e = e | (((my >> (g - 1 - q)) & 1) << (h - 1 - j))
+                # complex constants never cross the boundary: float planes
+                br = jnp.asarray(np.real(bstack), dtype=re_s.dtype)
+                bi = jnp.asarray(np.imag(bstack), dtype=re_s.dtype)
+                acc_r = acc_i = None
+                for t in range(1 << h):
+                    mask_t = 0
+                    for j, q in enumerate(gq):
+                        if (t >> (h - 1 - j)) & 1:
+                            mask_t |= 1 << (g - 1 - q)
+                    if mask_t == 0:
+                        dr, di = re_s, im_s
+                    else:
+                        permt = [(i, i ^ mask_t) for i in range(d)]
+                        dr = jax.lax.ppermute(re_s, axis, permt)
+                        di = jax.lax.ppermute(im_s, axis, permt)
+                    U = jax.lax.complex(br[e, e ^ t], bi[e, e ^ t])
+                    tr, ti = _traced_local_apply(
+                        U, rest_local, local_n, dr, di
+                    )
+                    if acc_r is None:
+                        acc_r, acc_i = tr, ti
+                    else:
+                        acc_r, acc_i = acc_r + tr, acc_i + ti
+                re_s, im_s = acc_r, acc_i
+            elif kind == "exchange":
+                _, mask, blocks, rest_local = entry
+                perm = [(i, i ^ mask) for i in range(d)]
+                bit = (my & mask) != 0
+                pre = jax.lax.ppermute(re_s, axis, perm)
+                pim = jax.lax.ppermute(im_s, axis, perm)
+                # own shard has global bit = bit; partner the complement.
+                r00, i00 = blk_apply(blocks[0][0], re_s, im_s, rest_local)
+                r01, i01 = blk_apply(blocks[0][1], pre, pim, rest_local)
+                r10, i10 = blk_apply(blocks[1][0], pre, pim, rest_local)
+                r11, i11 = blk_apply(blocks[1][1], re_s, im_s, rest_local)
+                re_s = jnp.where(bit, r10 + r11, r00 + r01)
+                im_s = jnp.where(bit, i10 + i11, i00 + i01)
+            else:  # diag
+                _, terms = entry
+                flat = jnp.arange(re_s.size, dtype=jnp.int32)
+                rr, ii = re_s.reshape(-1), im_s.reshape(-1)
+                for tidx, tre, tim in terms:
+                    kt = len(tidx)
+                    pat = jnp.zeros((), dtype=jnp.int32)
+                    vec = jnp.zeros_like(flat)
+                    for t, q in enumerate(tidx):
+                        shift = kt - 1 - t
+                        if q < g:
+                            pat = pat | (((my >> (g - 1 - q)) & 1) << shift)
+                        else:
+                            vec = vec | (
+                                ((flat >> (local_n - 1 - (q - g))) & 1)
+                                << shift
+                            )
+                    idx = vec | pat
+                    fr = jnp.take(jnp.asarray(tre, dtype=rr.dtype), idx)
+                    fi = jnp.take(jnp.asarray(tim, dtype=rr.dtype), idx)
+                    rr, ii = rr * fr - ii * fi, rr * fi + ii * fr
+                re_s = rr.reshape(re_s.shape)
+                im_s = ii.reshape(im_s.shape)
+        return re_s, im_s
+
+    return run(re, im)
+
+
+def apply_sharded_op(
+    mesh: jax.sharding.Mesh, n: int, op: MatrixOp, re: jnp.ndarray,
+    im: jnp.ndarray,
+) -> Pair:
+    """Apply one gate op to a mesh-sharded (re, im) state pair.
+
+    Every op class is supported, each with its cheapest hand-picked
+    schedule (see the module docstring). The GSPMD executor in
+    ``sharded.py`` is the compiler-scheduled alternative; this path pins
+    the collective schedule by hand.
+    """
+    return apply_sharded_ops(mesh, n, [op], re, im)
 
 
 def make_sharded_pair(

@@ -133,9 +133,15 @@ def sharded_calculate_state(
     mesh: Optional[jax.sharding.Mesh] = None,
     key: Optional[jax.Array] = None,
     seed: Optional[int] = None,
+    strategy: str = "gspmd",
 ):
     """Sharded twin of ``LocalBuilder.calculate_state_with_init``: same
     circuit, state distributed over ``mesh`` (default: all devices).
+
+    ``strategy`` selects the partitioner: ``"gspmd"`` (XLA infers the
+    collectives from sharding annotations) or ``"explicit"`` (the
+    hand-pinned shard_map schedule — parallel/explicit.py; measured 15.8x
+    faster per step on an unfused global-qubit-heavy mix).
 
     Returns ``(state_re, state_im, Measurements)`` with the state left
     sharded on device (fetch with np.asarray if it fits on the host).
@@ -148,7 +154,14 @@ def sharded_calculate_state(
     entries = []
     for item in builder.pipeline:
         entries.extend(_lower_item(item))
-    cc = compile_sharded(builder.n, entries, builder.dtype, mesh)
+    if strategy == "explicit":
+        from rustqip_tpu.parallel.explicit import compile_sharded_explicit
+
+        cc = compile_sharded_explicit(builder.n, entries, builder.dtype, mesh)
+    elif strategy == "gspmd":
+        cc = compile_sharded(builder.n, entries, builder.dtype, mesh)
+    else:
+        raise CircuitError(f"Unknown sharding strategy {strategy!r}")
     if key is None:
         key = jax.random.PRNGKey(
             seed if seed is not None else np.random.randint(0, 2**31 - 1)

@@ -1,0 +1,144 @@
+"""Explicit (hand-scheduled shard_map) whole-circuit executor vs the GSPMD
+executor and the single-device path, on the 8-virtual-device mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from rustqip_tpu.parallel import make_shard_mesh
+from rustqip_tpu.parallel.sharded import sharded_calculate_state
+from rustqip_tpu.prelude import LocalBuilder
+
+
+def require_8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def _build(b, n=7):
+    r = b.register(n)
+    qs = b.split_all_register(r)
+    qs[0] = b.h(qs[0])                       # global qubit
+    qs[0], qs[-1] = b.cnot(qs[0], qs[-1])    # global -> local
+    qs[1], qs[-2] = b.swap(qs[1], qs[-2])    # across the seam
+    qs[2] = b.t(qs[2])                       # global diagonal
+    r = b.merge_registers(qs)
+    from rustqip_tpu.algos.qfft import qfft
+
+    r = qfft(b, r)
+    return r
+
+
+def test_explicit_matches_single_device_stochastic():
+    require_8()
+    mesh = make_shard_mesh(8)
+    b = LocalBuilder(dtype="f32")
+    r = _build(b)
+    r, h = b.measure_stochastic(r)
+    re, im, measured = sharded_calculate_state(
+        b, mesh=mesh, seed=0, strategy="explicit"
+    )
+    probs = measured.get_stochastic_measurement(h)
+
+    b1 = LocalBuilder(dtype="f32")
+    r1 = _build(b1)
+    r1, h1 = b1.measure_stochastic(r1)
+    _, m1 = b1.calculate_state(seed=0)
+    expected = m1.get_stochastic_measurement(h1)
+    np.testing.assert_allclose(probs, expected, atol=1e-5)
+    assert len(re.sharding.device_set) == 8
+
+
+def test_explicit_matches_gspmd_collapsing():
+    require_8()
+    mesh = make_shard_mesh(8)
+
+    def build(strategy_seed):
+        b = LocalBuilder(dtype="f64")
+        r = _build(b)
+        qs = b.split_all_register(r)
+        m0 = b.measure(b.merge_registers(qs[:3]))        # global qubits
+        m1 = b.measure(b.merge_registers(qs[3:]))        # local qubits
+        return b, m0[1], m1[1]
+
+    b, h0, h1 = build(0)
+    re_e, im_e, meas_e = sharded_calculate_state(
+        b, mesh=mesh, seed=5, strategy="explicit"
+    )
+    b2, g0, g1 = build(0)
+    re_g, im_g, meas_g = sharded_calculate_state(
+        b2, mesh=mesh, seed=5, strategy="gspmd"
+    )
+    o_e0, p_e0 = meas_e.get_measurement(h0)
+    o_g0, p_g0 = meas_g.get_measurement(g0)
+    assert o_e0 == o_g0
+    assert abs(p_e0 - p_g0) < 1e-9
+    o_e1, p_e1 = meas_e.get_measurement(h1)
+    o_g1, p_g1 = meas_g.get_measurement(g1)
+    assert o_e1 == o_g1
+    assert abs(p_e1 - p_g1) < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(re_e), np.asarray(re_g), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(im_e), np.asarray(im_g), atol=1e-9
+    )
+    # collapsed state is normalized
+    total = float(np.sum(np.asarray(re_e) ** 2 + np.asarray(im_e) ** 2))
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_explicit_forced_condition():
+    require_8()
+    mesh = make_shard_mesh(8)
+    from rustqip_tpu.builder.builder import _lower_item
+    from rustqip_tpu.parallel.explicit import compile_sharded_explicit
+
+    b = LocalBuilder(dtype="f64")
+    q = b.register(7)
+    qs = b.split_all_register(q)
+    qs[0] = b.h(qs[0])
+    _, m = b.measure(qs[0])
+    entries = []
+    for item in b.pipeline:
+        entries.extend(_lower_item(item))
+    cc = compile_sharded_explicit(7, entries, np.complex128, mesh)
+    for want in (0, 1):
+        re, im, results = cc.run(
+            initial_index=0, key=jax.random.PRNGKey(0),
+            forced={0: (want, None)},
+        )
+        outcome, prob = results[0]
+        assert int(outcome) == want
+        assert abs(float(prob) - 0.5) < 1e-9
+
+
+def test_explicit_repeat_blocks():
+    require_8()
+    mesh = make_shard_mesh(8)
+
+    def grover_ish(b):
+        r = b.register(6)
+        r = b.h(r)
+
+        def round_(bb, reg):
+            reg = bb.x(reg)
+            reg = bb.h(reg)
+            return reg
+
+        r = b.repeat(3, round_, r)
+        return b.measure_stochastic(r)
+
+    b = LocalBuilder(dtype="f32")
+    _, h = grover_ish(b)
+    _, _, meas = sharded_calculate_state(
+        b, mesh=mesh, seed=1, strategy="explicit"
+    )
+    b1 = LocalBuilder(dtype="f32")
+    _, h1 = grover_ish(b1)
+    _, m1 = b1.calculate_state(seed=1)
+    np.testing.assert_allclose(
+        meas.get_stochastic_measurement(h),
+        m1.get_stochastic_measurement(h1),
+        atol=1e-5,
+    )

@@ -126,18 +126,64 @@ def test_sharded_phase_product():
     run_both(op)
 
 
-def test_relocation_needs_free_local_slots():
+def test_whole_sequence_one_program():
+    # apply_sharded_ops lowers the entire op list into one shard_map body
+    # (locals batch between exchanges) — equivalence on a mixed sequence.
     require_8()
-    from rustqip_tpu.errors import CircuitError
+    from rustqip_tpu.ops.matrix_ops import PhaseProductOp
+    from rustqip_tpu.parallel.shard_ops import apply_sharded_ops
 
+    rng = np.random.default_rng(21)
+    m = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+    u, _ = np.linalg.qr(m)
+    ops = [
+        make_matrix_op([4], gates.H.reshape(-1)),
+        make_matrix_op([0], gates.H.reshape(-1)),
+        make_matrix_op([5], gates.T.reshape(-1)),
+        make_matrix_op([6], gates.X.reshape(-1)),
+        make_control_op([1], make_matrix_op([3], gates.X.reshape(-1))),
+        make_matrix_op([2, 5], u.reshape(-1)),
+        PhaseProductOp((((0, 6), (1, 1, 1, 1j)),)),
+        make_swap_op([1], [4]),
+        make_control_op([5], make_matrix_op([0], gates.Y.reshape(-1))),
+    ]
     mesh = make_shard_mesh(8)
-    re, im = make_sharded_pair(mesh, N)
-    # op spanning every qubit leaves no free local slot to relocate into
+    re, im = make_sharded_pair(mesh, N, initial_index=3, dtype=np.float64)
+    re, im = apply_sharded_ops(mesh, N, ops, re, im)
+    got = np.asarray(re) + 1j * np.asarray(im)
+
+    state = np.zeros(1 << N, dtype=np.complex128)
+    state[3] = 1.0
+    for op in ops:
+        state = np.asarray(apply_op(N, op, state))
+    np.testing.assert_allclose(got, state, atol=1e-12)
+
+
+def test_schedule_batches_locals():
+    # Consecutive local ops must merge into one schedule entry.
+    from rustqip_tpu.parallel.shard_ops import _lower_schedule
+
+    ops = [
+        make_matrix_op([4], gates.H.reshape(-1)),
+        make_matrix_op([5], gates.T.reshape(-1)),
+        make_matrix_op([0], gates.H.reshape(-1)),  # exchange
+        make_matrix_op([6], gates.X.reshape(-1)),
+        make_matrix_op([3], gates.Z.reshape(-1)),
+    ]
+    sched = _lower_schedule(N, 3, ops)
+    kinds = [e[0] for e in sched]
+    assert kinds == ["local", "exchange", "local"]
+    assert len(sched[0][1]) == 2 and len(sched[2][1]) == 2
+
+
+def test_full_width_dense_multi_exchange():
+    # An op spanning EVERY qubit leaves no free local slot to relocate
+    # into; the direct multi-global block exchange (2^g - 1 XOR-ppermutes)
+    # must handle it.
+    require_8()
     rng = np.random.default_rng(1)
     m = rng.normal(size=(1 << N, 1 << N)) + 1j * rng.normal(
         size=(1 << N, 1 << N)
     )
     u, _ = np.linalg.qr(m)
-    op = make_matrix_op(list(range(N)), u.reshape(-1))
-    with pytest.raises(CircuitError):
-        apply_sharded_op(mesh, N, op, re, im)
+    run_both(make_matrix_op(list(range(N)), u.reshape(-1)))
