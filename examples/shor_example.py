@@ -1,6 +1,6 @@
 """Shor's algorithm: factor 15 via quantum period finding."""
 
-from rustqip_tpu.models import factor, find_period
+from rustqip_tpu.algos import factor, find_period
 
 
 def main():
