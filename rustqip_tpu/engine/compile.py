@@ -189,6 +189,32 @@ class CompiledCircuit:
                 total += len(s)
         return total
 
+    @property
+    def num_sweeps(self) -> int:
+        """Estimated HBM sweeps after runtime strip-window batching: the
+        engine merges runs of dense ops into single read+write sweeps
+        (real_apply._collect_window), so this is the bandwidth-accounting
+        figure; ``num_passes`` counts retired (fused) gate ops."""
+        from rustqip_tpu.engine.real_apply import _collect_window
+
+        def count(ops) -> int:
+            c = i = 0
+            while i < len(ops):
+                _, j = _collect_window(self.n, ops, i)
+                c += 1
+                i = j if j > i else i + 1
+            return c
+
+        total = 0
+        for s in self.segments:
+            if isinstance(s, MeasureEntry):
+                continue
+            if isinstance(s, tuple) and s[0] == "repeat":
+                total += s[1] * count(s[2])
+            else:
+                total += count(s)
+        return total
+
     # -- tracing -----------------------------------------------------------
     @staticmethod
     def _use_real_pairs() -> bool:

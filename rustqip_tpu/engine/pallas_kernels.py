@@ -91,6 +91,151 @@ def available() -> bool:
     return "PALLAS_AXON_TPU_GEN" not in os.environ
 
 
+def _window_kernel_body(h: int, steps, *refs):
+    """Kernel body: chain a whole strip-window in VMEM.
+
+    ``refs`` = 2^h (xr, xi) input ref pairs, per-low-step (br, bi) matrix
+    refs, then 2^h (or, oi) output ref pairs. Each grid step holds one row
+    block of EVERY strip, so scalar-high mixes and C x C matmuls chain
+    without returning to HBM — the whole window costs one read+write of
+    the state plus MXU time.
+    """
+    ns = 1 << h
+    n_low = sum(1 for s in steps if s[0] == "low")
+    ins = refs[: 2 * ns]
+    mats = refs[2 * ns : 2 * ns + 2 * n_low]
+    outs = refs[2 * ns + 2 * n_low :]
+
+    cur = [(ins[2 * i][:], ins[2 * i + 1][:]) for i in range(ns)]
+    li = 0
+    for step in steps:
+        if step[0] == "low":
+            br = mats[2 * li][:]
+            bi = mats[2 * li + 1][:]
+            li += 1
+            nxt = []
+            for xr, xi in cur:
+                rr = jnp.dot(xr, br, preferred_element_type=jnp.float32)
+                ri = jnp.dot(xi, bi, preferred_element_type=jnp.float32)
+                ir = jnp.dot(xr, bi, preferred_element_type=jnp.float32)
+                ii = jnp.dot(xi, br, preferred_element_type=jnp.float32)
+                nxt.append((rr - ri, ir + ii))
+            cur = nxt
+        else:  # mix: {(j, i): complex scalar}
+            blocks = step[1]
+            nxt = []
+            for j in range(ns):
+                acc_r = acc_i = None
+                for i in range(ns):
+                    v = blocks.get((j, i))
+                    if v is None or v == 0:
+                        continue
+                    sr, si = cur[i]
+                    if v == 1:
+                        tr, ti = sr, si
+                    elif v.imag == 0:
+                        tr, ti = sr * v.real, si * v.real
+                    elif v.real == 0:
+                        tr, ti = -si * v.imag, sr * v.imag
+                    else:
+                        tr = sr * v.real - si * v.imag
+                        ti = sr * v.imag + si * v.real
+                    if acc_r is None:
+                        acc_r, acc_i = tr, ti
+                    else:
+                        acc_r, acc_i = acc_r + tr, acc_i + ti
+                if acc_r is None:
+                    acc_r = jnp.zeros_like(cur[0][0])
+                    acc_i = jnp.zeros_like(cur[0][1])
+                nxt.append((acc_r, acc_i))
+            cur = nxt
+    for i in range(ns):
+        outs[2 * i][:] = cur[i][0]
+        outs[2 * i + 1][:] = cur[i][1]
+
+
+def window_sweep(
+    xr: jnp.ndarray,
+    xi: jnp.ndarray,
+    h: int,
+    steps,
+    interpret: bool = False,
+):
+    """Execute a strip-window (bits = the TOP h row bits, so strips are
+    contiguous row chunks) as one VMEM-resident Pallas sweep.
+
+    ``steps``: ("low", B_complex_ndarray) | ("mix", {(j, i): complex}).
+    Caller guarantees: h <= 2, rows % (2^h * _BLOCK_ROWS) == 0, C == 128.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = xr.shape[0]
+    ns = 1 << h
+    srows = rows // ns
+    nblk = srows // _BLOCK_ROWS
+    grid = (nblk,)
+
+    def strip_spec(i):
+        return pl.BlockSpec(
+            (_BLOCK_ROWS, _C),
+            lambda r, i=i: (i * nblk + r, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    mat_spec = pl.BlockSpec(
+        (_C, _C), lambda r: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    in_specs = []
+    operands = []
+    for i in range(ns):
+        in_specs += [strip_spec(i), strip_spec(i)]
+        operands += [xr, xi]
+    n_low = 0
+    for step in steps:
+        if step[0] == "low":
+            n_low += 1
+            bt = np.ascontiguousarray(step[1].T)
+            operands.append(jnp.asarray(np.real(bt), dtype=jnp.float32))
+            operands.append(jnp.asarray(np.imag(bt), dtype=jnp.float32))
+            in_specs += [mat_spec, mat_spec]
+
+    # Outputs: one (srows, C) buffer per strip plane (exactly state-sized
+    # in total); the final concat restores the contiguous layout.
+    out_strip_spec = pl.BlockSpec(
+        (_BLOCK_ROWS, _C), lambda r: (r, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = []
+    out_shape = []
+    for _ in range(ns):
+        out_specs += [out_strip_spec, out_strip_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((srows, _C), jnp.float32),
+            jax.ShapeDtypeStruct((srows, _C), jnp.float32),
+        ]
+
+    import functools as _ft
+
+    flops_per_low = 8 * rows * _C * _C
+    outs = pl.pallas_call(
+        _ft.partial(_window_kernel_body, h, tuple(steps)),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=n_low * flops_per_low,
+            bytes_accessed=2 * rows * _C * 4 * 2,
+            transcendentals=0,
+        ),
+    )(*operands)
+    out_r = jnp.concatenate([outs[2 * i] for i in range(ns)], axis=0)
+    out_i = jnp.concatenate([outs[2 * i + 1] for i in range(ns)], axis=0)
+    return out_r, out_i
+
+
 def c64_low_matmul(xr: jnp.ndarray, xi: jnp.ndarray, B: np.ndarray):
     """(xr + i xi) @ B.T for a C x C complex block matrix B.
 

@@ -201,6 +201,8 @@ def _plan_of(n: int, op) -> "tuple | None":
 
 
 def _is_scalar_high(plan) -> bool:
+    # Scalar blocks occur exactly when the op's support is entirely on row
+    # qubits (l == 0 in _dense_plan).
     return (
         plan is not None
         and plan[0] == "blocks"
@@ -208,54 +210,195 @@ def _is_scalar_high(plan) -> bool:
     )
 
 
-def _paired_sweep_ri(n, high_plan, low_B: np.ndarray, re, im) -> Pair:
-    """One HBM sweep executing a scalar-block high-qubit op followed by a
-    composed low-qubit C x C matmul: strips are combined (VPU) and
-    matmul'd (MXU) before reassembly, so the pair costs one read+write of
-    the state — measured 194 vs 93 applies/s on the alternating
-    H(0)/H(27) pattern at n=28 (v5e)."""
-    _, blocks, seg_shape, h, R, C = high_plan
-    xr = re.reshape(seg_shape + (C,))
-    xi = im.reshape(seg_shape + (C,))
+#: Largest strip-window width (2^h strips kept live per sweep).
+WINDOW_MAX_BITS = 3
+
+
+def _collect_window(n: int, ops, start: int, max_h: int = WINDOW_MAX_BITS):
+    """Greedy maximal run of dense ops executable as ONE strip sweep.
+
+    A window holds the 2^h row strips for a set of row-qubit bits H; while
+    they are live, any op whose support is either entirely on column
+    qubits (a per-strip C x C matmul, consecutive ones composed) or a
+    scalar-block mix over bits within H (a VPU linear combination of
+    strips) chains without touching HBM again. The alternating
+    H(0)/H(27) benchmark becomes a single sweep this way (one state
+    read+write for the whole run).
+
+    Returns ``((H_sorted, steps), next_index)`` or ``(None, start)``;
+    steps are ("low", composed numpy C x C) / ("mix", op, plan).
+    """
+    H: set = set()
+    steps: List = []
+    consumed = 0
+    pending_B = None
+    j = start
+    while j < len(ops):
+        p = _plan_of(n, ops[j])
+        if p is None:
+            break
+        if p[0] == "low":
+            B = p[1]
+            pending_B = B if pending_B is None else B @ pending_B
+            j += 1
+            consumed += 1
+            continue
+        if not _is_scalar_high(p):
+            break
+        new_h = H | set(ops[j].indices)
+        if len(new_h) > max_h:
+            break
+        H = new_h
+        if pending_B is not None:
+            steps.append(("low", pending_B))
+            pending_B = None
+        steps.append(("mix", ops[j], p))
+        j += 1
+        consumed += 1
+    if pending_B is not None:
+        steps.append(("low", pending_B))
+    if consumed == 0:
+        return None, start
+    return (tuple(sorted(H)), steps), j
+
+
+def _expand_mix(hq, op, plan) -> dict:
+    """Expand a scalar-block op's (j_op, i_op) blocks into window strip
+    index space: {(j_window, i_window): scalar}."""
+    blocks = plan[1]
+    op_bits = sorted(op.indices)
+    h = len(hq)
+    h_op = len(op_bits)
+    wpos = [hq.index(q) for q in op_bits]
+    out = {}
+    for jw in range(1 << h):
+        j_op = 0
+        for t in range(h_op):
+            j_op |= ((jw >> (h - 1 - wpos[t])) & 1) << (h_op - 1 - t)
+        for i_op in range(1 << h_op):
+            blk = blocks.get((j_op, i_op))
+            if blk is None:
+                continue
+            iw = jw
+            for t in range(h_op):
+                bit = (i_op >> (h_op - 1 - t)) & 1
+                pos = h - 1 - wpos[t]
+                iw = (iw & ~(1 << pos)) | (bit << pos)
+            out[(jw, iw)] = blk[1]
+    return out
+
+
+def _window_kernel_applicable(n: int, hq, steps) -> bool:
+    """The Pallas window kernel handles contiguous strips (window bits =
+    the top row bits), h <= 2, block-aligned strip rows, and at least one
+    matmul step (pure mixes fuse fine in XLA already)."""
+    h = len(hq)
+    m, R, C = _geometry(n)
+    if not (1 <= h <= 2 and hq == tuple(range(h))):
+        return False
+    if C != 128 or (R >> h) % pallas_kernels._BLOCK_ROWS != 0:
+        return False
+    return any(s[0] == "low" for s in steps)
+
+
+def _window_sweep_ri(n: int, window, re, im) -> Pair:
+    """Execute a collected window as one sweep over the state."""
+    from rustqip_tpu.engine.apply import _row_segment_shape
+
+    hq, steps = window
+    h = len(hq)
+    m, R, C = _geometry(n)
+    if h == 0:
+        # pure composed low run: one C x C matmul
+        (_, B), = steps
+        out_r, out_i = pallas_kernels.c64_low_matmul(
+            re.reshape(R, C), im.reshape(R, C), B
+        )
+        return out_r.reshape(-1), out_i.reshape(-1)
+
+    if (
+        pallas_kernels.available()
+        and re.dtype == jnp.float32
+        and _window_kernel_applicable(n, hq, steps)
+    ):
+        ksteps = [
+            s if s[0] == "low" else ("mix", _expand_mix(hq, s[1], s[2]))
+            for s in steps
+        ]
+        out_r, out_i = pallas_kernels.window_sweep(
+            re.reshape(R, C), im.reshape(R, C), h, ksteps
+        )
+        return out_r.reshape(-1), out_i.reshape(-1)
+
+    seg_shape = _row_segment_shape(n, m, list(hq))
     two_axes = tuple(range(1, 2 * h, 2))
     strip_shape = tuple(
         1 if ax in two_axes else d for ax, d in enumerate(seg_shape)
     ) + (C,)
-    strips = {}
+    xr = re.reshape(seg_shape + (C,))
+    xi = im.reshape(seg_shape + (C,))
 
-    def strip(i: int):
-        if i not in strips:
-            idx = [slice(None)] * len(seg_shape) + [slice(None)]
-            for pos, ax in enumerate(two_axes):
-                idx[ax] = (i >> (h - 1 - pos)) & 1
-            strips[i] = (
-                xr[tuple(idx)].reshape(-1, C),
-                xi[tuple(idx)].reshape(-1, C),
-            )
-        return strips[i]
+    strips: List = []
+    for i in range(1 << h):
+        idx = [slice(None)] * len(seg_shape) + [slice(None)]
+        for pos, ax in enumerate(two_axes):
+            idx[ax] = (i >> (h - 1 - pos)) & 1
+        strips.append(
+            (xr[tuple(idx)].reshape(-1, C), xi[tuple(idx)].reshape(-1, C))
+        )
 
-    outs_r: List = []
-    outs_i: List = []
-    for hj in range(1 << h):
-        acc_r = acc_i = None
-        for hi in range(1 << h):
-            blk = blocks.get((hj, hi))
-            if blk is None:
-                continue
-            sr, si = strip(hi)
-            tr, ti = _scalar_mul(sr, si, blk[1])
+    for step in steps:
+        if step[0] == "low":
+            B = step[1]
+            strips = [
+                _real_block_matmul(sr, si, B) for sr, si in strips
+            ]
+            continue
+        _, op, plan = step
+        blocks = plan[1]
+        op_bits = sorted(op.indices)
+        h_op = len(op_bits)
+        # window bit position of each op bit (op block bit (h_op-1-t)
+        # <-> op_bits[t] <-> window bit (h-1-hq.index(...)))
+        wpos = [hq.index(q) for q in op_bits]
+
+        def op_sub(iw: int) -> int:
+            v = 0
+            for t in range(h_op):
+                bit = (iw >> (h - 1 - wpos[t])) & 1
+                v |= bit << (h_op - 1 - t)
+            return v
+
+        def with_sub(iw: int, sub: int) -> int:
+            v = iw
+            for t in range(h_op):
+                bit = (sub >> (h_op - 1 - t)) & 1
+                pos = h - 1 - wpos[t]
+                v = (v & ~(1 << pos)) | (bit << pos)
+            return v
+
+        new_strips: List = []
+        for jw in range(1 << h):
+            j_op = op_sub(jw)
+            acc_r = acc_i = None
+            for i_op in range(1 << h_op):
+                blk = blocks.get((j_op, i_op))
+                if blk is None:
+                    continue
+                sr, si = strips[with_sub(jw, i_op)]
+                tr, ti = _scalar_mul(sr, si, blk[1])
+                if acc_r is None:
+                    acc_r, acc_i = tr, ti
+                else:
+                    acc_r, acc_i = acc_r + tr, acc_i + ti
             if acc_r is None:
-                acc_r, acc_i = tr, ti
-            else:
-                acc_r, acc_i = acc_r + tr, acc_i + ti
-        if acc_r is None:
-            z = jnp.zeros_like(strip(0)[0])
-            acc_r, acc_i = z, z
-        acc_r, acc_i = _real_block_matmul(acc_r, acc_i, low_B)
-        outs_r.append(acc_r.reshape(strip_shape))
-        outs_i.append(acc_i.reshape(strip_shape))
+                z = jnp.zeros_like(strips[0][0])
+                acc_r, acc_i = z, z
+            new_strips.append((acc_r, acc_i))
+        strips = new_strips
 
-    def assemble(outs):
+    def assemble(plane_idx: int):
+        outs = [s[plane_idx].reshape(strip_shape) for s in strips]
         for j in reversed(range(h)):
             ax = two_axes[j]
             outs = [
@@ -264,52 +407,26 @@ def _paired_sweep_ri(n, high_plan, low_B: np.ndarray, re, im) -> Pair:
             ]
         return outs[0].reshape(-1)
 
-    return assemble(outs_r), assemble(outs_i)
+    return assemble(0), assemble(1)
 
 
 def apply_ops_ri(
     n: int, ops: Sequence[MatrixOp], re: jnp.ndarray, im: jnp.ndarray
 ) -> Pair:
-    """Apply ops in sequence with sweep pairing: a dense op whose blocks
-    are pure scalars (support entirely on row qubits) followed by a run of
-    low-qubit dense ops executes as ONE sweep (the strips combine, the
-    composed C x C gate matmuls, reassembly happens once). Consecutive
-    low-only dense ops also compose into a single matmul ahead of time."""
+    """Apply ops in sequence with strip-window sweeps: maximal runs of
+    dense ops whose supports stay within (column qubits) + (<= 3 row-qubit
+    bits with scalar blocks) execute as ONE read+write of the state —
+    strips mix on the VPU, composed C x C gates matmul on the MXU,
+    reassembly happens once per window. Measured at n=28 (v5e): the
+    alternating H(0)/H(27) pattern collapses from 30 passes to 1."""
     ops = list(ops)
     i = 0
     while i < len(ops):
-        op = ops[i]
-        plan = _plan_of(n, op)
-        # Collect a run of consecutive low-only dense ops into one matmul.
-        if plan is not None and plan[0] == "low":
-            B = plan[1]
-            j = i + 1
-            while j < len(ops):
-                pj = _plan_of(n, ops[j])
-                if pj is None or pj[0] != "low":
-                    break
-                B = pj[1] @ B
-                j += 1
-            re, im = pallas_kernels.c64_low_matmul(
-                re.reshape(plan[2], plan[3]), im.reshape(plan[2], plan[3]), B
-            )
-            re, im = re.reshape(-1), im.reshape(-1)
+        window, j = _collect_window(n, ops, i)
+        if window is not None:
+            re, im = _window_sweep_ri(n, window, re, im)
             i = j
             continue
-        if _is_scalar_high(plan):
-            # Fold the following low-only dense run into this sweep.
-            B = None
-            j = i + 1
-            while j < len(ops):
-                pj = _plan_of(n, ops[j])
-                if pj is None or pj[0] != "low":
-                    break
-                B = pj[1] if B is None else pj[1] @ B
-                j += 1
-            if B is not None:
-                re, im = _paired_sweep_ri(n, plan, B, re, im)
-                i = j
-                continue
-        re, im = apply_op_ri(n, op, re, im)
+        re, im = apply_op_ri(n, ops[i], re, im)
         i += 1
     return re, im

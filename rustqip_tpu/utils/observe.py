@@ -73,7 +73,7 @@ def circuit_stats(builder, compiled: bool = True) -> CircuitStats:
     )
     if compiled:
         cc = builder.compile()
-        stats.fused_passes = cc.num_passes
+        stats.fused_passes = cc.num_sweeps
         amp_bytes = np.dtype(builder.dtype).itemsize
         stats.bytes_per_pass = 2 * (1 << builder.n) * amp_bytes
         stats.est_hbm_traffic_bytes = stats.fused_passes * stats.bytes_per_pass
@@ -101,15 +101,17 @@ def profile_circuit(
         re, im, _ = cc.run(initial_index=0, key=key)
     float(re[0])
     steady_s = (time.time() - t0) / iters
+    sweeps = cc.num_sweeps
     out = {
         "compile_plus_first_s": compile_s,
         "steady_run_s": steady_s,
-        "passes": float(cc.num_passes),
-        "ms_per_pass": steady_s / max(cc.num_passes, 1) * 1e3,
+        "gate_passes": float(cc.num_passes),
+        "hbm_sweeps": float(sweeps),
+        "ms_per_sweep": steady_s / max(sweeps, 1) * 1e3,
     }
     amp_bytes = np.dtype(builder.dtype).itemsize
     out["effective_gbps"] = (
-        cc.num_passes * 2 * (1 << builder.n) * amp_bytes / steady_s / 1e9
+        sweeps * 2 * (1 << builder.n) * amp_bytes / steady_s / 1e9
         if steady_s > 0
         else float("inf")
     )

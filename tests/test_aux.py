@@ -84,7 +84,8 @@ def test_profile_circuit_runs():
     b.h(r)
     out = profile_circuit(b, iters=2)
     assert out["steady_run_s"] >= 0
-    assert out["passes"] >= 1
+    assert out["gate_passes"] >= 1
+    assert 1 <= out["hbm_sweeps"] <= out["gate_passes"]
 
 
 def test_shor_period():

@@ -109,3 +109,61 @@ def test_trailing_high_without_low():
         make_matrix_op([0], gates.H.reshape(-1)),
     ]
     _check(ops)
+
+
+def test_long_alternating_window_single_sweep():
+    # The whole alternating run must execute as ONE window sweep.
+    from rustqip_tpu.engine.real_apply import _collect_window
+
+    ops = [
+        make_matrix_op([(i % 2) * (N - 1)], gates.H.reshape(-1))
+        for i in range(12)
+    ]
+    window, j = _collect_window(N, ops, 0)
+    assert j == 12
+    assert window[0] == (0,)
+    _check(ops)
+
+
+def test_multi_bit_window_interleaved():
+    # Three distinct row bits + interleaved low gates: one window (h=3).
+    from rustqip_tpu.engine.real_apply import _collect_window
+
+    ops = [
+        make_matrix_op([0], gates.H.reshape(-1)),
+        make_matrix_op([N - 1], gates.T.reshape(-1)),
+        make_matrix_op([1], gates.X.reshape(-1)),
+        make_matrix_op([N - 2], _rand_u(1, 7).reshape(-1)),
+        make_matrix_op([2], gates.Y.reshape(-1)),
+        make_matrix_op([0], gates.Z.reshape(-1)),
+        make_matrix_op([N - 1], gates.H.reshape(-1)),
+    ]
+    window, j = _collect_window(N, ops, 0)
+    assert j == len(ops)
+    assert window[0] == (0, 1, 2)
+    _check(ops)
+
+
+def test_window_bit_cap_splits():
+    # A 4th distinct row bit exceeds WINDOW_MAX_BITS and starts a new
+    # window; results must still be exact.
+    ops = [
+        make_matrix_op([0], gates.H.reshape(-1)),
+        make_matrix_op([1], gates.H.reshape(-1)),
+        make_matrix_op([2], gates.H.reshape(-1)),
+        make_matrix_op([3], gates.H.reshape(-1)),
+        make_matrix_op([N - 1], gates.H.reshape(-1)),
+    ]
+    _check(ops)
+
+
+def test_two_qubit_scalar_high_in_window():
+    # A 2-row-qubit gate (X(x)Z on bits 0,2) mixing inside a 3-bit window.
+    xz = np.kron(gates.X, gates.Z)
+    ops = [
+        make_matrix_op([1], gates.H.reshape(-1)),
+        make_matrix_op([0, 2], xz.reshape(-1)),
+        make_matrix_op([N - 1], gates.T.reshape(-1)),
+        make_matrix_op([2], gates.H.reshape(-1)),
+    ]
+    _check(ops)

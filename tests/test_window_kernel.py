@@ -1,0 +1,72 @@
+"""Pallas window-sweep kernel vs the engine, in interpret mode (the
+Mosaic compile itself only runs on real TPU; interpret mode checks the
+kernel body's semantics on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rustqip_tpu.engine.pallas_kernels import _BLOCK_ROWS, window_sweep
+from rustqip_tpu.engine.real_apply import (
+    _collect_window,
+    _expand_mix,
+    apply_op_ri,
+)
+from rustqip_tpu.ops import gates
+from rustqip_tpu.ops.matrix_ops import make_matrix_op
+
+N = 18  # smallest n with (R/4) % _BLOCK_ROWS == 0
+
+
+def _run_window_kernel(ops):
+    R, C = 1 << (N - 7), 128
+    rng = np.random.default_rng(0)
+    sr = rng.normal(size=1 << N).astype(np.float32)
+    si = rng.normal(size=1 << N).astype(np.float32)
+    window, j = _collect_window(N, ops, 0)
+    assert j == len(ops)
+    hq, steps = window
+    ksteps = [
+        s if s[0] == "low" else ("mix", _expand_mix(hq, s[1], s[2]))
+        for s in steps
+    ]
+    re, im = jnp.asarray(sr), jnp.asarray(si)
+    out_r, out_i = window_sweep(
+        re.reshape(R, C), im.reshape(R, C), len(hq), ksteps, interpret=True
+    )
+    got = np.asarray(out_r).reshape(-1) + 1j * np.asarray(out_i).reshape(-1)
+    er, ei = re, im
+    for op in ops:
+        er, ei = apply_op_ri(N, op, er, ei)
+    want = np.asarray(er) + 1j * np.asarray(ei)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_alternating_window_kernel():
+    _run_window_kernel(
+        [make_matrix_op([(i % 2) * (N - 1)], gates.H.reshape(-1))
+         for i in range(8)]
+    )
+
+
+def test_h2_window_kernel():
+    _run_window_kernel([
+        make_matrix_op([0], gates.H.reshape(-1)),
+        make_matrix_op([1], gates.X.reshape(-1)),
+        make_matrix_op([N - 1], gates.T.reshape(-1)),
+        make_matrix_op([0], gates.Y.reshape(-1)),
+        make_matrix_op([N - 2], gates.H.reshape(-1)),
+    ])
+
+
+def test_low_heavy_window_kernel():
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+    u, _ = np.linalg.qr(m)
+    _run_window_kernel([
+        make_matrix_op([0], gates.H.reshape(-1)),
+        make_matrix_op([N - 1, N - 3], u.reshape(-1)),
+        make_matrix_op([N - 2], gates.S.reshape(-1)),
+        make_matrix_op([0], gates.H.reshape(-1)),
+        make_matrix_op([N - 1], gates.H.reshape(-1)),
+    ])
