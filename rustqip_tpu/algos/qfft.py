@@ -34,10 +34,12 @@ def qfft(b, r):
             ri = cb.apply_global_phase_ratio(ri, PiRational(1, 2 << (j - i)))
             rs[j] = cb.dissolve()
         rs[i] = ri
-    # Bit-reversal swaps (qfft.rs:29-37).
+    # Bit-reversal swaps (qfft.rs:29-37) — native SWAP objects, which
+    # coalesce into ONE permutation gather pass at execution (the
+    # reference's 3-CNOT swaps cost a pass per pair).
     for i in range(k // 2):
         a, bq = rs[i], rs[k - 1 - i]
-        a, bq = b.swap(a, bq)
+        a, bq = b.swap_registers(a, bq)
         rs[i], rs[k - 1 - i] = a, bq
     return b.merge_registers(rs)
 

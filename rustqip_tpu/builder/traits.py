@@ -215,6 +215,24 @@ class CliffordTMixin:
             new_b.append(qb)
         return self.merge_registers(new_a), self.merge_registers(new_b)
 
+    def swap_registers(
+        self, ra: Register, rb: Register
+    ) -> Tuple[Register, Register]:
+        """Native register swap: records ONE symbolic SWAP object, which
+        the engine executes as a single bit-permutation gather pass (and
+        coalesces with adjacent swaps) — vs ``swap``'s reference-parity 3
+        CNOTs per pair. Conditions correctly (the SWAP object lowers to
+        native controlled swaps under a Conditioned builder)."""
+        if ra.n != rb.n:
+            raise CircuitError("Swap must be between registers of the same size.")
+        k = ra.n
+        merged = self.merge_two_registers(ra, rb)
+        merged = self.apply_circuit_object(
+            merged, CircuitObject(2 * k, NamedGate("SWAP"))
+        )
+        res = self.split_register_relative(merged, range(k))
+        return res.selected, res.remaining
+
 
 class TemporaryRegisterMixin:
     """Zeroed temp-qubit pool (ref TemporaryRegisterBuilder, :486-498)."""

@@ -543,14 +543,118 @@ def _apply_control(n: int, op: ControlOp, state: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask, inner_applied, s2d).reshape(-1)
 
 
+def _row_relabel_src(n: int, layout) -> jnp.ndarray:
+    """(R,) gather indices realizing a row-bit relabeling: output row slot
+    s holds the input bit at row position ``layout[s]``."""
+    m, R, C = _geometry(n)
+    n_m = n - m
+    rows = jnp.arange(R, dtype=jnp.int32)
+    src = jnp.zeros_like(rows)
+    for s, q in enumerate(layout):
+        src = src | (((rows >> (n_m - 1 - s)) & 1) << (n_m - 1 - q))
+    return src
+
+
+def _col_relabel_table(n: int, layout) -> np.ndarray:
+    """(C,) host gather table: output col slot s holds the input bit at
+    col position ``layout[s]`` (positions are qubit ids >= n-m)."""
+    m, R, C = _geometry(n)
+    cols = np.arange(C)
+    src = np.zeros(C, dtype=np.int32)
+    for s, q in enumerate(layout):
+        bit = (cols >> (m - 1 - s)) & 1
+        src |= (bit << (n - 1 - q)).astype(np.int32)
+    return src
+
+
+def _split_swap_pairs(n: int, op: SwapOp):
+    """(cross_pairs, same_pairs): cross pairs exchange a row qubit with a
+    column qubit; same pairs stay within one side."""
+    m, _, _ = _geometry(n)
+    n_m = n - m
+    cross, same = [], []
+    for a, b in zip(op.indices[: op.half], op.indices[op.half :]):
+        lo, hi = (a, b) if a < b else (b, a)
+        if lo < n_m <= hi:
+            cross.append((lo, hi))
+        else:
+            same.append((lo, hi))
+    return cross, same
+
+
+def _cross_swap_planes(n: int, cross, planes):
+    """Exchange k (row qubit, col qubit) pairs in one staged pass:
+    col-relabel, block transpose (top-k row bits <-> low-k col bits),
+    col-relabel back — measured ~3 ms for the transpose at n=28 (vs ~11 ms
+    per per-pair dense pass). Requires the cross row qubits to be exactly
+    the top k rows (QFT bit reversal's shape); the caller falls back to
+    per-pair dense otherwise."""
+    m, R, C = _geometry(n)
+    n_m = n - m
+    cross = sorted(cross)
+    k = len(cross)
+    rows_q = [a for a, _ in cross]
+    assert rows_q == list(range(k))
+    # The transpose exchanges row slot t (qubit t = pair t's row side, by
+    # the applicability precondition) with col slot n-k+t. Stage pair t's
+    # col bit b_t at slot n-k+t, parking the others before them.
+    cols_all = list(range(n_m, n))
+    staged = [b for _, b in cross]
+    parked = [q for q in cols_all if q not in staged]
+    layout1 = parked + staged      # col slot s holds bit layout1[s]
+    slot_of = {q: n_m + s for s, q in enumerate(layout1)}
+    # After the transpose: slot n-k+t holds the row-sourced bit that must
+    # land at position b_t; parked bits must return home.
+    layout2 = []
+    for s in range(m):
+        p = n_m + s
+        if p in staged:
+            t = staged.index(p)
+            layout2.append(n - k + t)
+        else:
+            layout2.append(slot_of[p])
+    t1 = jnp.asarray(_col_relabel_table(n, layout1))
+    t2 = jnp.asarray(_col_relabel_table(n, layout2))
+    outs = []
+    for x in planes:
+        x = jnp.take(x, t1, axis=1)
+        x = (
+            x.reshape(1 << k, R >> k, C >> k, 1 << k)
+            .transpose(3, 1, 2, 0)
+            .reshape(R, C)
+        )
+        outs.append(jnp.take(x, t2, axis=1))
+    return outs
+
+
+def _cross_swap_applicable(n: int, cross) -> bool:
+    m, _, _ = _geometry(n)
+    n_m = n - m
+    k = len(cross)
+    if k < 2 or k > min(n_m, m):
+        return False
+    return sorted(a for a, _ in cross) == list(range(k))
+
+
+_SWAP2_MAT = np.array(
+    [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+    dtype=np.complex128,
+)
+
+
 def _apply_swap(n: int, op: SwapOp, state: jnp.ndarray) -> jnp.ndarray:
-    h = op.half
-    swap2 = np.array(
-        [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
-        dtype=np.complex128,
-    )
-    for a, b in zip(op.indices[:h], op.indices[h:]):
-        state = _apply_dense(n, (a, b), swap2, state)
+    cross, same = _split_swap_pairs(n, op)
+    if _cross_swap_applicable(n, cross):
+        _, R, C = _geometry(n)
+        (state2d,) = _cross_swap_planes(n, cross, [state.reshape(R, C)])
+        state = state2d.reshape(-1)
+    else:
+        same = same + cross
+    # Remaining pairs: per-pair dense applies. (A full (R, C) permutation
+    # gather measured 7.5 s for QFT-28's bit reversal — pathological HBM
+    # access — vs ~11 ms per dense pair pass.)
+    for a, b in same:
+        state = _apply_dense(n, (a, b), _SWAP2_MAT, state)
     return state
 
 

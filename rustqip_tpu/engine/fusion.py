@@ -19,6 +19,7 @@ from rustqip_tpu.ops.matrix_ops import (
     DenseOp,
     MatrixOp,
     PhaseProductOp,
+    SwapOp,
     diagonal_of,
     expand_op_matrix,
     op_to_dense,
@@ -80,15 +81,41 @@ def _coalesce_diagonals(
     return out
 
 
+def _coalesce_swaps(ops: Sequence[MatrixOp]) -> List[MatrixOp]:
+    """Merge consecutive disjoint SwapOps into one multi-pair SwapOp.
+
+    A qubit permutation of any width executes as ONE gather pass
+    (engine/apply.py:_swap_src_indices), so QFT's trailing reversal-swap
+    chain costs one sweep instead of one per pair.
+    """
+    out: List[MatrixOp] = []
+    for op in ops:
+        if isinstance(op, SwapOp) and out and isinstance(out[-1], SwapOp):
+            prev = out[-1]
+            if not set(prev.indices) & set(op.indices):
+                h1, h2 = prev.half, op.half
+                out[-1] = SwapOp(
+                    prev.indices[:h1]
+                    + op.indices[:h2]
+                    + prev.indices[h1:]
+                    + op.indices[h2:]
+                )
+                continue
+        out.append(op)
+    return out
+
+
 def fuse_ops(
     ops: Sequence[MatrixOp], max_qubits: int = DEFAULT_MAX_FUSED_QUBITS
 ) -> List[MatrixOp]:
-    """Merge adjacent ops: diagonal runs -> one elementwise pass; everything
-    else greedily into joint dense unitaries of <= max_qubits.
+    """Merge adjacent ops: diagonal runs -> one elementwise pass; swap
+    chains -> one permutation gather; everything else greedily into joint
+    dense unitaries of <= max_qubits.
 
     Returns a new op list with identical semantics. Ops too wide to fuse
-    (e.g. register-level SwapOps) pass through untouched.
+    pass through untouched (the engine applies any width).
     """
+    ops = _coalesce_swaps(ops)
     ops = _coalesce_diagonals(ops, max_qubits)
     fused: List[MatrixOp] = []
     block_indices: Tuple[int, ...] = ()

@@ -175,8 +175,22 @@ def apply_op_ri(n: int, op: MatrixOp, re: jnp.ndarray, im: jnp.ndarray) -> Pair:
             return out_r.reshape(-1), out_i.reshape(-1)
         return _dense_ri(n, op.indices, op_to_dense(op), re, im)
     if isinstance(op, SwapOp):
-        h = op.half
-        for a, b in zip(op.indices[:h], op.indices[h:]):
+        from rustqip_tpu.engine.apply import (
+            _cross_swap_applicable,
+            _cross_swap_planes,
+            _split_swap_pairs,
+        )
+
+        cross, same = _split_swap_pairs(n, op)
+        if _cross_swap_applicable(n, cross):
+            _, R, C = _geometry(n)
+            re2, im2 = _cross_swap_planes(
+                n, cross, [re.reshape(R, C), im.reshape(R, C)]
+            )
+            re, im = re2.reshape(-1), im2.reshape(-1)
+        else:
+            same = same + cross
+        for a, b in same:
             re, im = _dense_ri(n, (a, b), _SWAP2, re, im)
         return re, im
     if isinstance(op, ControlOp):

@@ -10,7 +10,7 @@ collectives (collective_permute / all-to-all over ICI) inserted by GSPMD,
 and measurement reductions become psums.
 """
 
-from rustqip_tpu.parallel.mesh import make_shard_mesh
+from rustqip_tpu.parallel.mesh import make_multislice_mesh, make_shard_mesh
 from rustqip_tpu.parallel.sharded import (
     ShardedCircuit,
     compile_sharded,
@@ -23,6 +23,7 @@ from rustqip_tpu.parallel.explicit import (
 
 __all__ = [
     "make_shard_mesh",
+    "make_multislice_mesh",
     "ShardedCircuit",
     "compile_sharded",
     "sharded_calculate_state",

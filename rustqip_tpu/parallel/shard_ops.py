@@ -57,6 +57,11 @@ Pair = Tuple[jnp.ndarray, jnp.ndarray]
 
 
 def _mesh_geometry(mesh: jax.sharding.Mesh) -> Tuple[str, int, int]:
+    if len(mesh.axis_names) != 1:
+        raise CircuitError(
+            "The explicit shard_map path needs a 1-D mesh; multi-axis "
+            "(e.g. DCN x ICI) meshes run through the GSPMD executor"
+        )
     axis = mesh.axis_names[0]
     d = mesh.devices.size
     g = d.bit_length() - 1

@@ -46,7 +46,6 @@ class ShardedCircuit(CompiledCircuit):
         max_fused_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
     ):
         self.mesh = mesh
-        axis = mesh.axis_names[0]
         d = mesh.devices.size
         if d & (d - 1):
             raise CircuitError("Mesh size must be a power of two")
@@ -56,7 +55,11 @@ class ShardedCircuit(CompiledCircuit):
                 f"Need at least {self.n_global} qubits to shard over {d} devices"
             )
         super().__init__(n, entries, dtype, fuse, max_fused_qubits)
-        state_sharding = NamedSharding(mesh, P(axis))
+        # Multi-axis meshes (e.g. ('dcn', 'shard') for multi-slice pods)
+        # shard the flat amplitude index over the axis product: the MOST
+        # significant qubits land on the outermost (DCN) axis, so the
+        # rarest exchanges cross the slow links.
+        state_sharding = NamedSharding(mesh, P(mesh.axis_names))
         replicated = NamedSharding(mesh, P())
         # Outputs: (re, im, results) — results replicated.
         self._fn = jax.jit(

@@ -116,3 +116,57 @@ def test_sharded_grover():
     p2 = m2.get_stochastic_measurement(h2)
     np.testing.assert_allclose(p1, p2, atol=1e-10)
     assert int(np.argmax(p2)) == marked
+
+
+def test_multislice_mesh_gspmd():
+    # 2x4 (dcn x shard) mesh: state shards over the axis product; results
+    # match the single-device path.
+    import jax
+    import numpy as np
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rustqip_tpu.algos.qfft import qfft
+    from rustqip_tpu.parallel import make_multislice_mesh
+    from rustqip_tpu.parallel.sharded import sharded_calculate_state
+    from rustqip_tpu.prelude import LocalBuilder
+
+    mesh = make_multislice_mesh(2, 4)
+    assert mesh.axis_names == ("dcn", "shard")
+
+    def build(b):
+        r = b.register(7)
+        qs = b.split_all_register(r)
+        qs[0] = b.h(qs[0])                     # on the DCN axis
+        qs[0], qs[-1] = b.cnot(qs[0], qs[-1])
+        r = qfft(b, b.merge_registers(qs))
+        return b.measure_stochastic(r)
+
+    b = LocalBuilder(dtype="f64")
+    _, h = build(b)
+    re, im, meas = sharded_calculate_state(b, mesh=mesh, seed=0)
+    assert len(re.sharding.device_set) == 8
+    b1 = LocalBuilder(dtype="f64")
+    _, h1 = build(b1)
+    _, m1 = b1.calculate_state(seed=0)
+    np.testing.assert_allclose(
+        meas.get_stochastic_measurement(h),
+        m1.get_stochastic_measurement(h1),
+        atol=1e-10,
+    )
+
+
+def test_explicit_path_rejects_multiaxis_mesh():
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rustqip_tpu.errors import CircuitError
+    from rustqip_tpu.parallel import make_multislice_mesh
+    from rustqip_tpu.parallel.shard_ops import make_sharded_pair
+
+    mesh = make_multislice_mesh(2, 4)
+    with pytest.raises(CircuitError):
+        make_sharded_pair(mesh, 7)
