@@ -291,7 +291,15 @@ def invert_circuit_object(co: CircuitObject) -> List[CircuitObject]:
             )
         ]
     elif isinstance(obj, ControlledMatGate):
-        seq = [ControlledMatGate(obj.n_ctrl, MatGate(obj.mat.data.conj().T))]
+        if isinstance(obj.mat, SparseMatGate):
+            (inner,) = invert_circuit_object(
+                CircuitObject(obj.mat.n, obj.mat)
+            )
+            seq = [ControlledMatGate(obj.n_ctrl, inner.obj)]
+        else:
+            seq = [
+                ControlledMatGate(obj.n_ctrl, MatGate(obj.mat.data.conj().T))
+            ]
     elif isinstance(obj, RepeatBlock):
         inv_body: List = []
         for indices, inner_co in reversed(obj.body):

@@ -288,16 +288,12 @@ def _phase_plan(n: int, terms):
     return freeze(angle_g), (freeze(mag_g) if has_mag else None)
 
 
-def _eval_bilinear_2d(n: int, groups, dtype) -> jnp.ndarray:
-    """Evaluate one monomial group set over the (R, C) view.
-
-    Row/col monomials evaluate on 1-D iotas; genuinely mixed monomials form
-    one (R, M) @ (M, C) MXU matmul — the whole fused diagonal run costs one
-    transcendental pass over the state regardless of term count.
-    """
+def _iota_bit_helpers(n: int, dtype):
+    """(rows, cols, row_bit, col_bit, mono) closures over the (R, C)
+    iotas — the single definition of the row/col bit-index convention used
+    by every monomial evaluator below."""
     m, R, C = _geometry(n)
     n_m = n - m
-    const, row_monos, col_monos, mixed = groups
     rows = jnp.arange(R, dtype=jnp.int32)
     cols = jnp.arange(C, dtype=jnp.int32)
 
@@ -313,13 +309,32 @@ def _eval_bilinear_2d(n: int, groups, dtype) -> jnp.ndarray:
             acc = b if acc is None else acc * b
         return acc * coeff
 
+    return rows, cols, row_bit, col_bit, mono
+
+
+def _sep_monomial_vals(n: int, groups, dtype):
+    """(row_val (R,), col_val (C,), mixed) from one monomial group set."""
+    const, row_monos, col_monos, mixed = groups
+    m, R, C = _geometry(n)
+    _, _, row_bit, col_bit, mono = _iota_bit_helpers(n, dtype)
     row_val = jnp.full((R,), const, dtype=dtype)
     for rq, c in row_monos:
         row_val = row_val + mono([row_bit(q) for q in rq], c)
     col_val = jnp.zeros((C,), dtype=dtype)
     for cq, c in col_monos:
         col_val = col_val + mono([col_bit(q) for q in cq], c)
+    return row_val, col_val, mixed
 
+
+def _eval_bilinear_2d(n: int, groups, dtype) -> jnp.ndarray:
+    """Evaluate one monomial group set over the (R, C) view.
+
+    Row/col monomials evaluate on 1-D iotas; genuinely mixed monomials form
+    one (R, M) @ (M, C) MXU matmul — the whole fused diagonal run costs one
+    transcendental pass over the state regardless of term count.
+    """
+    _, _, row_bit, col_bit, mono = _iota_bit_helpers(n, dtype)
+    row_val, col_val, mixed = _sep_monomial_vals(n, groups, dtype)
     val = row_val[:, None] + col_val[None, :]
     if mixed:
         U = jnp.stack([mono([row_bit(q) for q in rq]) for rq, _, _ in mixed], axis=1)
@@ -350,21 +365,8 @@ def _phase_mul_ri(n: int, op, r2d: jnp.ndarray, i2d: jnp.ndarray):
     m, R, C = _geometry(n)
     n_m = n - m
     angle_g, mag_g = _phase_plan(n, op.terms)
-    const, row_monos, col_monos, mixed = angle_g
-    rows = jnp.arange(R, dtype=jnp.int32)
-    cols = jnp.arange(C, dtype=jnp.int32)
-
-    def row_bit(q):
-        return ((rows >> (n_m - 1 - q)) & 1).astype(dtype)
-
-    def col_bit(q):
-        return ((cols >> (n - 1 - q)) & 1).astype(dtype)
-
-    def mono(bits, coeff=1.0):
-        acc = None
-        for b in bits:
-            acc = b if acc is None else acc * b
-        return acc * coeff
+    mixed = angle_g[3]
+    rows, cols, _, _, _ = _iota_bit_helpers(n, dtype)
 
     if mag_g is not None or len(mixed) > MIXED_SELECT_CAP:
         # General/bilinear path: full (R, C) angle (+ magnitude) planes.
@@ -375,12 +377,7 @@ def _phase_mul_ri(n: int, op, r2d: jnp.ndarray, i2d: jnp.ndarray):
             ca, sa = ca * mag, sa * mag
         return r2d * ca - i2d * sa, r2d * sa + i2d * ca
 
-    row_angle = jnp.full((R,), const, dtype=dtype)
-    for rq, c in row_monos:
-        row_angle = row_angle + mono([row_bit(q) for q in rq], c)
-    col_angle = jnp.zeros((C,), dtype=dtype)
-    for cq, c in col_monos:
-        col_angle = col_angle + mono([col_bit(q) for q in cq], c)
+    row_angle, col_angle, mixed = _sep_monomial_vals(n, angle_g, dtype)
 
     # separable part: (e^{i row} outer e^{i col}) via two broadcast muls
     rc, rs = jnp.cos(row_angle)[:, None], jnp.sin(row_angle)[:, None]

@@ -84,9 +84,12 @@ def _coalesce_diagonals(
 def _coalesce_swaps(ops: Sequence[MatrixOp]) -> List[MatrixOp]:
     """Merge consecutive disjoint SwapOps into one multi-pair SwapOp.
 
-    A qubit permutation of any width executes as ONE gather pass
-    (engine/apply.py:_swap_src_indices), so QFT's trailing reversal-swap
-    chain costs one sweep instead of one per pair.
+    The engine splits a merged swap into (row <-> col) cross pairs — one
+    staged XLA block transpose, ~3 ms at n=28 — plus per-pair dense
+    passes for the rest (engine/apply.py:_apply_swap); QFT's reversal
+    chain drops from one pass per pair to one transpose + the row-row
+    pairs. The sharded lowering re-splits multi-pair swaps touching
+    global qubits pair-by-pair (shard_ops._lower_op).
     """
     out: List[MatrixOp] = []
     for op in ops:

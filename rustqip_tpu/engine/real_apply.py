@@ -227,6 +227,14 @@ def _is_scalar_high(plan) -> bool:
 #: Largest strip-window width (2^h strips kept live per sweep).
 WINDOW_MAX_BITS = 3
 
+#: Longest op run collected into one window (bounds trace size and the
+#: Pallas kernel's VMEM-resident matrix count).
+WINDOW_MAX_OPS = 64
+
+#: Largest matmul-step count handed to the Pallas kernel (each step's
+#: (C, C) matrix pair lives in VMEM: 24 steps ~ 3 MiB of a ~16 MiB budget).
+WINDOW_KERNEL_MAX_LOW = 24
+
 
 def _collect_window(n: int, ops, start: int, max_h: int = WINDOW_MAX_BITS):
     """Greedy maximal run of dense ops executable as ONE strip sweep.
@@ -247,7 +255,7 @@ def _collect_window(n: int, ops, start: int, max_h: int = WINDOW_MAX_BITS):
     consumed = 0
     pending_B = None
     j = start
-    while j < len(ops):
+    while j < len(ops) and consumed < WINDOW_MAX_OPS:
         p = _plan_of(n, ops[j])
         if p is None:
             break
@@ -312,7 +320,8 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
         return False
     if C != 128 or (R >> h) % pallas_kernels._BLOCK_ROWS != 0:
         return False
-    return any(s[0] == "low" for s in steps)
+    n_low = sum(1 for s in steps if s[0] == "low")
+    return 1 <= n_low <= WINDOW_KERNEL_MAX_LOW
 
 
 def _window_sweep_ri(n: int, window, re, im) -> Pair:

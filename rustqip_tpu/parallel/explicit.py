@@ -203,7 +203,7 @@ class ExplicitShardedCircuit(CompiledCircuit):
     ):
         results = []
         m_i = 0
-        for seg in self.segments:
+        for s_i, seg in enumerate(self.segments):
             if isinstance(seg, MeasureEntry):
                 probs = sharded_measure_probs_ri(
                     self.mesh, self.n, seg.indices, re, im
@@ -241,6 +241,15 @@ class ExplicitShardedCircuit(CompiledCircuit):
                     )
             else:
                 re, im = apply_sharded_ops(self.mesh, self.n, seg, re, im)
+            if self._check_norm:
+                from rustqip_tpu.engine.compile import _norm_check_cb
+
+                jax.debug.callback(
+                    _norm_check_cb,
+                    jnp.sum(re * re + im * im),
+                    s_i,
+                    self._norm_tol,
+                )
         return re, im, tuple(results)
 
 

@@ -95,6 +95,15 @@ def _lower_op(n: int, g: int, op: MatrixOp, sched: List) -> None:
     local_n = n - g
     globals_ = tuple(q for q in op.indices if q < g)
 
+    if isinstance(op, SwapOp) and op.half > 1 and globals_:
+        # A coalesced multi-pair swap touching global qubits lowers
+        # pair-by-pair: each 2-qubit pair hits the local / single-exchange
+        # branches directly (densifying the whole k-qubit permutation
+        # would materialize a 2^k x 2^k matrix).
+        for a, b in zip(op.indices[: op.half], op.indices[op.half :]):
+            _lower_op(n, g, SwapOp((a, b)), sched)
+        return
+
     if isinstance(op, PhaseProductOp) and globals_:
         terms = []
         for tidx, tdiag in op.terms:
@@ -150,7 +159,10 @@ def _lower_op(n: int, g: int, op: MatrixOp, sched: List) -> None:
         spare = 0  # the ctrl branch needs ALL targets local
     else:
         move = list(globals_)
-        spare = 1  # the single-exchange branch absorbs one leftover global
+        # Only DenseOp/SwapOp have a single-global exchange branch to
+        # absorb one leftover global; anything else (wide SparseOp, ...)
+        # must relocate everything.
+        spare = 1 if isinstance(op, (DenseOp, SwapOp)) else 0
     free_local = [q for q in range(g, n) if q not in op.indices]
     if len(move) - spare > len(free_local):
         from rustqip_tpu.engine.apply import DENSE_CAP
@@ -174,10 +186,15 @@ def _lower_op(n: int, g: int, op: MatrixOp, sched: List) -> None:
             f"Cannot relocate {len(move)} global qubits: only "
             f"{len(free_local)} free local qubits (n={n})"
         )
-    if len(move) > len(free_local):
+    if spare and len(move) > len(free_local):
         # Partial relocation: leave one global in place; the remapped op
         # reaches the single-global exchange branch.
         move = move[1:]
+    if not move:  # pragma: no cover - guarded by the branches above
+        raise CircuitError(
+            f"Cannot lower {type(op).__name__} on globals {globals_} "
+            f"(n={n}, mesh={d})"
+        )
     # Highest-index free slots: column qubits on the engine's (R, C)
     # layout, so the post-swap local apply rides the MXU fast path.
     slots = free_local[-len(move):]

@@ -32,18 +32,15 @@ def _eval_param(expr: str) -> float:
         raise CircuitError(f"Bad QASM parameter {expr!r}: {e}") from e
 
 
-def _u3(theta: float, phi: float, lam: float) -> np.ndarray:
-    c, s = np.cos(theta / 2), np.sin(theta / 2)
-    return np.array(
-        [
-            [c, -np.exp(1j * lam) * s],
-            [np.exp(1j * phi) * s, np.exp(1j * (phi + lam)) * c],
-        ]
-    )
+# Matrix semantics shared with the exporter's synthesis backend: a
+# convention change there must flow here or round-trips silently break.
+from rustqip_tpu.qasm.decompose import _u3_matrix as _u3  # noqa: E402
 
 
 def _u1(lam: float) -> np.ndarray:
-    return np.diag([1.0, np.exp(1j * lam)])
+    from rustqip_tpu.qasm.decompose import gate_matrix
+
+    return gate_matrix("u1", (lam,))
 
 
 def _rot(axis: str, theta: float) -> np.ndarray:

@@ -86,3 +86,64 @@ def test_num_sweeps_less_than_passes():
     qfft(b, b.register(10))
     cc = b.compile()
     assert 1 <= cc.num_sweeps <= cc.num_passes
+
+
+def test_invert_conditioned_sparse():
+    # Review finding (r2): inverting a ControlledMatGate wrapping a
+    # SparseMatGate crashed with AttributeError.
+    b = LocalBuilder(dtype="f64")
+    c = b.qubit()
+    r = b.register(3)
+    c = b.h(c)
+    rng = np.random.default_rng(9)
+    perm = rng.permutation(8)
+    ph = np.exp(1j * rng.uniform(-3, 3, 8))
+    rows = [[(int(perm[i]), complex(ph[i]))] for i in range(8)]
+    from rustqip_tpu.builder.circuit_objects import (
+        CircuitObject,
+        SparseMatGate,
+    )
+
+    start = len(b.pipeline)
+    cb = b.condition_with(c)
+    r = cb.apply_circuit_object(r, CircuitObject(3, SparseMatGate(rows)))
+    c = cb.dissolve()
+    sc = b.pipeline[start:]
+    merged = b.merge_two_registers(c, r)
+    merged = b.apply_inverted_subcircuit(sc, merged)
+    state, _ = b.calculate_state()
+    # U^-1 U |+0...> = |+0...>
+    want = np.zeros(16, dtype=complex)
+    want[0] = want[8] = 1 / np.sqrt(2)
+    np.testing.assert_allclose(state, want, atol=1e-10)
+
+
+def test_explicit_executor_norm_check():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rustqip_tpu.builder.builder import _lower_item
+    from rustqip_tpu.engine import compile as engine_compile
+    from rustqip_tpu.parallel import make_shard_mesh
+    from rustqip_tpu.parallel.explicit import ExplicitShardedCircuit
+
+    engine_compile.NORM_VIOLATIONS.clear()
+    mesh = make_shard_mesh(8)
+    b = LocalBuilder(dtype="f64")
+    r = b.register(7)
+    q3 = b.split_all_register(r)[3]
+    q3 = b.h(q3)
+    b.apply_matrix(q3, np.diag([1.0, 0.0]))  # projects |+> -> norm 0.5
+    entries = []
+    for item in b.pipeline:
+        entries.extend(_lower_item(item))
+    cc = ExplicitShardedCircuit(7, entries, np.complex128, mesh)
+    cc._check_norm = True
+    import warnings
+
+    with warnings.catch_warnings():
+        # debug callbacks may fire on a runtime thread: assert via the
+        # violations record, not warning capture
+        warnings.simplefilter("ignore")
+        re, im, _ = cc.run(initial_index=0, key=jax.random.PRNGKey(0))
+        np.asarray(re)  # sync so the callback has run
+    assert engine_compile.NORM_VIOLATIONS

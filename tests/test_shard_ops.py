@@ -187,3 +187,29 @@ def test_full_width_dense_multi_exchange():
     )
     u, _ = np.linalg.qr(m)
     run_both(make_matrix_op(list(range(N)), u.reshape(-1)))
+
+
+def test_coalesced_swap_lowers_pair_by_pair():
+    # Review finding (r2): a coalesced multi-pair SwapOp touching global
+    # qubits must lower pair-by-pair, never densify 2^k x 2^k.
+    from rustqip_tpu.parallel.shard_ops import _lower_schedule
+
+    op = make_swap_op([0, 1, 2], [6, 5, 4])  # QFT-7 reversal shape
+    sched = _lower_schedule(N, 3, [op])
+    kinds = [e[0] for e in sched]
+    assert "exchange_multi" not in kinds
+    assert all(k in ("exchange", "local") for k in kinds)
+    run_both(op)
+
+
+def test_wide_sparse_all_globals_no_recursion():
+    # Review finding (r2): a wide SparseOp covering every qubit previously
+    # recursed forever in _lower_op; it must either lower or raise.
+    require_8()
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(1 << N)
+    from rustqip_tpu.ops.matrix_ops import make_sparse_matrix_op
+
+    rows = [[(int(perm[i]), 1.0)] for i in range(1 << N)]
+    op = make_sparse_matrix_op(list(range(N)), rows)
+    run_both(op)
