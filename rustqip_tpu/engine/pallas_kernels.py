@@ -157,30 +157,49 @@ def _window_kernel_body(h: int, steps, *refs):
 def window_sweep(
     xr: jnp.ndarray,
     xi: jnp.ndarray,
-    h: int,
+    seg_sizes,
     steps,
     interpret: bool = False,
 ):
-    """Execute a strip-window (bits = the TOP h row bits, so strips are
-    contiguous row chunks) as one VMEM-resident Pallas sweep.
+    """Execute a strip-window as one VMEM-resident Pallas sweep.
+
+    ``seg_sizes``: the row-space segment sizes around the window bits —
+    (s_0, s_1, ..., s_h) with the window bits interleaved between them
+    (rows = s_0 * 2 * s_1 * 2 * ... * s_h); strips may therefore be
+    STRIDED in HBM, expressed through block index maps. Requires
+    s_h % _BLOCK_ROWS == 0 (strips are unions of aligned blocks).
 
     ``steps``: ("low", B_complex_ndarray) | ("mix", {(j, i): complex}).
-    Caller guarantees: h <= 2, rows % (2^h * _BLOCK_ROWS) == 0, C == 128.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rows = xr.shape[0]
+    h = len(seg_sizes) - 1
     ns = 1 << h
     srows = rows // ns
     nblk = srows // _BLOCK_ROWS
     grid = (nblk,)
+    sl = seg_sizes[-1] // _BLOCK_ROWS  # blocks per finest strip chunk
 
     def strip_spec(i):
+        def index_map(r, i=i):
+            # factor the strip-local block ordinal r into per-segment
+            # coordinates, then interleave the strip's bits back in
+            d = r % sl
+            rest = r // sl
+            coords = []
+            for s in reversed(seg_sizes[:-1]):
+                coords.append(rest % s)
+                rest = rest // s
+            coords = coords[::-1]
+            blk = 0
+            for j, c in enumerate(coords):
+                blk = (blk * seg_sizes[j] + c) * 2 + ((i >> (h - 1 - j)) & 1)
+            return blk * sl + d, 0
+
         return pl.BlockSpec(
-            (_BLOCK_ROWS, _C),
-            lambda r, i=i: (i * nblk + r, 0),
-            memory_space=pltpu.VMEM,
+            (_BLOCK_ROWS, _C), index_map, memory_space=pltpu.VMEM
         )
 
     mat_spec = pl.BlockSpec(
@@ -231,9 +250,27 @@ def window_sweep(
             transcendentals=0,
         ),
     )(*operands)
-    out_r = jnp.concatenate([outs[2 * i] for i in range(ns)], axis=0)
-    out_i = jnp.concatenate([outs[2 * i + 1] for i in range(ns)], axis=0)
-    return out_r, out_i
+
+    # Reassemble the (possibly strided) strips by pairwise concatenation
+    # along the window bit axes.
+    strip_shape = []
+    for s in seg_sizes[:-1]:
+        strip_shape += [s, 1]
+    strip_shape += [seg_sizes[-1], _C]
+
+    def assemble(plane_idx):
+        parts = [
+            outs[2 * i + plane_idx].reshape(strip_shape) for i in range(ns)
+        ]
+        for j in reversed(range(h)):
+            ax = 2 * j + 1
+            parts = [
+                jnp.concatenate((parts[2 * t], parts[2 * t + 1]), axis=ax)
+                for t in range(len(parts) // 2)
+            ]
+        return parts[0].reshape(rows, _C)
+
+    return assemble(0), assemble(1)
 
 
 def c64_low_matmul(xr: jnp.ndarray, xi: jnp.ndarray, B: np.ndarray):

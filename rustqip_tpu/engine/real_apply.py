@@ -310,15 +310,27 @@ def _expand_mix(hq, op, plan) -> dict:
     return out
 
 
+def _window_seg_sizes(n: int, hq):
+    """Row-space segment sizes around the window bits:
+    (s_0, ..., s_h) with rows = s_0 * 2 * s_1 * 2 * ... * s_h."""
+    from rustqip_tpu.engine.apply import _row_segment_shape
+
+    m, _, _ = _geometry(n)
+    seg_shape = _row_segment_shape(n, m, list(hq))
+    return seg_shape[0::2]
+
+
 def _window_kernel_applicable(n: int, hq, steps) -> bool:
-    """The Pallas window kernel handles contiguous strips (window bits =
-    the top row bits), h <= 2, block-aligned strip rows, and at least one
+    """The Pallas window kernel handles h <= 2 windows whose strips are
+    unions of block-aligned row chunks (the trailing segment below the
+    lowest window bit must cover whole 512-row blocks), with at least one
     matmul step (pure mixes fuse fine in XLA already)."""
     h = len(hq)
     m, R, C = _geometry(n)
-    if not (1 <= h <= 2 and hq == tuple(range(h))):
+    if not 1 <= h <= 2 or C != 128:
         return False
-    if C != 128 or (R >> h) % pallas_kernels._BLOCK_ROWS != 0:
+    segs = _window_seg_sizes(n, hq)
+    if segs[-1] % pallas_kernels._BLOCK_ROWS != 0:
         return False
     n_low = sum(1 for s in steps if s[0] == "low")
     return 1 <= n_low <= WINDOW_KERNEL_MAX_LOW
@@ -349,7 +361,10 @@ def _window_sweep_ri(n: int, window, re, im) -> Pair:
             for s in steps
         ]
         out_r, out_i = pallas_kernels.window_sweep(
-            re.reshape(R, C), im.reshape(R, C), h, ksteps
+            re.reshape(R, C),
+            im.reshape(R, C),
+            _window_seg_sizes(n, hq),
+            ksteps,
         )
         return out_r.reshape(-1), out_i.reshape(-1)
 

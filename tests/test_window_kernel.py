@@ -10,34 +10,41 @@ from rustqip_tpu.engine.pallas_kernels import _BLOCK_ROWS, window_sweep
 from rustqip_tpu.engine.real_apply import (
     _collect_window,
     _expand_mix,
+    _window_kernel_applicable,
+    _window_seg_sizes,
     apply_op_ri,
 )
 from rustqip_tpu.ops import gates
 from rustqip_tpu.ops.matrix_ops import make_matrix_op
 
-N = 18  # smallest n with (R/4) % _BLOCK_ROWS == 0
+N = 19  # room for strided windows: bit 2 still has 512-row chunks
 
 
-def _run_window_kernel(ops):
-    R, C = 1 << (N - 7), 128
+def _run_window_kernel(ops, n=N):
+    R, C = 1 << (n - 7), 128
     rng = np.random.default_rng(0)
-    sr = rng.normal(size=1 << N).astype(np.float32)
-    si = rng.normal(size=1 << N).astype(np.float32)
-    window, j = _collect_window(N, ops, 0)
+    sr = rng.normal(size=1 << n).astype(np.float32)
+    si = rng.normal(size=1 << n).astype(np.float32)
+    window, j = _collect_window(n, ops, 0)
     assert j == len(ops)
     hq, steps = window
+    assert _window_kernel_applicable(n, hq, steps)
     ksteps = [
         s if s[0] == "low" else ("mix", _expand_mix(hq, s[1], s[2]))
         for s in steps
     ]
     re, im = jnp.asarray(sr), jnp.asarray(si)
     out_r, out_i = window_sweep(
-        re.reshape(R, C), im.reshape(R, C), len(hq), ksteps, interpret=True
+        re.reshape(R, C),
+        im.reshape(R, C),
+        _window_seg_sizes(n, hq),
+        ksteps,
+        interpret=True,
     )
     got = np.asarray(out_r).reshape(-1) + 1j * np.asarray(out_i).reshape(-1)
     er, ei = re, im
     for op in ops:
-        er, ei = apply_op_ri(N, op, er, ei)
+        er, ei = apply_op_ri(n, op, er, ei)
     want = np.asarray(er) + 1j * np.asarray(ei)
     np.testing.assert_allclose(got, want, atol=1e-4)
 
@@ -55,6 +62,25 @@ def test_h2_window_kernel():
         make_matrix_op([1], gates.X.reshape(-1)),
         make_matrix_op([N - 1], gates.T.reshape(-1)),
         make_matrix_op([0], gates.Y.reshape(-1)),
+        make_matrix_op([N - 2], gates.H.reshape(-1)),
+    ])
+
+
+def test_strided_window_kernel():
+    # Window bit NOT at the top: strips are strided block unions.
+    _run_window_kernel([
+        make_matrix_op([2], gates.H.reshape(-1)),
+        make_matrix_op([N - 1], gates.T.reshape(-1)),
+        make_matrix_op([2], gates.H.reshape(-1)),
+        make_matrix_op([N - 2], gates.H.reshape(-1)),
+    ])
+
+
+def test_strided_two_bit_window_kernel():
+    _run_window_kernel([
+        make_matrix_op([1], gates.H.reshape(-1)),
+        make_matrix_op([N - 1], gates.T.reshape(-1)),
+        make_matrix_op([2], gates.X.reshape(-1)),
         make_matrix_op([N - 2], gates.H.reshape(-1)),
     ])
 
