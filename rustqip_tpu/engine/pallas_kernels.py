@@ -91,34 +91,104 @@ def available() -> bool:
     return "PALLAS_AXON_TPU_GEN" not in os.environ
 
 
-def _window_kernel_body(h: int, steps, *refs):
+def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
     """Kernel body: chain a whole strip-window in VMEM.
 
     ``refs`` = 2^h (xr, xi) input ref pairs, per-low-step (br, bi) matrix
     refs, then 2^h (or, oi) output ref pairs. Each grid step holds one row
-    block of EVERY strip, so scalar-high mixes and C x C matmuls chain
-    without returning to HBM — the whole window costs one read+write of
-    the state plus MXU time.
+    block of EVERY strip, so scalar-high mixes, C x C matmuls, AND unitary
+    diagonals (phase factors evaluated in-body from the block's row/col
+    iotas) chain without returning to HBM — the whole window costs one
+    read+write of the state plus compute.
     """
+    from jax.experimental import pallas as pl
+
+    h = len(seg_sizes) - 1
     ns = 1 << h
     n_low = sum(1 for s in steps if s[0] == "low")
     ins = refs[: 2 * ns]
     mats = refs[2 * ns : 2 * ns + 2 * n_low]
     outs = refs[2 * ns + 2 * n_low :]
+    m = min(n, MINOR_QUBITS)
+    n_m = n - m
+    sl = seg_sizes[-1] // br
+    r_id = pl.program_id(0)
+
+    def block_rows(i):
+        """Full row indices (B, 1) of strip i's current block."""
+        d = r_id % sl
+        rest = r_id // sl
+        coords = []
+        for s in reversed(seg_sizes[:-1]):
+            coords.append(rest % s)
+            rest = rest // s
+        coords = coords[::-1]
+        blk = 0
+        for j, c in enumerate(coords):
+            blk = (blk * seg_sizes[j] + c) * 2 + ((i >> (h - 1 - j)) & 1)
+        base = (blk * sl + d) * br
+        return base + jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+
+    def diag_factors(groups, i):
+        """(cos, sin) of the angle over strip i's block."""
+        const, row_monos, col_monos, mixed = groups
+        rows = block_rows(i)
+
+        def rbit(q):
+            return ((rows >> (n_m - 1 - q)) & 1).astype(jnp.float32)
+
+        def cbit(q):
+            return ((cols >> (n - 1 - q)) & 1).astype(jnp.float32)
+
+        def mono(bits, coeff):
+            acc = None
+            for b in bits:
+                acc = b if acc is None else acc * b
+            return acc * jnp.float32(coeff)
+
+        angle = jnp.full((br, 1), const, dtype=jnp.float32)
+        for rq, c in row_monos:
+            angle = angle + mono([rbit(q) for q in rq], c)
+        cangle = jnp.zeros((1, _C), dtype=jnp.float32)
+        for cq, c in col_monos:
+            cangle = cangle + mono([cbit(q) for q in cq], c)
+        angle = angle + cangle
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        for rq, cq, c in mixed:
+            mask = mono([rbit(q) for q in rq], 1.0) * mono(
+                [cbit(q) for q in cq], 1.0
+            )
+            pc, ps = np.float32(np.cos(c)), np.float32(np.sin(c))
+            # multiply (ca, sa) by e^{i c} where mask == 1
+            nr = ca * pc - sa * ps
+            ni = ca * ps + sa * pc
+            ca = ca + mask * (nr - ca)
+            sa = sa + mask * (ni - sa)
+        return ca, sa
 
     cur = [(ins[2 * i][:], ins[2 * i + 1][:]) for i in range(ns)]
     li = 0
     for step in steps:
+        if step[0] == "diag":
+            groups = step[1]
+            nxt = []
+            for i, (xr, xi) in enumerate(cur):
+                ca, sa = diag_factors(groups, i)
+                nxt.append((xr * ca - xi * sa, xr * sa + xi * ca))
+            cur = nxt
+            continue
         if step[0] == "low":
-            br = mats[2 * li][:]
-            bi = mats[2 * li + 1][:]
+            mr = mats[2 * li][:]
+            mi = mats[2 * li + 1][:]
             li += 1
             nxt = []
             for xr, xi in cur:
-                rr = jnp.dot(xr, br, preferred_element_type=jnp.float32)
-                ri = jnp.dot(xi, bi, preferred_element_type=jnp.float32)
-                ir = jnp.dot(xr, bi, preferred_element_type=jnp.float32)
-                ii = jnp.dot(xi, br, preferred_element_type=jnp.float32)
+                rr = jnp.dot(xr, mr, preferred_element_type=jnp.float32)
+                ri = jnp.dot(xi, mi, preferred_element_type=jnp.float32)
+                ir = jnp.dot(xr, mi, preferred_element_type=jnp.float32)
+                ii = jnp.dot(xi, mr, preferred_element_type=jnp.float32)
                 nxt.append((rr - ri, ir + ii))
             cur = nxt
         else:  # mix: {(j, i): complex scalar}
@@ -154,7 +224,20 @@ def _window_kernel_body(h: int, steps, *refs):
         outs[2 * i + 1][:] = cur[i][1]
 
 
+def window_block_rows(h: int, steps) -> int:
+    """Rows per grid step for a window kernel: 2^h strips live at once
+    (x2 planes, in+out). Windows without diagonal steps run at the proven
+    512-row block (the 905 applies/s configuration); diagonal steps add
+    per-strip transcendental temporaries (a 512-row h=2 diag window
+    measured 32 MiB of scoped VMEM against the 16 MiB budget), so those
+    scale down with the strip count."""
+    if not any(s[0] == "diag" for s in steps):
+        return _BLOCK_ROWS
+    return max(_BLOCK_ROWS >> (h + 2), 64)
+
+
 def window_sweep(
+    n: int,
     xr: jnp.ndarray,
     xi: jnp.ndarray,
     seg_sizes,
@@ -169,7 +252,8 @@ def window_sweep(
     STRIDED in HBM, expressed through block index maps. Requires
     s_h % _BLOCK_ROWS == 0 (strips are unions of aligned blocks).
 
-    ``steps``: ("low", B_complex_ndarray) | ("mix", {(j, i): complex}).
+    ``steps``: ("low", B_complex_ndarray) | ("mix", {(j, i): complex}) |
+    ("diag", (const, row_monos, col_monos, mixed) angle groups).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -178,9 +262,10 @@ def window_sweep(
     h = len(seg_sizes) - 1
     ns = 1 << h
     srows = rows // ns
-    nblk = srows // _BLOCK_ROWS
+    br = window_block_rows(h, steps)
+    nblk = srows // br
     grid = (nblk,)
-    sl = seg_sizes[-1] // _BLOCK_ROWS  # blocks per finest strip chunk
+    sl = seg_sizes[-1] // br  # blocks per finest strip chunk
 
     def strip_spec(i):
         def index_map(r, i=i):
@@ -199,7 +284,7 @@ def window_sweep(
             return blk * sl + d, 0
 
         return pl.BlockSpec(
-            (_BLOCK_ROWS, _C), index_map, memory_space=pltpu.VMEM
+            (br, _C), index_map, memory_space=pltpu.VMEM
         )
 
     mat_spec = pl.BlockSpec(
@@ -223,7 +308,7 @@ def window_sweep(
     # Outputs: one (srows, C) buffer per strip plane (exactly state-sized
     # in total); the final concat restores the contiguous layout.
     out_strip_spec = pl.BlockSpec(
-        (_BLOCK_ROWS, _C), lambda r: (r, 0), memory_space=pltpu.VMEM
+        (br, _C), lambda r: (r, 0), memory_space=pltpu.VMEM
     )
     out_specs = []
     out_shape = []
@@ -238,7 +323,7 @@ def window_sweep(
 
     flops_per_low = 8 * rows * _C * _C
     outs = pl.pallas_call(
-        _ft.partial(_window_kernel_body, h, tuple(steps)),
+        _ft.partial(_window_kernel_body, n, tuple(seg_sizes), tuple(steps), br),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,

@@ -236,7 +236,29 @@ WINDOW_MAX_OPS = 64
 WINDOW_KERNEL_MAX_LOW = 24
 
 
-def _collect_window(n: int, ops, start: int, max_h: int = WINDOW_MAX_BITS):
+#: Largest mixed-monomial count for a diagonal absorbed into a kernel
+#: window (each costs a masked complex multiply per element).
+WINDOW_DIAG_MIXED_CAP = 8
+
+
+def _window_diag_plan(n: int, op) -> "tuple | None":
+    """The angle group set of a PhaseProductOp eligible for in-window
+    (kernel) evaluation: unit modulus, few mixed monomials."""
+    from rustqip_tpu.engine.apply import _phase_plan
+
+    angle_g, mag_g = _phase_plan(n, op.terms)
+    if mag_g is not None or len(angle_g[3]) > WINDOW_DIAG_MIXED_CAP:
+        return None
+    return angle_g
+
+
+def _collect_window(
+    n: int,
+    ops,
+    start: int,
+    max_h: int = WINDOW_MAX_BITS,
+    allow_diag: bool = False,
+):
     """Greedy maximal run of dense ops executable as ONE strip sweep.
 
     A window holds the 2^h row strips for a set of row-qubit bits H; while
@@ -245,19 +267,39 @@ def _collect_window(n: int, ops, start: int, max_h: int = WINDOW_MAX_BITS):
     scalar-block mix over bits within H (a VPU linear combination of
     strips) chains without touching HBM again. The alternating
     H(0)/H(27) benchmark becomes a single sweep this way (one state
-    read+write for the whole run).
+    read+write for the whole run). With ``allow_diag`` (the Pallas kernel
+    path — it evaluates phase factors in-body from iotas), unitary
+    diagonals join windows too, so QFT's H+controlled-phase ladder
+    chains per window.
 
     Returns ``((H_sorted, steps), next_index)`` or ``(None, start)``;
-    steps are ("low", composed numpy C x C) / ("mix", op, plan).
+    steps: ("low", composed numpy C x C) | ("mix", op, plan) |
+    ("diag", angle_groups).
     """
     H: set = set()
     steps: List = []
     consumed = 0
     pending_B = None
     j = start
+
+    def flush():
+        nonlocal pending_B
+        if pending_B is not None:
+            steps.append(("low", pending_B))
+            pending_B = None
+
     while j < len(ops) and consumed < WINDOW_MAX_OPS:
-        p = _plan_of(n, ops[j])
+        op = ops[j]
+        p = _plan_of(n, op)
         if p is None:
+            if allow_diag and isinstance(op, PhaseProductOp):
+                dplan = _window_diag_plan(n, op)
+                if dplan is not None:
+                    flush()
+                    steps.append(("diag", dplan))
+                    j += 1
+                    consumed += 1
+                    continue
             break
         if p[0] == "low":
             B = p[1]
@@ -267,18 +309,15 @@ def _collect_window(n: int, ops, start: int, max_h: int = WINDOW_MAX_BITS):
             continue
         if not _is_scalar_high(p):
             break
-        new_h = H | set(ops[j].indices)
+        new_h = H | set(op.indices)
         if len(new_h) > max_h:
             break
         H = new_h
-        if pending_B is not None:
-            steps.append(("low", pending_B))
-            pending_B = None
-        steps.append(("mix", ops[j], p))
+        flush()
+        steps.append(("mix", op, p))
         j += 1
         consumed += 1
-    if pending_B is not None:
-        steps.append(("low", pending_B))
+    flush()
     if consumed == 0:
         return None, start
     return (tuple(sorted(H)), steps), j
@@ -323,17 +362,43 @@ def _window_seg_sizes(n: int, hq):
 def _window_kernel_applicable(n: int, hq, steps) -> bool:
     """The Pallas window kernel handles h <= 2 windows whose strips are
     unions of block-aligned row chunks (the trailing segment below the
-    lowest window bit must cover whole 512-row blocks), with at least one
-    matmul step (pure mixes fuse fine in XLA already)."""
+    lowest window bit must cover whole 512-row blocks). Worth invoking
+    when the window chains a matmul behind strips, or contains diagonal
+    steps (XLA fuses neither across its materialization points); pure-mix
+    windows fuse fine in XLA already."""
     h = len(hq)
     m, R, C = _geometry(n)
-    if not 1 <= h <= 2 or C != 128:
+    if h > 2 or C != 128:
         return False
     segs = _window_seg_sizes(n, hq)
-    if segs[-1] % pallas_kernels._BLOCK_ROWS != 0:
+    if segs[-1] % pallas_kernels.window_block_rows(h, steps) != 0:
         return False
     n_low = sum(1 for s in steps if s[0] == "low")
-    return 1 <= n_low <= WINDOW_KERNEL_MAX_LOW
+    n_diag = sum(1 for s in steps if s[0] == "diag")
+    if n_low > WINDOW_KERNEL_MAX_LOW:
+        return False
+    return n_diag >= 1 or (h >= 1 and n_low >= 1)
+
+
+def _window_kernel_run(n: int, window, re, im) -> Pair:
+    """Convert a (possibly diag-bearing) window into kernel steps and run
+    it as one VMEM-resident Pallas sweep."""
+    hq, steps = window
+    _, R, C = _geometry(n)
+    ksteps = []
+    for s in steps:
+        if s[0] == "mix":
+            ksteps.append(("mix", _expand_mix(hq, s[1], s[2])))
+        else:
+            ksteps.append(s)
+    out_r, out_i = pallas_kernels.window_sweep(
+        n,
+        re.reshape(R, C),
+        im.reshape(R, C),
+        _window_seg_sizes(n, hq),
+        ksteps,
+    )
+    return out_r.reshape(-1), out_i.reshape(-1)
 
 
 def _window_sweep_ri(n: int, window, re, im) -> Pair:
@@ -348,23 +413,6 @@ def _window_sweep_ri(n: int, window, re, im) -> Pair:
         (_, B), = steps
         out_r, out_i = pallas_kernels.c64_low_matmul(
             re.reshape(R, C), im.reshape(R, C), B
-        )
-        return out_r.reshape(-1), out_i.reshape(-1)
-
-    if (
-        pallas_kernels.available()
-        and re.dtype == jnp.float32
-        and _window_kernel_applicable(n, hq, steps)
-    ):
-        ksteps = [
-            s if s[0] == "low" else ("mix", _expand_mix(hq, s[1], s[2]))
-            for s in steps
-        ]
-        out_r, out_i = pallas_kernels.window_sweep(
-            re.reshape(R, C),
-            im.reshape(R, C),
-            _window_seg_sizes(n, hq),
-            ksteps,
         )
         return out_r.reshape(-1), out_i.reshape(-1)
 
@@ -455,11 +503,27 @@ def apply_ops_ri(
     dense ops whose supports stay within (column qubits) + (<= 3 row-qubit
     bits with scalar blocks) execute as ONE read+write of the state —
     strips mix on the VPU, composed C x C gates matmul on the MXU,
-    reassembly happens once per window. Measured at n=28 (v5e): the
-    alternating H(0)/H(27) pattern collapses from 30 passes to 1."""
+    unitary diagonals evaluate in-body, reassembly happens once per
+    window. Measured at n=28 (v5e): the alternating H(0)/H(27) pattern
+    collapses from 30 passes to 1 (905 applies/s via the Pallas window
+    kernel; the XLA fallback uses the same windows without diagonals)."""
     ops = list(ops)
+    kernel_ok = pallas_kernels.available() and re.dtype == jnp.float32
     i = 0
     while i < len(ops):
+        if kernel_ok:
+            # the kernel takes h <= 2 windows; collect to that cap so a
+            # 3rd distinct row bit starts a new kernel window instead of
+            # forcing the whole run onto the XLA fallback
+            window, j = _collect_window(
+                n, ops, i, max_h=2, allow_diag=True
+            )
+            if window is not None and _window_kernel_applicable(
+                n, window[0], window[1]
+            ):
+                re, im = _window_kernel_run(n, window, re, im)
+                i = j
+                continue
         window, j = _collect_window(n, ops, i)
         if window is not None:
             re, im = _window_sweep_ri(n, window, re, im)

@@ -20,21 +20,24 @@ from rustqip_tpu.ops.matrix_ops import make_matrix_op
 N = 19  # room for strided windows: bit 2 still has 512-row chunks
 
 
-def _run_window_kernel(ops, n=N):
+def _run_window_kernel(ops, n=N, allow_diag=False):
     R, C = 1 << (n - 7), 128
     rng = np.random.default_rng(0)
     sr = rng.normal(size=1 << n).astype(np.float32)
     si = rng.normal(size=1 << n).astype(np.float32)
-    window, j = _collect_window(n, ops, 0)
+    window, j = _collect_window(n, ops, 0, allow_diag=allow_diag)
     assert j == len(ops)
     hq, steps = window
     assert _window_kernel_applicable(n, hq, steps)
-    ksteps = [
-        s if s[0] == "low" else ("mix", _expand_mix(hq, s[1], s[2]))
-        for s in steps
-    ]
+    ksteps = []
+    for s in steps:
+        if s[0] == "mix":
+            ksteps.append(("mix", _expand_mix(hq, s[1], s[2])))
+        else:
+            ksteps.append(s)
     re, im = jnp.asarray(sr), jnp.asarray(si)
     out_r, out_i = window_sweep(
+        n,
         re.reshape(R, C),
         im.reshape(R, C),
         _window_seg_sizes(n, hq),
@@ -96,3 +99,73 @@ def test_low_heavy_window_kernel():
         make_matrix_op([0], gates.H.reshape(-1)),
         make_matrix_op([N - 1], gates.H.reshape(-1)),
     ])
+
+
+def test_diag_window_kernel():
+    # QFT-like ladder: H(high) + controlled-phase diagonals spanning row
+    # and column qubits evaluate in-body.
+    from rustqip_tpu.ops.matrix_ops import PhaseProductOp
+
+    rng = np.random.default_rng(7)
+    terms = []
+    for q in (0, 3, 8):
+        ang = rng.uniform(-3, 3)
+        terms.append(
+            ((q, N - 1), (1, 1, 1, complex(np.cos(ang), np.sin(ang))))
+        )
+    diag = PhaseProductOp(tuple(terms))
+    _run_window_kernel(
+        [
+            make_matrix_op([0], gates.H.reshape(-1)),
+            diag,
+            make_matrix_op([1], gates.H.reshape(-1)),
+            make_matrix_op([N - 1], gates.T.reshape(-1)),
+            diag,
+        ],
+        allow_diag=True,
+    )
+
+
+def test_diag_only_window_kernel_h0():
+    # h = 0: composed low matmuls + a diagonal, one kernel sweep.
+    from rustqip_tpu.ops.matrix_ops import PhaseProductOp
+
+    diag = PhaseProductOp((((2, N - 1), (1, 1j, 1, -1j)),))
+    _run_window_kernel(
+        [
+            make_matrix_op([N - 1], gates.H.reshape(-1)),
+            diag,
+            make_matrix_op([N - 2], gates.H.reshape(-1)),
+        ],
+        allow_diag=True,
+    )
+
+
+def test_qft_window_kernel_equivalence():
+    # The real QFT fused-op stream through apply_ops_ri with the kernel
+    # forced on (interpret mode is exercised above; here the collection +
+    # two-pass dispatch path must still be exact with the kernel OFF).
+    from rustqip_tpu.algos.qfft import qfft
+    from rustqip_tpu.builder.builder import LocalBuilder, _lower_item
+    from rustqip_tpu.engine.compile import UnitaryEntry
+    from rustqip_tpu.engine.fusion import fuse_ops
+    from rustqip_tpu.engine.real_apply import apply_ops_ri
+
+    n = 10
+    b = LocalBuilder(dtype="f64")
+    qfft(b, b.register(n))
+    entries = []
+    for item in b.pipeline:
+        entries.extend(_lower_item(item))
+    ops = fuse_ops([e.op for e in entries if isinstance(e, UnitaryEntry)])
+    rng = np.random.default_rng(1)
+    s = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    s /= np.linalg.norm(s)
+    gr, gi = apply_ops_ri(n, ops, jnp.asarray(s.real), jnp.asarray(s.imag))
+    got = np.asarray(gr) + 1j * np.asarray(gi)
+    # ground truth: per-op application
+    er, ei = jnp.asarray(s.real), jnp.asarray(s.imag)
+    for op in ops:
+        er, ei = apply_op_ri(n, op, er, ei)
+    want = np.asarray(er) + 1j * np.asarray(ei)
+    np.testing.assert_allclose(got, want, atol=1e-10)
