@@ -3,14 +3,19 @@
 No reference analog (RustQIP only exports); added here so exported gate
 streams round-trip — the acceptance check for export-time decomposition of
 natively-conditioned circuits. Supports the gate set the exporter emits
-plus the common qelib1 one- and two-qubit names.
+plus the common qelib1 one- and two-qubit names, custom ``gate``
+definitions (expanded recursively at import time), ``reset`` (swap with a
+zeroed ancilla), and classically-conditioned ``if (creg==val)`` statements
+via the deferred-measurement principle: the condition is lowered to a
+quantum control on the measured source qubits, which is exact as long as
+those qubits are untouched since their measurement (enforced).
 """
 
 from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -18,16 +23,31 @@ from rustqip_tpu.errors import CircuitError
 
 _TOKEN_RE = re.compile(r"^(?P<name>[a-zA-Z_][\w]*)\s*(\((?P<params>[^)]*)\))?\s*(?P<args>.*)$")
 _QARG_RE = re.compile(r"^(?P<reg>[a-zA-Z_][\w]*)\s*(\[\s*(?P<idx>\d+)\s*\])?$")
+_GATE_DEF_RE = re.compile(
+    r"gate\s+(?P<name>[a-zA-Z_]\w*)\s*(?:\(\s*(?P<params>[^)]*)\))?"
+    r"\s*(?P<qargs>[a-zA-Z_]\w*(?:\s*,\s*[a-zA-Z_]\w*)*)\s*\{(?P<body>[^{}]*)\}"
+)
+_IF_RE = re.compile(
+    r"^if\s*\(\s*(?P<creg>[a-zA-Z_]\w*)\s*==\s*(?P<val>\d+)\s*\)\s*(?P<stmt>.+)$"
+)
+_IDENT_RE = re.compile(r"[a-zA-Z_]\w*")
 
 _SAFE_NAMES = {"pi": np.pi}
 
 
-def _eval_param(expr: str) -> float:
-    """Evaluate a QASM angle expression (arithmetic over numbers and pi)."""
-    if not re.fullmatch(r"[\d\s\.\+\-\*/\(\)epi]*", expr):
+def _eval_param(expr: str, env: Optional[Dict[str, float]] = None) -> float:
+    """Evaluate a QASM angle expression: arithmetic over numbers, ``pi``,
+    and (inside a gate body) the gate's formal parameter names."""
+    names = dict(_SAFE_NAMES)
+    if env:
+        names.update(env)
+    if not re.fullmatch(r"[\w\s\.\+\-\*/\(\)]*", expr):
         raise CircuitError(f"Unsupported QASM parameter expression {expr!r}")
+    for ident in _IDENT_RE.findall(expr):
+        if ident not in names and not ident.isdigit():
+            raise CircuitError(f"Unknown name {ident!r} in parameter {expr!r}")
     try:
-        return float(eval(expr, {"__builtins__": {}}, _SAFE_NAMES)) # noqa: S307
+        return float(eval(expr, {"__builtins__": {}}, names))  # noqa: S307
     except Exception as e:
         raise CircuitError(f"Bad QASM parameter {expr!r}: {e}") from e
 
@@ -102,6 +122,15 @@ _GATES = {
 
 
 @dataclass
+class _GateDef:
+    """A parsed custom ``gate`` definition (expanded at call sites)."""
+
+    params: List[str]
+    qargs: List[str]
+    body: List[str]
+
+
+@dataclass
 class QasmCircuit:
     """Result of a QASM import: a ready builder plus handle bookkeeping."""
 
@@ -124,20 +153,42 @@ def circuit_from_qasm(text: str, builder=None) -> QasmCircuit:
 
     Multiple qregs concatenate in declaration order. ``measure`` becomes a
     collapsing measurement on the named qubit(s); ``barrier`` and comments
-    are ignored; ``if``/custom ``gate`` definitions are rejected loudly.
+    are ignored. Custom ``gate`` definitions expand recursively at import
+    time; ``reset`` swaps the qubit with a zeroed ancilla (the ancilla is
+    retired, never returned to the temp pool); ``if (c==v) <gate>`` lowers
+    to a quantum control on the measured source qubits (exact by the
+    deferred-measurement principle; rejected if any source qubit was gated
+    or reset after its measurement).
     """
     from rustqip_tpu.builder.builder import LocalBuilder
+    from rustqip_tpu.dsl.program import negate_bitmask
 
     if builder is None:
         builder = LocalBuilder()
-    # strip comments, join lines, split statements
+    # strip comments, then extract gate definitions ({} blocks would break
+    # the flat ';' split below)
     body = re.sub(r"//[^\n]*", "", text)
+    gate_defs: Dict[str, _GateDef] = {}
+
+    def _grab_def(m: "re.Match") -> str:
+        params = [p.strip() for p in (m.group("params") or "").split(",") if p.strip()]
+        qargs = [q.strip() for q in m.group("qargs").split(",") if q.strip()]
+        sts = [s.strip() for s in m.group("body").replace("\n", " ").split(";") if s.strip()]
+        if not qargs:
+            raise CircuitError(f"gate {m.group('name')} declares no qubits")
+        gate_defs[m.group("name")] = _GateDef(params, qargs, sts)
+        return " "
+
+    body = _GATE_DEF_RE.sub(_grab_def, body)
     statements = [s.strip() for s in body.replace("\n", " ").split(";")]
     qreg_offsets: Dict[str, Tuple[int, int]] = {}
     cregs: Dict[str, Tuple[int, int]] = {}
     qubits: List[Optional[object]] = []
     out = QasmCircuit(builder=builder, n=0, qubits=qubits)
     n_c = 0
+    #: qubit indices whose value is classical & equal to their last
+    #: measurement outcome (untouched since) — the `if` lowering precondition
+    fresh: set = set()
 
     def qubit_indices(args: str) -> List[int]:
         idxs = []
@@ -155,6 +206,80 @@ def circuit_from_qasm(text: str, builder=None) -> QasmCircuit:
                 idxs.append(off + i)
         return idxs
 
+    def take_slots(idxs: Sequence[int]) -> List[object]:
+        regs = []
+        for qi in idxs:
+            if qubits[qi] is None:
+                raise CircuitError("Qubit reused before release")
+            regs.append(qubits[qi])
+            qubits[qi] = None
+            fresh.discard(qi)
+        return regs
+
+    def apply_gate_call(b, name: str, params: List[float], idxs: List[int]) -> None:
+        """Apply gate ``name`` on global qubit indices ``idxs`` through
+        builder ``b`` (the plain builder or a ``Conditioned`` wrapper)."""
+        if name in gate_defs:
+            gd = gate_defs[name]
+            if len(params) != len(gd.params):
+                raise CircuitError(
+                    f"{name} expects {len(gd.params)} parameters, got {len(params)}"
+                )
+            if len(idxs) != len(gd.qargs):
+                raise CircuitError(
+                    f"{name} expects {len(gd.qargs)} qubits, got {len(idxs)}"
+                )
+            if len(set(idxs)) != len(idxs):
+                raise CircuitError(f"{name} applied to duplicate qubits")
+            env = dict(zip(gd.params, params))
+            qmap = dict(zip(gd.qargs, idxs))
+            for st in gd.body:
+                if st.startswith("barrier"):
+                    continue
+                tok = _TOKEN_RE.match(st)
+                if not tok:
+                    raise CircuitError(f"Bad statement in gate {name}: {st!r}")
+                sub_params = []
+                if tok.group("params"):
+                    sub_params = [
+                        _eval_param(p, env) for p in tok.group("params").split(",")
+                    ]
+                sub_idxs = []
+                for arg in tok.group("args").split(","):
+                    arg = arg.strip()
+                    if arg not in qmap:
+                        raise CircuitError(
+                            f"Unknown qubit {arg!r} in gate {name} body"
+                        )
+                    sub_idxs.append(qmap[arg])
+                apply_gate_call(b, tok.group("name"), sub_params, sub_idxs)
+            return
+        if name not in _GATES:
+            raise CircuitError(f"Unknown gate {name!r}")
+        n_params, factory = _GATES[name]
+        if len(params) != n_params:
+            raise CircuitError(
+                f"{name} expects {n_params} parameters, got {len(params)}"
+            )
+        mat = np.asarray(factory(*params), dtype=np.complex128)
+        k = int(mat.shape[0]).bit_length() - 1
+        if len(idxs) != k:
+            raise CircuitError(f"{name} expects {k} qubits, got {len(idxs)}")
+        regs = take_slots(idxs)
+        merged = b.merge_registers(regs)
+        merged = b.apply_matrix(merged, mat)
+        for qi, q in zip(idxs, b.split_all_register(merged)):
+            qubits[qi] = q
+
+    def apply_statement(b, st: str) -> None:
+        tok = _TOKEN_RE.match(st)
+        if not tok or (tok.group("name") not in _GATES and tok.group("name") not in gate_defs):
+            raise CircuitError(f"Unsupported QASM statement: {st!r}")
+        params = []
+        if tok.group("params"):
+            params = [_eval_param(p) for p in tok.group("params").split(",")]
+        apply_gate_call(b, tok.group("name"), params, qubit_indices(tok.group("args")))
+
     for st in statements:
         if not st:
             continue
@@ -162,8 +287,59 @@ def circuit_from_qasm(text: str, builder=None) -> QasmCircuit:
             continue
         if st.startswith("barrier"):
             continue
-        if st.startswith("if") or st.startswith("gate ") or st.startswith("opaque"):
+        if st.startswith("opaque"):
             raise CircuitError(f"Unsupported QASM statement: {st!r}")
+        m = _IF_RE.match(st)
+        if m:
+            creg = m.group("creg")
+            if creg not in cregs:
+                raise CircuitError(f"Unknown creg in condition: {st!r}")
+            off, size = cregs[creg]
+            val = int(m.group("val"))
+            if val >= (1 << size):
+                raise CircuitError(
+                    f"Condition value {val} out of range for {creg}[{size}]"
+                )
+            inner = m.group("stmt").strip()
+            if inner.startswith("measure") or inner.startswith("reset"):
+                raise CircuitError(
+                    f"Conditioned {inner.split()[0]} is not supported: {st!r}"
+                )
+            # Map each classical bit to its source qubit (bit j of val
+            # compares against creg bit j, QASM little-endian).
+            ctrl_idxs = []
+            for j in range(size):
+                ordinal = out.creg_map.get(off + j)
+                if ordinal is None:
+                    raise CircuitError(
+                        f"Classical bit {creg}[{j}] is unmeasured; cannot "
+                        f"lower the condition to a quantum control"
+                    )
+                qi = out.measurements[ordinal][0]
+                if qi not in fresh:
+                    raise CircuitError(
+                        f"Source qubit of {creg}[{j}] was modified after its "
+                        f"measurement; deferred-measurement lowering of "
+                        f"{st!r} would be inexact"
+                    )
+                ctrl_idxs.append(qi)
+            ctrl_regs = [qubits[qi] for qi in ctrl_idxs]
+            if any(r is None for r in ctrl_regs):
+                raise CircuitError(f"Control qubit unavailable in {st!r}")
+            for qi in ctrl_idxs:
+                qubits[qi] = None
+            cr = builder.merge_registers(ctrl_regs)
+            cr = negate_bitmask(builder, cr, val)
+            cb = builder.condition_with(cr)
+            apply_statement(cb, inner)
+            cr = cb.dissolve()
+            cr = negate_bitmask(builder, cr, val)
+            for qi, q in zip(ctrl_idxs, builder.split_all_register(cr)):
+                qubits[qi] = q
+                # X + controlled-op + X leaves the control's classical value
+                # intact, so the measurement correspondence survives.
+                fresh.add(qi)
+            continue
         m = re.match(r"^qreg\s+([a-zA-Z_]\w*)\s*\[\s*(\d+)\s*\]$", st)
         if m:
             name, size = m.group(1), int(m.group(2))
@@ -177,50 +353,38 @@ def circuit_from_qasm(text: str, builder=None) -> QasmCircuit:
             cregs[m.group(1)] = (n_c, int(m.group(2)))
             n_c += int(m.group(2))
             continue
+        m = re.match(r"^reset\s+(?P<q>.+)$", st)
+        if m:
+            # Non-unitary reset = SWAP with a zeroed ancilla; the dirty
+            # ancilla is retired (NOT returned to the temp pool), which
+            # traces it out of every later measurement exactly.
+            for qi in qubit_indices(m.group("q")):
+                (q,) = take_slots([qi])
+                tq = builder.make_zeroed_temp_qubit()
+                q, _dirty = builder.swap_registers(q, tq)
+                qubits[qi] = q
+            continue
         m = re.match(
             r"^measure\s+(?P<q>[^\s]+)\s*->\s*(?P<c>[a-zA-Z_]\w*)"
             r"\s*(\[\s*(?P<ci>\d+)\s*\])?$",
             st,
         )
         if m:
-            for qi in qubit_indices(m.group("q")):
+            qis = qubit_indices(m.group("q"))
+            if m.group("c") not in cregs:
+                raise CircuitError(f"Unknown creg in {st!r}")
+            c_off, c_size = cregs[m.group("c")]
+            if m.group("ci") is None and len(qis) > c_size:
+                raise CircuitError(f"creg too small in {st!r}")
+            for pos, qi in enumerate(qis):
                 qubits[qi], handle = builder.measure(qubits[qi])
                 ordinal = len(out.measurements)
                 out.measurements.append((qi, handle))
-                if m.group("ci") is not None and m.group("c") in cregs:
-                    out.creg_map[
-                        cregs[m.group("c")][0] + int(m.group("ci"))
-                    ] = ordinal
+                fresh.add(qi)
+                ci = int(m.group("ci")) if m.group("ci") is not None else pos
+                out.creg_map[c_off + ci] = ordinal
             continue
-        tok = _TOKEN_RE.match(st)
-        if not tok or tok.group("name") not in _GATES:
-            raise CircuitError(f"Unsupported QASM statement: {st!r}")
-        name = tok.group("name")
-        n_params, factory = _GATES[name]
-        params = []
-        if tok.group("params"):
-            params = [_eval_param(p) for p in tok.group("params").split(",")]
-        if len(params) != n_params:
-            raise CircuitError(
-                f"{name} expects {n_params} parameters, got {len(params)}"
-            )
-        mat = np.asarray(factory(*params), dtype=np.complex128)
-        idxs = qubit_indices(tok.group("args"))
-        k = int(mat.shape[0]).bit_length() - 1
-        if len(idxs) != k:
-            raise CircuitError(
-                f"{name} expects {k} qubits, got {len(idxs)}"
-            )
-        regs = []
-        for qi in idxs:
-            if qubits[qi] is None:  # pragma: no cover
-                raise CircuitError("Qubit reused before release")
-            regs.append(qubits[qi])
-            qubits[qi] = None
-        merged = builder.merge_registers(regs)
-        merged = builder.apply_matrix(merged, mat)
-        for qi, q in zip(idxs, builder.split_all_register(merged)):
-            qubits[qi] = q
+        apply_statement(builder, st)
 
     out.n = len(qubits)
     return out
