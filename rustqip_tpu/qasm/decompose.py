@@ -55,6 +55,10 @@ def gate_matrix(name: str, params: Sequence[float]) -> np.ndarray:
             [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]],
             dtype=np.complex128,
         )
+    if name == "ccx":
+        out = np.eye(8, dtype=np.complex128)
+        out[6:, 6:] = np.array([[0, 1], [1, 0]])
+        return out
     raise CircuitError(f"Unknown IR gate {name}")
 
 
@@ -220,6 +224,50 @@ def synthesize_controlled(
     return synthesize_unitary(
         full, list(controls) + list(targets), exact_phase
     )
+
+
+def synthesize_mcu(
+    U: np.ndarray,
+    controls: Sequence[int],
+    targets: Sequence[int],
+    ancillas: Sequence[int],
+) -> List[Gate]:
+    """Multi-controlled U via a clean-ancilla Toffoli ladder: AND the
+    controls pairwise into ``ancillas`` (assumed |0>, returned to |0>),
+    apply single-controlled U from the last ancilla, uncompute. Linear in
+    the number of controls — vs the O(4^(nc+nt)) dense embed — so the
+    export cap stops depending on control count (the reference never hits
+    this because it decomposes conditioning at build time, qasm.rs:112-184;
+    we decompose at export time instead).
+
+    Requires ``len(ancillas) >= len(controls) - 1`` and
+    ``len(targets) + 1 <= QSD_CAP``. Exact including phases (conditional
+    phases of the inner controlled block are realized in-gate).
+    """
+    controls = list(controls)
+    targets = list(targets)
+    nc = len(controls)
+    if nc < 2:
+        return synthesize_controlled(U, controls, targets, exact_phase=True)
+    if len(ancillas) < nc - 1:
+        raise CircuitError(
+            f"MCU ladder needs {nc - 1} ancillas, got {len(ancillas)}"
+        )
+    if len(targets) + 1 > QSD_CAP:
+        raise CircuitError(
+            f"Refusing to synthesize a {len(targets)}-qubit controlled "
+            f"target (cap {QSD_CAP - 1})"
+        )
+    anc = list(ancillas[: nc - 1])
+    ladder: List[Gate] = [("ccx", (), (controls[0], controls[1], anc[0]))]
+    for i in range(2, nc):
+        ladder.append(("ccx", (), (controls[i], anc[i - 2], anc[i - 1])))
+    gates = list(ladder)
+    gates.extend(
+        synthesize_controlled(U, [anc[-1]], targets, exact_phase=True)
+    )
+    gates.extend(reversed(ladder))
+    return gates
 
 
 def gates_to_matrix(gates: Sequence[Gate], qubits: Sequence[int]) -> np.ndarray:

@@ -14,9 +14,12 @@ Beyond the reference: arbitrary (and natively-conditioned) unitaries export
 as REAL gate streams via export-time decomposition (``decompose.py`` —
 ZYZ / quantum Shannon / cu3+ccx special cases), where the reference could
 only export what its build-time decompositions produced (conditioning a
-raw MAT is ``todo!()`` at builder.rs:808). Only stochastic measurements and
-unitaries wider than ``decompose.QSD_CAP`` fall back to comments (OpenQASM
-2.0 has no construct for either).
+raw MAT is ``todo!()`` at builder.rs:808). Controlled ops with many
+controls take a clean-ancilla Toffoli-ladder path (an ``anc`` qreg is
+emitted on demand), so control count no longer hits the synthesis cap.
+Only stochastic measurements and uncontrolled/target unitaries wider than
+``decompose.QSD_CAP`` fall back to comments (OpenQASM 2.0 has no construct
+for either).
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ from rustqip_tpu.builder.circuit_objects import (
 from rustqip_tpu.qasm.decompose import (
     QSD_CAP,
     synthesize_controlled,
+    synthesize_mcu,
     synthesize_unitary,
     zyz_angles,
 )
@@ -58,16 +62,23 @@ def _fmt(x: float) -> str:
     return format_angle(float(x))
 
 
-def _emit_ir(gates, out: List[str]) -> None:
-    """Print decompose.py gate IR as qelib1 statements."""
+def _emit_ir(gates, out: List[str], n_main: int = 1 << 62) -> None:
+    """Print decompose.py gate IR as qelib1 statements. Indices at or above
+    ``n_main`` refer to the export-time ancilla register ``anc``."""
+
+    def q(i: int) -> str:
+        return f"q[{i}]" if i < n_main else f"anc[{i - n_main}]"
+
     for name, params, qs in gates:
         if name == "cx":
-            out.append(f"cx q[{qs[0]}],q[{qs[1]}];")
+            out.append(f"cx {q(qs[0])},{q(qs[1])};")
+        elif name == "ccx":
+            out.append(f"ccx {q(qs[0])},{q(qs[1])},{q(qs[2])};")
         elif name == "u1":
-            out.append(f"u1({_fmt(params[0])}) q[{qs[0]}];")
+            out.append(f"u1({_fmt(params[0])}) {q(qs[0])};")
         elif name == "u3":
             t, p, l = params
-            out.append(f"u3({_fmt(t)},{_fmt(p)},{_fmt(l)}) q[{qs[0]}];")
+            out.append(f"u3({_fmt(t)},{_fmt(p)},{_fmt(l)}) {q(qs[0])};")
         else:  # pragma: no cover
             raise AssertionError(name)
 
@@ -79,15 +90,32 @@ _SWAP4 = np.array(
 )
 
 
-def _emit_controlled_mat(obj: ControlledMatGate, indices, out: List[str]):
+def _ctrl_target_width(obj: ControlledMatGate) -> int:
+    return obj.mat.n
+
+
+def _ladder_ancillas_needed(obj: ControlledMatGate) -> int:
+    """Ancillas the MCU Toffoli-ladder path needs for this op (0 = the
+    dense-embed/special-case paths handle it)."""
+    nc, k = obj.n_ctrl, _ctrl_target_width(obj)
+    if nc >= 2 and (nc + k > QSD_CAP or nc >= 4) and k + 1 <= QSD_CAP:
+        return nc - 1
+    return 0
+
+
+def _emit_controlled_mat(
+    obj: ControlledMatGate, indices, out: List[str], n_main: int = 0
+):
     nc = obj.n_ctrl
     ctrls = list(indices[:nc])
     tgts = list(indices[nc:])
     mat = obj.mat
+    k = len(tgts)
+    ladder = _ladder_ancillas_needed(obj)
     if isinstance(mat, SparseMatGate):
         from rustqip_tpu.ops.matrix_ops import SparseOp, op_to_dense
 
-        if mat.n + nc > QSD_CAP:
+        if mat.n + nc > QSD_CAP and not ladder:
             out.append(
                 f"// controlled sparse unitary on {list(indices)} exceeds "
                 f"synthesis cap ({QSD_CAP} qubits)"
@@ -96,7 +124,6 @@ def _emit_controlled_mat(obj: ControlledMatGate, indices, out: List[str]):
         data = op_to_dense(SparseOp(tuple(range(mat.n)), mat.rows))
     else:
         data = mat.data
-    k = len(tgts)
     if k == 1:
         if np.allclose(data, _X, atol=1e-12):
             if nc == 1:
@@ -116,6 +143,10 @@ def _emit_controlled_mat(obj: ControlledMatGate, indices, out: List[str]):
             return
     if k == 2 and nc == 1 and np.allclose(data, _SWAP4, atol=1e-12):
         out.append(f"cswap q[{ctrls[0]}],q[{tgts[0]}],q[{tgts[1]}];")
+        return
+    if ladder:
+        anc = [n_main + i for i in range(ladder)]
+        _emit_ir(synthesize_mcu(data, ctrls, tgts, anc), out, n_main)
         return
     if nc + k > QSD_CAP:
         out.append(
@@ -216,8 +247,19 @@ def to_openqasm(builder) -> str:
     )
     classical_map = {q: c for c, q in enumerate(measured)}
 
+    n_anc = max(
+        (
+            _ladder_ancillas_needed(co.obj)
+            for _, co in pipeline
+            if isinstance(co.obj, ControlledMatGate)
+        ),
+        default=0,
+    )
+
     out: List[str] = ["OPENQASM 2.0;", 'include "qelib1.inc";']
     out.append(f"qreg q[{n_qubits}];")
+    if n_anc:
+        out.append(f"qreg anc[{n_anc}];")
     if measured:
         out.append(f"creg c[{len(measured)}];")
 
@@ -233,6 +275,8 @@ def to_openqasm(builder) -> str:
                 for q in indices:
                     if q in classical_map:
                         out.append(f"measure q[{q}] -> c[{classical_map[q]}];")
+        elif isinstance(obj, ControlledMatGate):
+            _emit_controlled_mat(obj, indices, out, n_qubits)
         else:
             _emit_unitary(obj, indices, out)
 
