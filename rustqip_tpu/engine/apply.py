@@ -56,6 +56,13 @@ from rustqip_tpu.ops.matrix_ops import (
 
 from rustqip_tpu.types import MINOR_QUBITS  # noqa: E402  (layout constant)
 
+#: All state-vector matmuls run at true input precision. The TPU default
+#: ("default" matmul precision) silently computes f32 dots in bf16 —
+#: measured 2.7e-3 relative error per gate pass on v5e, vs 1.4e-7 with
+#: HIGHEST — which is unacceptable for amplitude simulation (the reference
+#: engine is exact at its dtype). CPU backends ignore this flag.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
 #: Largest op support materialized as a dense matrix on the host.
 DENSE_CAP = 10
 
@@ -146,7 +153,9 @@ def _apply_dense(
     if plan[0] == "low":
         _, B, R, C = plan
         s2d = state.reshape(R, C)
-        out = s2d @ jnp.asarray(B, dtype=dtype).T
+        out = jnp.dot(
+            s2d, jnp.asarray(B, dtype=dtype).T, precision=MATMUL_PRECISION
+        )
         return out.reshape(-1)
     _, blocks, seg_shape, h, R, C = plan
     x = state.reshape(seg_shape + (C,))
@@ -179,7 +188,11 @@ def _apply_dense(
                 else:
                     term = xi * jnp.asarray(np.array(val), dtype=dtype)
             else:
-                term = xi @ jnp.asarray(blk[1], dtype=dtype).T
+                term = jnp.dot(
+                    xi,
+                    jnp.asarray(blk[1], dtype=dtype).T,
+                    precision=MATMUL_PRECISION,
+                )
             acc = term if acc is None else acc + term
         if acc is None:
             acc = jnp.zeros_like(strip(0))
@@ -341,7 +354,7 @@ def _eval_bilinear_2d(n: int, groups, dtype) -> jnp.ndarray:
         V = jnp.stack(
             [mono([col_bit(q) for q in cq], c) for _, cq, c in mixed], axis=1
         )
-        val = val + U @ V.T
+        val = val + jnp.dot(U, V.T, precision=MATMUL_PRECISION)
     return val
 
 
@@ -688,7 +701,12 @@ def _apply_to_state(n: int, op: MatrixOp, state: jnp.ndarray) -> jnp.ndarray:
 def _t_dense(tensor: jnp.ndarray, mat: np.ndarray, axes: Sequence[int]) -> jnp.ndarray:
     k = len(axes)
     mat_t = jnp.asarray(mat, dtype=tensor.dtype).reshape((2,) * (2 * k))
-    out = jnp.tensordot(mat_t, tensor, axes=(tuple(range(k, 2 * k)), tuple(axes)))
+    out = jnp.tensordot(
+        mat_t,
+        tensor,
+        axes=(tuple(range(k, 2 * k)), tuple(axes)),
+        precision=MATMUL_PRECISION,
+    )
     return jnp.moveaxis(out, tuple(range(k)), tuple(axes))
 
 

@@ -26,51 +26,14 @@ from rustqip_tpu.types import MINOR_QUBITS
 
 _C = 1 << MINOR_QUBITS  # 128
 
+#: True-f32 dots (the TPU "default" silently drops to bf16 — 2.7e-3 rel
+#: error per pass; see engine.apply.MATMUL_PRECISION).
+_PREC = jax.lax.Precision.HIGHEST
+
 #: Rows per grid step. 8 * 128 sublane tiles; 512 rows x 128 lanes x 4B x 2
 #: planes x (in + out) = 1 MiB of VMEM per step — far under the 16 MiB
 #: budget while long enough to hide DMA latency.
 _BLOCK_ROWS = 512
-
-
-def _c64_matmul_kernel(xr_ref, xi_ref, br_ref, bi_ref, or_ref, oi_ref):
-    xr = xr_ref[:]
-    xi = xi_ref[:]
-    br = br_ref[:]
-    bi = bi_ref[:]
-    # (xr + i xi) @ (br + i bi): four real MXU matmuls.
-    or_ref[:] = jnp.dot(xr, br, preferred_element_type=jnp.float32) - jnp.dot(
-        xi, bi, preferred_element_type=jnp.float32
-    )
-    oi_ref[:] = jnp.dot(xr, bi, preferred_element_type=jnp.float32) + jnp.dot(
-        xi, br, preferred_element_type=jnp.float32
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("rows",))
-def _invoke(xr, xi, br, bi, rows):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    grid = (rows // _BLOCK_ROWS,)
-    row_spec = pl.BlockSpec(
-        (_BLOCK_ROWS, _C), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    mat_spec = pl.BlockSpec((_C, _C), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _c64_matmul_kernel,
-        grid=grid,
-        in_specs=[row_spec, row_spec, mat_spec, mat_spec],
-        out_specs=[row_spec, row_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, _C), jnp.float32),
-            jax.ShapeDtypeStruct((rows, _C), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=8 * rows * _C * _C,
-            bytes_accessed=2 * rows * _C * 4 * 2,
-            transcendentals=0,
-        ),
-    )(xr, xi, br, bi)
 
 
 def available() -> bool:
@@ -96,19 +59,23 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
 
     ``refs`` = 2^h (xr, xi) input ref pairs, per-low-step (br, bi) matrix
     refs, then 2^h (or, oi) output ref pairs. Each grid step holds one row
-    block of EVERY strip, so scalar-high mixes, C x C matmuls, AND unitary
+    block of EVERY strip, so scalar-high mixes, C x C matmuls, unitary
     diagonals (phase factors evaluated in-body from the block's row/col
-    iotas) chain without returning to HBM — the whole window costs one
+    iotas), AND single-column-qubit gates (lane-roll butterflies — a 2x2
+    on lane bit p costs ~8 VPU ops/element instead of a 128-wide MXU
+    matmul) chain without returning to HBM — the whole window costs one
     read+write of the state plus compute.
     """
     from jax.experimental import pallas as pl
 
     h = len(seg_sizes) - 1
     ns = 1 << h
-    n_low = sum(1 for s in steps if s[0] == "low")
+    n_mat_refs = sum(
+        3 if s[0] == "low" else (1 if s[0] == "lowr" else 0) for s in steps
+    )
     ins = refs[: 2 * ns]
-    mats = refs[2 * ns : 2 * ns + 2 * n_low]
-    outs = refs[2 * ns + 2 * n_low :]
+    mats = refs[2 * ns : 2 * ns + n_mat_refs]
+    outs = refs[2 * ns + n_mat_refs :]
     m = min(n, MINOR_QUBITS)
     n_m = n - m
     sl = seg_sizes[-1] // br
@@ -179,17 +146,89 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                 nxt.append((xr * ca - xi * sa, xr * sa + xi * ca))
             cur = nxt
             continue
-        if step[0] == "low":
-            mr = mats[2 * li][:]
-            mi = mats[2 * li + 1][:]
-            li += 1
+        if step[0] == "cbf":
+            # 2x2 [[a,b],[c,d]] on column (lane) bit p: out at lanes with
+            # the bit clear = a*x + b*partner; set = d*x + c*partner.
+            # Exact f32 (no dots); ~2x cheaper than a HIGHEST-precision
+            # 128-wide matmul for a single-qubit gate.
+            from jax.experimental.pallas import tpu as pltpu
+
+            p, coeffs = step[1], step[2]
+            a, b, c, d = coeffs
+            s = 1 << p
+            bit = ((cols >> p) & 1) == 1
+            u_r = jnp.where(bit, np.float32(d.real), np.float32(a.real))
+            v_r = jnp.where(bit, np.float32(c.real), np.float32(b.real))
+            real_only = all(v.imag == 0 for v in coeffs)
+            if not real_only:
+                u_i = jnp.where(bit, np.float32(d.imag), np.float32(a.imag))
+                v_i = jnp.where(bit, np.float32(c.imag), np.float32(b.imag))
             nxt = []
             for xr, xi in cur:
-                rr = jnp.dot(xr, mr, preferred_element_type=jnp.float32)
-                ri = jnp.dot(xi, mi, preferred_element_type=jnp.float32)
-                ir = jnp.dot(xr, mi, preferred_element_type=jnp.float32)
-                ii = jnp.dot(xi, mr, preferred_element_type=jnp.float32)
-                nxt.append((rr - ri, ir + ii))
+                pr = jnp.where(
+                    bit, pltpu.roll(xr, s, 1), pltpu.roll(xr, _C - s, 1)
+                )
+                pi = jnp.where(
+                    bit, pltpu.roll(xi, s, 1), pltpu.roll(xi, _C - s, 1)
+                )
+                if real_only:
+                    nxt.append(
+                        (u_r * xr + v_r * pr, u_r * xi + v_r * pi)
+                    )
+                else:
+                    nxt.append(
+                        (
+                            u_r * xr - u_i * xi + v_r * pr - v_i * pi,
+                            u_r * xi + u_i * xr + v_r * pi + v_i * pr,
+                        )
+                    )
+            cur = nxt
+            continue
+        if step[0] == "lowr":
+            # Real-valued B (e.g. Hadamard krons): two dots, half the MXU
+            # work of the complex product.
+            mr = mats[li][:]
+            li += 1
+            cur = [
+                (
+                    jnp.dot(
+                        xr,
+                        mr,
+                        preferred_element_type=jnp.float32,
+                        precision=_PREC,
+                    ),
+                    jnp.dot(
+                        xi,
+                        mr,
+                        preferred_element_type=jnp.float32,
+                        precision=_PREC,
+                    ),
+                )
+                for xr, xi in cur
+            ]
+            continue
+        if step[0] == "low":
+            # Karatsuba complex product: 3 dots instead of 4 (operands
+            # br, bi, bs = br + bi; m - rr - ii gives the imaginary part).
+            mr = mats[li][:]
+            mi = mats[li + 1][:]
+            ms = mats[li + 2][:]
+            li += 3
+            nxt = []
+            for xr, xi in cur:
+                rr = jnp.dot(
+                    xr, mr, preferred_element_type=jnp.float32, precision=_PREC
+                )
+                ii = jnp.dot(
+                    xi, mi, preferred_element_type=jnp.float32, precision=_PREC
+                )
+                m = jnp.dot(
+                    xr + xi,
+                    ms,
+                    preferred_element_type=jnp.float32,
+                    precision=_PREC,
+                )
+                nxt.append((rr - ii, m - rr - ii))
             cur = nxt
         else:  # mix: {(j, i): complex scalar}
             blocks = step[1]
@@ -236,6 +275,115 @@ def window_block_rows(h: int, steps) -> int:
     return max(_BLOCK_ROWS >> (h + 2), 64)
 
 
+def _strip_index_map(seg_sizes, sl: int, i: int):
+    """Block index map for strip ``i``: factor the strip-local block
+    ordinal into per-segment coordinates, then interleave the strip's
+    window-bit values back in."""
+    h = len(seg_sizes) - 1
+
+    def index_map(r, i=i):
+        d = r % sl
+        rest = r // sl
+        coords = []
+        for s in reversed(seg_sizes[:-1]):
+            coords.append(rest % s)
+            rest = rest // s
+        coords = coords[::-1]
+        blk = 0
+        for j, c in enumerate(coords):
+            blk = (blk * seg_sizes[j] + c) * 2 + ((i >> (h - 1 - j)) & 1)
+        return blk * sl + d, 0
+
+    return index_map
+
+
+def _window_matrix_operands(steps):
+    """Split steps into body tags + matrix operand arrays: real B -> one
+    ("lowr",) operand (2-dot path), complex B -> ("low",) with
+    (re, im, re+im) Karatsuba operands (3 dots instead of 4)."""
+    body_steps = []
+    mats = []
+    for step in steps:
+        if step[0] == "low":
+            bt = np.ascontiguousarray(step[1].T)
+            mbr = np.real(bt).astype(np.float32)
+            mbi = np.imag(bt).astype(np.float32)
+            if not np.any(mbi):
+                body_steps.append(("lowr",))
+                mats.append(mbr)
+            else:
+                body_steps.append(("low",))
+                mats += [mbr, mbi, mbr + mbi]
+        else:
+            body_steps.append(step)
+    return tuple(body_steps), mats
+
+
+def _window_sweep_pipelined(n, xr, xi, seg_sizes, steps, br):
+    """One VMEM-resident window sweep with an inner ``emit_pipeline``:
+    strided input AND output block index maps, so the kernel writes the
+    canonical (rows, C) layout directly — one state read + one write,
+    nothing else. (An in-place ``input_output_aliases`` variant measured
+    5.5 ms SLOWER at n=28 — same-buffer DMA serializes — so outputs are
+    fresh buffers.)"""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = xr.shape[0]
+    h = len(seg_sizes) - 1
+    ns = 1 << h
+    srows = rows // ns
+    nblk = srows // br
+    sl = seg_sizes[-1] // br
+    body_steps, mats = _window_matrix_operands(steps)
+    n_mats = len(mats)
+
+    def outer(*refs):
+        xr_h, xi_h = refs[0], refs[1]
+        mrefs = refs[2 : 2 + n_mats]
+        or_h, oi_h = refs[2 + n_mats :]
+
+        def body(*brefs):
+            ins = brefs[: 2 * ns]
+            outs = brefs[2 * ns :]
+            _window_kernel_body(
+                n, seg_sizes, body_steps, br, *ins, *mrefs, *outs
+            )
+
+        specs = []
+        for i in range(ns):
+            bs = pl.BlockSpec((br, _C), _strip_index_map(seg_sizes, sl, i))
+            specs += [bs, bs]
+        pipe = pltpu.emit_pipeline(
+            body, grid=(nblk,), in_specs=specs, out_specs=list(specs)
+        )
+        args = []
+        outs = []
+        for _ in range(ns):
+            args += [xr_h, xi_h]
+            outs += [or_h, oi_h]
+        pipe(*args, *outs)
+
+    out_r, out_i = pl.pallas_call(
+        outer,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_mats,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, _C), jnp.float32),
+            jax.ShapeDtypeStruct((rows, _C), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=sum(8 * rows * _C * _C for s in steps if s[0] == "low"),
+            bytes_accessed=2 * rows * _C * 4 * 2,
+            transcendentals=0,
+        ),
+    )(xr, xi, *[jnp.asarray(m) for m in mats])
+    return out_r, out_i
+
+
 def window_sweep(
     n: int,
     xr: jnp.ndarray,
@@ -243,6 +391,7 @@ def window_sweep(
     seg_sizes,
     steps,
     interpret: bool = False,
+    _assemble: bool = True,
 ):
     """Execute a strip-window as one VMEM-resident Pallas sweep.
 
@@ -253,7 +402,9 @@ def window_sweep(
     s_h % _BLOCK_ROWS == 0 (strips are unions of aligned blocks).
 
     ``steps``: ("low", B_complex_ndarray) | ("mix", {(j, i): complex}) |
-    ("diag", (const, row_monos, col_monos, mixed) angle groups).
+    ("diag", (const, row_monos, col_monos, mixed) angle groups) |
+    ("cbf", lane_bit, (a, b, c, d)) — single-column-qubit 2x2 as a
+    lane-roll butterfly (no operand).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -266,6 +417,18 @@ def window_sweep(
     nblk = srows // br
     grid = (nblk,)
     sl = seg_sizes[-1] // br  # blocks per finest strip chunk
+
+    if not interpret:
+        # Real-TPU path: inner emit_pipeline with strided OUTPUT index
+        # maps — the result lands directly in canonical layout, no
+        # post-kernel concatenation (measured at n=28: 19.0 ms vs 24.6 ms
+        # with assembly for the 30-gate alternating window, and the
+        # assembly concat alone cost ~55 s of XLA compile). Interpret mode
+        # keeps the BlockSpec+assemble path below (emit_pipeline needs
+        # real TPU device info).
+        return _window_sweep_pipelined(
+            n, xr, xi, tuple(seg_sizes), tuple(steps), br
+        )
 
     def strip_spec(i):
         def index_map(r, i=i):
@@ -296,14 +459,11 @@ def window_sweep(
     for i in range(ns):
         in_specs += [strip_spec(i), strip_spec(i)]
         operands += [xr, xi]
-    n_low = 0
-    for step in steps:
-        if step[0] == "low":
-            n_low += 1
-            bt = np.ascontiguousarray(step[1].T)
-            operands.append(jnp.asarray(np.real(bt), dtype=jnp.float32))
-            operands.append(jnp.asarray(np.imag(bt), dtype=jnp.float32))
-            in_specs += [mat_spec, mat_spec]
+    n_low = sum(1 for s in steps if s[0] == "low")
+    body_steps, mats = _window_matrix_operands(steps)
+    for m in mats:
+        operands.append(jnp.asarray(m))
+        in_specs.append(mat_spec)
 
     # Outputs: one (srows, C) buffer per strip plane (exactly state-sized
     # in total); the final concat restores the contiguous layout.
@@ -323,7 +483,9 @@ def window_sweep(
 
     flops_per_low = 8 * rows * _C * _C
     outs = pl.pallas_call(
-        _ft.partial(_window_kernel_body, n, tuple(seg_sizes), tuple(steps), br),
+        _ft.partial(
+            _window_kernel_body, n, tuple(seg_sizes), tuple(body_steps), br
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -336,6 +498,8 @@ def window_sweep(
         ),
     )(*operands)
 
+    if not _assemble:  # debug/bench: raw strip outputs
+        return outs
     # Reassemble the (possibly strided) strips by pairwise concatenation
     # along the window bit axes.
     strip_shape = []
@@ -374,16 +538,18 @@ def c64_low_matmul(xr: jnp.ndarray, xi: jnp.ndarray, B: np.ndarray):
         and rows % _BLOCK_ROWS == 0
         and xr.shape[1] == _C
     ):
-        out_r, out_i = _invoke(
-            xr,
-            xi,
-            jnp.asarray(br.astype(np.float32)),
-            jnp.asarray(bi.astype(np.float32)),
-            rows=rows,
+        # One h=0 window: the pipelined sweep handles real-B (2 dots) and
+        # Karatsuba (3 dots) selection plus direct strided IO.
+        n = (rows * _C).bit_length() - 1
+        return _window_sweep_pipelined(
+            n, xr, xi, (rows,), (("low", B),), _BLOCK_ROWS
         )
-        return out_r, out_i
     brj = jnp.asarray(br, dtype=xr.dtype)
     bij = jnp.asarray(bi, dtype=xr.dtype)
-    out_r = xr @ brj - xi @ bij
-    out_i = xr @ bij + xi @ brj
+    out_r = jnp.dot(xr, brj, precision=_PREC) - jnp.dot(
+        xi, bij, precision=_PREC
+    )
+    out_i = jnp.dot(xr, bij, precision=_PREC) + jnp.dot(
+        xi, brj, precision=_PREC
+    )
     return out_r, out_i

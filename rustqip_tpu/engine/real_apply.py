@@ -43,14 +43,19 @@ from rustqip_tpu.engine.apply import DENSE_CAP  # noqa: E402
 
 def _real_block_matmul(xr, xi, B: np.ndarray):
     """x @ B.T on plane pairs, skipping all-zero imaginary parts."""
+    from rustqip_tpu.engine.apply import MATMUL_PRECISION as _P
+
     bt = np.ascontiguousarray(B.T)
     br = np.real(bt)
     bi = np.imag(bt)
     brj = jnp.asarray(br, dtype=xr.dtype)
     if not np.any(bi):
-        return xr @ brj, xi @ brj
+        return jnp.dot(xr, brj, precision=_P), jnp.dot(xi, brj, precision=_P)
     bij = jnp.asarray(bi, dtype=xr.dtype)
-    return xr @ brj - xi @ bij, xr @ bij + xi @ brj
+    return (
+        jnp.dot(xr, brj, precision=_P) - jnp.dot(xi, bij, precision=_P),
+        jnp.dot(xr, bij, precision=_P) + jnp.dot(xi, brj, precision=_P),
+    )
 
 
 def _scalar_mul(xr, xi, val: complex):
@@ -274,7 +279,9 @@ def _collect_window(
 
     Returns ``((H_sorted, steps), next_index)`` or ``(None, start)``;
     steps: ("low", composed numpy C x C) | ("mix", op, plan) |
-    ("diag", angle_groups).
+    ("diag", angle_groups) | ("cbf", lane_bit, 2x2 coeffs) — the last is
+    kernel-only (``allow_diag``): single-column-qubit gates as lane-roll
+    butterflies, adjacent same-bit ones composed.
     """
     H: set = set()
     steps: List = []
@@ -302,6 +309,32 @@ def _collect_window(
                     continue
             break
         if p[0] == "low":
+            if (
+                allow_diag
+                and isinstance(op, DenseOp)
+                and op.num_indices == 1
+                and pending_B is None
+            ):
+                # Kernel path: a single-column-qubit 2x2 becomes a
+                # lane-roll butterfly. Measured on v5e (n=28, 15 such
+                # gates): ~2.5 ms/gate vs ~5.1 ms for a 128-wide MXU
+                # matmul at HIGHEST precision (exact f32 dots cost 6
+                # bf16 passes; the butterfly is exact by construction).
+                # Only beats the matmul when dots run exact — at bf16
+                # "default" precision the matmul was faster, but that
+                # precision is wrong for amplitude simulation.
+                pbit = n - 1 - op.indices[0]
+                mat = np.asarray(op.data, dtype=np.complex128).reshape(2, 2)
+                if steps and steps[-1][0] == "cbf" and steps[-1][1] == pbit:
+                    prev = np.array(steps[-1][2], dtype=np.complex128)
+                    mat = mat @ prev.reshape(2, 2)
+                    steps.pop()
+                steps.append(
+                    ("cbf", pbit, tuple(complex(v) for v in mat.reshape(-1)))
+                )
+                j += 1
+                consumed += 1
+                continue
             B = p[1]
             pending_B = B if pending_B is None else B @ pending_B
             j += 1
@@ -375,9 +408,10 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
         return False
     n_low = sum(1 for s in steps if s[0] == "low")
     n_diag = sum(1 for s in steps if s[0] == "diag")
+    n_cbf = sum(1 for s in steps if s[0] == "cbf")
     if n_low > WINDOW_KERNEL_MAX_LOW:
         return False
-    return n_diag >= 1 or (h >= 1 and n_low >= 1)
+    return n_diag >= 1 or (h >= 1 and n_low + n_cbf >= 1)
 
 
 def _window_kernel_run(n: int, window, re, im) -> Pair:

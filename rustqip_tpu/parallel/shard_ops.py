@@ -259,7 +259,9 @@ def _traced_local_apply(U, rest_local, local_n, re_s, im_s):
     x = jnp.moveaxis(x, front, list(range(kk)))
     lead = x.shape[:kk]
     x2 = x.reshape(1 << kk, -1)
-    y2 = U.astype(x2.dtype) @ x2
+    from rustqip_tpu.engine.apply import MATMUL_PRECISION as _P
+
+    y2 = jnp.dot(U.astype(x2.dtype), x2, precision=_P)
     y = y2.reshape(lead + x.shape[kk:])
     y = jnp.moveaxis(y, list(range(kk)), front)
     y = y.reshape(re_s.shape)

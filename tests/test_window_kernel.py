@@ -141,6 +141,79 @@ def test_diag_only_window_kernel_h0():
     )
 
 
+def test_real_matrix_low_steps():
+    # All-real composed B (Hadamard krons) takes the 2-dot "lowr" path
+    # when collected for the XLA window (no cbf without allow_diag).
+    ops = [
+        make_matrix_op([(i % 2) * (N - 1)], gates.H.reshape(-1))
+        for i in range(8)
+    ]
+    _run_window_kernel(ops, allow_diag=False)
+
+
+def test_cbf_alternating_window():
+    # Kernel collection: single-column-qubit gates become lane-roll
+    # butterfly steps (no matmul operand), exact f32.
+    ops = [
+        make_matrix_op([(i % 2) * (N - 1)], gates.H.reshape(-1))
+        for i in range(8)
+    ]
+    window, j = _collect_window(N, ops, 0, allow_diag=True)
+    assert j == len(ops)
+    assert any(s[0] == "cbf" for s in window[1])
+    assert not any(s[0] == "low" for s in window[1])
+    _run_window_kernel(ops, allow_diag=True)
+
+
+def test_cbf_composition_same_bit():
+    # Adjacent same-qubit singles compose into ONE cbf step (T.T == S).
+    ops = [
+        make_matrix_op([0], gates.H.reshape(-1)),
+        make_matrix_op([N - 1], gates.T.reshape(-1)),
+        make_matrix_op([N - 1], gates.T.reshape(-1)),
+    ]
+    window, j = _collect_window(N, ops, 0, allow_diag=True)
+    assert j == len(ops)
+    cbfs = [s for s in window[1] if s[0] == "cbf"]
+    assert len(cbfs) == 1
+    np.testing.assert_allclose(
+        np.array(cbfs[0][2]).reshape(2, 2), gates.S, atol=1e-12
+    )
+    _run_window_kernel(ops, allow_diag=True)
+
+
+def test_complex_singles_all_lane_bits():
+    # Random complex singles on every column qubit (cbf on each lane bit
+    # 0..6), anchored by one row-qubit mix so the window kernel engages.
+    rng = np.random.default_rng(9)
+    ops = [make_matrix_op([0], gates.H.reshape(-1))]
+    for q in range(N - 7, N):
+        m = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+        u, _ = np.linalg.qr(m)
+        ops.append(make_matrix_op([q], u.reshape(-1)))
+    _run_window_kernel(ops, allow_diag=True)
+
+
+def test_mixed_real_complex_low_with_diag():
+    # real low + in-body diagonal + complex 2-column-qubit matmul, one sweep.
+    from rustqip_tpu.ops.matrix_ops import PhaseProductOp
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+    u, _ = np.linalg.qr(m)
+    diag = PhaseProductOp((((2, N - 1), (1, 1j, 1, -1j)),))
+    _run_window_kernel(
+        [
+            make_matrix_op([0], gates.H.reshape(-1)),
+            make_matrix_op([N - 1], gates.H.reshape(-1)),
+            diag,
+            make_matrix_op([N - 2, N - 4], u.reshape(-1)),
+            make_matrix_op([N - 3], gates.T.reshape(-1)),
+        ],
+        allow_diag=True,
+    )
+
+
 def test_qft_window_kernel_equivalence():
     # The real QFT fused-op stream through apply_ops_ri with the kernel
     # forced on (interpret mode is exercised above; here the collection +
