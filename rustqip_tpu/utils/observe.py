@@ -118,6 +118,151 @@ def profile_circuit(
     return out
 
 
+def pass_breakdown(builder) -> list:
+    """Static per-sweep breakdown of the compiled circuit.
+
+    Returns one dict per HBM sweep (strip window), in execution order:
+    which fused ops it retires, the window's row bits and step-type
+    composition (``mix``/``low``/``cbf``/``diag``), whether the Pallas
+    kernel takes it, and the estimated HBM bytes it moves. Host-side only
+    (no device work) — the static half of the ROADMAP "per-pass timing
+    breakdown" (the reference has no tracing at all, SURVEY.md §5).
+    """
+    from rustqip_tpu.engine.compile import MeasureEntry
+    from rustqip_tpu.engine.real_apply import (
+        _collect_window,
+        _window_kernel_applicable,
+    )
+
+    cc = builder.compile()
+    n = cc.n
+    amp_bytes = np.dtype(builder.dtype).itemsize
+    sweep_bytes = 2 * (1 << n) * amp_bytes
+    out = []
+
+    def emit(ops, repeat=1):
+        i = 0
+        while i < len(ops):
+            window, j = _collect_window(n, ops, i, max_h=2, allow_diag=True)
+            if window is None:
+                op = ops[i]
+                out.append(
+                    {
+                        "kind": type(op).__name__,
+                        "ops": 1,
+                        "repeat": repeat,
+                        "steps": {},
+                        "kernel": False,
+                        "est_bytes": sweep_bytes,
+                    }
+                )
+                i += 1
+                continue
+            hq, steps = window
+            counts: Dict[str, int] = {}
+            for s in steps:
+                counts[s[0]] = counts.get(s[0], 0) + 1
+            out.append(
+                {
+                    "kind": "window",
+                    "ops": j - i,
+                    "repeat": repeat,
+                    "row_bits": list(hq),
+                    "steps": counts,
+                    "kernel": _window_kernel_applicable(n, hq, steps),
+                    "est_bytes": sweep_bytes,
+                }
+            )
+            i = j
+
+    for seg in cc.segments:
+        if isinstance(seg, MeasureEntry):
+            out.append(
+                {
+                    "kind": "measure",
+                    "ops": 0,
+                    "repeat": 1,
+                    "steps": {},
+                    "kernel": False,
+                    "est_bytes": sweep_bytes,
+                }
+            )
+            continue
+        if isinstance(seg, tuple) and seg[0] == "repeat":
+            emit(seg[2], repeat=seg[1])
+            continue
+        emit(seg)
+    return out
+
+
+def profile_passes(builder, iters: int = 3, seed: int = 0) -> list:
+    """Measured per-sweep timing: run each sweep's op run as its own
+    donated jit program and report ms + effective GB/s per sweep.
+
+    NOTE: costs one XLA compile per distinct sweep — cheap on CPU,
+    minutes-per-sweep over the axon TPU relay (use ``pass_breakdown`` for
+    the free static view). Scalar-fetch synchronization throughout.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rustqip_tpu.engine.compile import MeasureEntry
+    from rustqip_tpu.engine.real_apply import _collect_window, apply_ops_ri
+
+    cc = builder.compile()
+    n = cc.n
+    rdtype = cc.rdtype
+    amp_bytes = np.dtype(builder.dtype).itemsize
+    sweep_bytes = 2 * (1 << n) * amp_bytes
+    breakdown = pass_breakdown(builder)
+
+    # Collect the op runs per sweep in order (skipping measurements).
+    runs = []
+    for seg in cc.segments:
+        if isinstance(seg, MeasureEntry):
+            continue
+        ops = seg[2] if isinstance(seg, tuple) and seg[0] == "repeat" else seg
+        i = 0
+        while i < len(ops):
+            window, j = _collect_window(n, ops, i, max_h=2, allow_diag=True)
+            if window is None:
+                runs.append([ops[i]])
+                i += 1
+            else:
+                runs.append(list(ops[i:j]))
+                i = j
+
+    dim = 1 << n
+    re = jnp.zeros(dim, rdtype).at[0].set(1.0)
+    im = jnp.zeros(dim, rdtype)
+    results = []
+    gates = iter(b for b in breakdown if b["kind"] != "measure")
+    for run_ops in runs:
+        info = next(gates)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(a, b, run_ops=tuple(run_ops)):
+            return apply_ops_ri(n, list(run_ops), a, b)
+
+        re, im = step(re, im)
+        float(re[0])  # sync (compile + first run excluded from timing)
+        t0 = time.time()
+        for _ in range(iters):
+            re, im = step(re, im)
+        float(re[0])
+        dt = (time.time() - t0) / iters
+        results.append(
+            {
+                **info,
+                "ms": dt * 1e3,
+                "gbps": sweep_bytes / dt / 1e9 if dt > 0 else float("inf"),
+            }
+        )
+    return results
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Perfetto/XProf trace of everything inside the block

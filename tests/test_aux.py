@@ -88,6 +88,51 @@ def test_profile_circuit_runs():
     assert 1 <= out["hbm_sweeps"] <= out["gate_passes"]
 
 
+def test_pass_breakdown_static():
+    from rustqip_tpu.algos.qfft import qfft
+    from rustqip_tpu.utils.observe import pass_breakdown
+
+    b = LocalBuilder()
+    qfft(b, b.register(8))
+    bd = pass_breakdown(b)
+    assert len(bd) >= 1
+    windows = [e for e in bd if e["kind"] == "window"]
+    assert windows, bd
+    # every sweep accounts a full state read+write
+    assert all(e["est_bytes"] == 2 * (1 << 8) * 16 for e in bd)
+    # the QFT ladder produces diag and low/cbf steps
+    step_kinds = set()
+    for e in windows:
+        step_kinds.update(e["steps"])
+    assert step_kinds & {"low", "cbf", "diag", "mix"}
+    # retired op counts cover the whole compiled schedule
+    cc = b.compile()
+    assert sum(e["ops"] * e["repeat"] for e in bd) == cc.num_passes
+
+
+def test_pass_breakdown_measure_entries():
+    from rustqip_tpu.utils.observe import pass_breakdown
+
+    b = build_example()
+    bd = pass_breakdown(b)
+    assert sum(1 for e in bd if e["kind"] == "measure") == 2
+
+
+def test_profile_passes_runs():
+    from rustqip_tpu.utils.observe import profile_passes
+
+    b = LocalBuilder()
+    r = b.register(4)
+    r = b.h(r)
+    r = b.t(r)
+    r, _ = b.measure(r)
+    out = profile_passes(b, iters=1)
+    assert len(out) >= 1
+    for e in out:
+        assert e["ms"] >= 0
+        assert e["gbps"] > 0
+
+
 def test_shor_period():
     assert find_period(7, 15) == 4
     assert find_period(2, 15) == 4
