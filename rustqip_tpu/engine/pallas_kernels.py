@@ -265,13 +265,15 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
 
 def window_block_rows(h: int, steps) -> int:
     """Rows per grid step for a window kernel: 2^h strips live at once
-    (x2 planes, in+out). Windows without diagonal steps run at the proven
-    512-row block (the 905 applies/s configuration); diagonal steps add
-    per-strip transcendental temporaries (a 512-row h=2 diag window
-    measured 32 MiB of scoped VMEM against the 16 MiB budget), so those
-    scale down with the strip count."""
+    (x2 planes, in+out, double-buffered by the pipeline). Windows without
+    diagonal steps run 512-row blocks up to h=2 (the proven headline
+    configuration; 2^h x 512 x 128 x 4 B x 2 planes x 2 dirs x 2 buffers
+    = 16 MiB at h=3, over budget — so h=3 halves the block); diagonal
+    steps add per-strip transcendental temporaries (a 512-row h=2 diag
+    window measured 32 MiB of scoped VMEM against the 16 MiB budget), so
+    those scale down with the strip count."""
     if not any(s[0] == "diag" for s in steps):
-        return _BLOCK_ROWS
+        return _BLOCK_ROWS if h <= 2 else _BLOCK_ROWS // 2
     return max(_BLOCK_ROWS >> (h + 2), 64)
 
 

@@ -393,15 +393,16 @@ def _window_seg_sizes(n: int, hq):
 
 
 def _window_kernel_applicable(n: int, hq, steps) -> bool:
-    """The Pallas window kernel handles h <= 2 windows whose strips are
+    """The Pallas window kernel handles h <= 3 windows whose strips are
     unions of block-aligned row chunks (the trailing segment below the
-    lowest window bit must cover whole 512-row blocks). Worth invoking
-    when the window chains a matmul behind strips, or contains diagonal
-    steps (XLA fuses neither across its materialization points); pure-mix
-    windows fuse fine in XLA already."""
+    lowest window bit must cover whole blocks; h=3 halves the block so 8
+    strips fit VMEM). Worth invoking when the window chains a matmul or
+    butterfly behind strips, or contains diagonal steps (XLA fuses
+    neither across its materialization points); pure-mix windows fuse
+    fine in XLA already."""
     h = len(hq)
     m, R, C = _geometry(n)
-    if h > 2 or C != 128:
+    if h > 3 or C != 128:
         return False
     segs = _window_seg_sizes(n, hq)
     if segs[-1] % pallas_kernels.window_block_rows(h, steps) != 0:
@@ -546,11 +547,11 @@ def apply_ops_ri(
     i = 0
     while i < len(ops):
         if kernel_ok:
-            # the kernel takes h <= 2 windows; collect to that cap so a
-            # 3rd distinct row bit starts a new kernel window instead of
+            # the kernel takes h <= 3 windows; collect to that cap so a
+            # 4th distinct row bit starts a new kernel window instead of
             # forcing the whole run onto the XLA fallback
             window, j = _collect_window(
-                n, ops, i, max_h=2, allow_diag=True
+                n, ops, i, max_h=3, allow_diag=True
             )
             if window is not None and _window_kernel_applicable(
                 n, window[0], window[1]

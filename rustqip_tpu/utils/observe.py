@@ -143,7 +143,7 @@ def pass_breakdown(builder) -> list:
     def emit(ops, repeat=1):
         i = 0
         while i < len(ops):
-            window, j = _collect_window(n, ops, i, max_h=2, allow_diag=True)
+            window, j = _collect_window(n, ops, i, max_h=3, allow_diag=True)
             if window is None:
                 op = ops[i]
                 out.append(
@@ -226,7 +226,7 @@ def profile_passes(builder, iters: int = 3, seed: int = 0) -> list:
         ops = seg[2] if isinstance(seg, tuple) and seg[0] == "repeat" else seg
         i = 0
         while i < len(ops):
-            window, j = _collect_window(n, ops, i, max_h=2, allow_diag=True)
+            window, j = _collect_window(n, ops, i, max_h=3, allow_diag=True)
             if window is None:
                 runs.append([ops[i]])
                 i += 1

@@ -214,6 +214,37 @@ def test_mixed_real_complex_low_with_diag():
     )
 
 
+def test_h3_window_kernel():
+    # Three distinct row bits (8 strips, halved block rows) in one sweep.
+    _run_window_kernel(
+        [
+            make_matrix_op([0], gates.H.reshape(-1)),
+            make_matrix_op([N - 1], gates.T.reshape(-1)),
+            make_matrix_op([1], gates.X.reshape(-1)),
+            make_matrix_op([N - 2], gates.H.reshape(-1)),
+            make_matrix_op([2], gates.Y.reshape(-1)),
+            make_matrix_op([N - 3], gates.S.reshape(-1)),
+        ],
+        allow_diag=True,
+    )
+
+
+def test_h3_window_with_diag():
+    from rustqip_tpu.ops.matrix_ops import PhaseProductOp
+
+    diag = PhaseProductOp((((1, N - 1), (1, 1j, 1, -1j)),))
+    _run_window_kernel(
+        [
+            make_matrix_op([0], gates.H.reshape(-1)),
+            make_matrix_op([1], gates.H.reshape(-1)),
+            make_matrix_op([2], gates.H.reshape(-1)),
+            diag,
+            make_matrix_op([N - 1], gates.H.reshape(-1)),
+        ],
+        allow_diag=True,
+    )
+
+
 def test_qft_window_kernel_equivalence():
     # The real QFT fused-op stream through apply_ops_ri with the kernel
     # forced on (interpret mode is exercised above; here the collection +
