@@ -646,24 +646,134 @@ def _cross_swap_applicable(n: int, cross) -> bool:
     return sorted(a for a, _ in cross) == list(range(k))
 
 
+def _split_same_pairs(n: int, same):
+    """(row_pairs, col_pairs, mixed): same-side pairs by side. ``mixed``
+    collects row<->col pairs routed here when the staged cross transpose
+    is inapplicable (they fall back to dense passes)."""
+    m, _, _ = _geometry(n)
+    n_m = n - m
+    rowp, colp, mixed = [], [], []
+    for a, b in same:
+        if b < n_m:
+            rowp.append((a, b))
+        elif a >= n_m:
+            colp.append((a, b))
+        else:
+            mixed.append((a, b))
+    return rowp, colp, mixed
+
+
+def _row_swap_planes(n: int, pairs, planes):
+    """Row-row swap pairs as structured axis transposes (pure copies, no
+    matmul): each pair is a rank-6 reshape + transpose of its two 2-axes.
+    The minor C=2^m lanes dimension stays intact, so XLA lowers each to a
+    tiled block copy (~bandwidth) instead of the dense strip pass (~11 ms
+    per pair at n=28 on v5e).
+
+    When the pairs form the reversal of one contiguous even-length row-bit
+    field — QFT's bit reversal restricted to row qubits, reference
+    qip/src/qfft.rs:29-37 — the whole set collapses into ONE
+    (pre, 2^k, 2^k, C) half-swap transpose plus two rev_k gathers along
+    the 2^k axes (rev(u·2^k+v) = rev_k(v)·2^k + rev_k(u)).
+    """
+    m, R, C = _geometry(n)
+    n_m = n - m
+    fused = _row_field_reversal(n_m, pairs)
+    outs = []
+    for x in planes:
+        x = x.reshape(R, C)
+        if fused is not None:
+            pre, k, mid, rev = fused
+            post = R // (pre * mid << (2 * k))
+            shape = (pre, 1 << k, mid, 1 << k, post, C)
+            x = x.reshape(shape).transpose(0, 3, 2, 1, 4, 5)
+            x = jnp.take(x, rev, axis=1)
+            x = jnp.take(x, rev, axis=3).reshape(R, C)
+        else:
+            for a, b in pairs:
+                pa, pb = n_m - 1 - a, n_m - 1 - b  # a < b -> pa > pb
+                shape = (
+                    R >> (pa + 1), 2, 1 << (pa - pb - 1), 2, 1 << pb, C,
+                )
+                x = (
+                    x.reshape(shape)
+                    .transpose(0, 3, 2, 1, 4, 5)
+                    .reshape(R, C)
+                )
+        outs.append(x)
+    return outs
+
+
+def _row_field_reversal(n_m: int, pairs):
+    """Detect pairs reversing one contiguous row-bit field; returns
+    (pre, k, mid, rev_k_table) or None. ``mid`` is 1 (even field) or 2
+    (odd field with a fixed middle bit)."""
+    if len(pairs) < 2:
+        return None
+    qubits = sorted(q for p in pairs for q in p)
+    lo, hi = qubits[0], qubits[-1]
+    want = {(lo + t, hi - t) for t in range((hi - lo + 1) // 2)}
+    if {tuple(sorted(p)) for p in pairs} != want:
+        return None
+    span = hi - lo + 1
+    k = span // 2
+    mid = 1 if span % 2 == 0 else 2
+    pre = 1 << lo  # qubit lo = row bit n_m-1-lo; higher qubits are "pre"
+    rev = np.zeros(1 << k, np.int32)
+    for i in range(1 << k):
+        rev[i] = int(format(i, f"0{k}b")[::-1], 2)
+    return pre, k, mid, jnp.asarray(rev)
+
+
+def _col_swap_planes(n: int, pairs, planes):
+    """Col-col swap pairs as ONE lane relabel (a 128-entry gather along
+    the minor axis) — exact and cheaper than the C x C permutation
+    matmul a dense pass would issue."""
+    m, R, C = _geometry(n)
+    n_m = n - m
+    layout = list(range(n_m, n))
+    for a, b in pairs:
+        sa, sb = a - n_m, b - n_m
+        layout[sa], layout[sb] = layout[sb], layout[sa]
+    t = jnp.asarray(_col_relabel_table(n, layout))
+    return [jnp.take(x.reshape(R, C), t, axis=1) for x in planes]
+
+
 _SWAP2_MAT = np.array(
     [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
     dtype=np.complex128,
 )
 
 
-def _apply_swap(n: int, op: SwapOp, state: jnp.ndarray) -> jnp.ndarray:
+def _swap_schedule(n: int, op: SwapOp):
+    """Split a SwapOp into (cross, row_pairs, col_pairs, dense_pairs):
+    cross goes to the staged block transpose (or into dense_pairs when
+    inapplicable), row/col pairs to their structured fast paths."""
     cross, same = _split_swap_pairs(n, op)
-    if _cross_swap_applicable(n, cross):
-        _, R, C = _geometry(n)
+    if not _cross_swap_applicable(n, cross):
+        same = same + cross
+        cross = []
+    rowp, colp, mixed = _split_same_pairs(n, same)
+    return cross, rowp, colp, mixed
+
+
+def _apply_swap(n: int, op: SwapOp, state: jnp.ndarray) -> jnp.ndarray:
+    cross, rowp, colp, mixed = _swap_schedule(n, op)
+    _, R, C = _geometry(n)
+    if cross:
         (state2d,) = _cross_swap_planes(n, cross, [state.reshape(R, C)])
         state = state2d.reshape(-1)
-    else:
-        same = same + cross
-    # Remaining pairs: per-pair dense applies. (A full (R, C) permutation
-    # gather measured 7.5 s for QFT-28's bit reversal — pathological HBM
-    # access — vs ~11 ms per dense pair pass.)
-    for a, b in same:
+    if rowp:
+        (state2d,) = _row_swap_planes(n, rowp, [state])
+        state = state2d.reshape(-1)
+    if colp:
+        (state2d,) = _col_swap_planes(n, colp, [state])
+        state = state2d.reshape(-1)
+    # Leftover row<->col pairs outside the staged-transpose shape: per-pair
+    # dense applies. (A full (R, C) permutation gather measured 7.5 s for
+    # QFT-28's bit reversal — pathological HBM access — vs ~11 ms per
+    # dense pair pass.)
+    for a, b in mixed:
         state = _apply_dense(n, (a, b), _SWAP2_MAT, state)
     return state
 

@@ -274,7 +274,13 @@ def window_block_rows(h: int, steps) -> int:
     those scale down with the strip count."""
     if not any(s[0] == "diag" for s in steps):
         return _BLOCK_ROWS if h <= 2 else _BLOCK_ROWS // 2
-    return max(_BLOCK_ROWS >> (h + 2), 64)
+    # Diag windows carry per-strip transcendental temporaries (angle +
+    # cos/sin + per-mixed-monomial masks), which scale with the strip
+    # count: a 256-row h=2 QFT diag window hit 25.2M scoped VMEM against
+    # the 16M budget. Measured-safe points: h<=1 at 512 rows (14.0 ms vs
+    # 19.5 ms at 64 rows, and 90x faster Mosaic compiles), h=2 at 64
+    # (the long-proven configuration), h=3 at 64.
+    return _BLOCK_ROWS if h <= 1 else 64
 
 
 def _strip_index_map(seg_sizes, sl: int, i: int):
@@ -415,7 +421,10 @@ def window_sweep(
     h = len(seg_sizes) - 1
     ns = 1 << h
     srows = rows // ns
-    br = window_block_rows(h, steps)
+    # Adapt the block to the trailing segment (both powers of two): a
+    # strided window whose finest chunk is smaller than the policy block
+    # still qualifies, at the chunk size.
+    br = min(window_block_rows(h, steps), seg_sizes[-1])
     nblk = srows // br
     grid = (nblk,)
     sl = seg_sizes[-1] // br  # blocks per finest strip chunk

@@ -181,21 +181,26 @@ def apply_op_ri(n: int, op: MatrixOp, re: jnp.ndarray, im: jnp.ndarray) -> Pair:
         return _dense_ri(n, op.indices, op_to_dense(op), re, im)
     if isinstance(op, SwapOp):
         from rustqip_tpu.engine.apply import (
-            _cross_swap_applicable,
+            _col_swap_planes,
             _cross_swap_planes,
-            _split_swap_pairs,
+            _row_swap_planes,
+            _swap_schedule,
         )
 
-        cross, same = _split_swap_pairs(n, op)
-        if _cross_swap_applicable(n, cross):
-            _, R, C = _geometry(n)
+        cross, rowp, colp, mixed = _swap_schedule(n, op)
+        _, R, C = _geometry(n)
+        if cross:
             re2, im2 = _cross_swap_planes(
                 n, cross, [re.reshape(R, C), im.reshape(R, C)]
             )
             re, im = re2.reshape(-1), im2.reshape(-1)
-        else:
-            same = same + cross
-        for a, b in same:
+        if rowp:
+            re2, im2 = _row_swap_planes(n, rowp, [re, im])
+            re, im = re2.reshape(-1), im2.reshape(-1)
+        if colp:
+            re2, im2 = _col_swap_planes(n, colp, [re, im])
+            re, im = re2.reshape(-1), im2.reshape(-1)
+        for a, b in mixed:
             re, im = _dense_ri(n, (a, b), _SWAP2, re, im)
         return re, im
     if isinstance(op, ControlOp):
@@ -405,7 +410,9 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
     if h > 3 or C != 128:
         return False
     segs = _window_seg_sizes(n, hq)
-    if segs[-1] % pallas_kernels.window_block_rows(h, steps) != 0:
+    # block rows adapt down to the trailing segment; require at least a
+    # full (8, 128) tile per DMA block
+    if min(pallas_kernels.window_block_rows(h, steps), segs[-1]) < 64:
         return False
     n_low = sum(1 for s in steps if s[0] == "low")
     n_diag = sum(1 for s in steps if s[0] == "diag")

@@ -263,6 +263,99 @@ def profile_passes(builder, iters: int = 3, seed: int = 0) -> list:
     return results
 
 
+def profile_passes_fused(
+    builder, extra_reps: int = 7, iters: int = 2, seed: int = 0
+) -> list:
+    """Measured per-sweep timing from ONE compiled program.
+
+    ``profile_passes`` costs one XLA compile per sweep — minutes each over
+    the axon TPU relay. This variant compiles a single jit program whose
+    per-sweep repeat counts are a runtime int32 vector (each sweep wrapped
+    in a ``lax.fori_loop`` with a traced bound): sweep k's cost is
+    recovered as ``(T(ones + e_k * extra_reps) - T(ones)) / extra_reps``.
+    One compile, ``num_sweeps + 1`` timed executions. Extra repeats of a
+    unitary sweep change the final state but not its shape or norm — the
+    profiled program is for timing, not for results.
+
+    Sweeps inside a ``repeat`` segment are profiled at one iteration of
+    the loop body; measurement segments are skipped (as in
+    ``profile_passes``).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rustqip_tpu.engine.compile import MeasureEntry
+    from rustqip_tpu.engine.real_apply import _collect_window, apply_ops_ri
+
+    cc = builder.compile()
+    n = cc.n
+    rdtype = cc.rdtype
+    amp_bytes = np.dtype(builder.dtype).itemsize
+    sweep_bytes = 2 * (1 << n) * amp_bytes
+    breakdown = [b for b in pass_breakdown(builder) if b["kind"] != "measure"]
+
+    runs = []
+    for seg in cc.segments:
+        if isinstance(seg, MeasureEntry):
+            continue
+        ops = seg[2] if isinstance(seg, tuple) and seg[0] == "repeat" else seg
+        i = 0
+        while i < len(ops):
+            window, j = _collect_window(n, ops, i, max_h=3, allow_diag=True)
+            if window is None:
+                runs.append([ops[i]])
+                i += 1
+            else:
+                runs.append(list(ops[i:j]))
+                i = j
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def prog(re, im, reps):
+        for k, run_ops in enumerate(runs):
+            ops_k = tuple(run_ops)
+
+            def body(_, carry, ops_k=ops_k):
+                r, i = carry
+                return apply_ops_ri(n, list(ops_k), r, i)
+
+            re, im = jax.lax.fori_loop(0, reps[k], body, (re, im))
+        return re, im
+
+    dim = 1 << n
+    nr = len(runs)
+
+    def timed(reps_np):
+        reps = jnp.asarray(reps_np, dtype=jnp.int32)
+        best = float("inf")
+        for _ in range(iters):
+            re = jnp.zeros(dim, rdtype).at[0].set(1.0)
+            im = jnp.zeros(dim, rdtype)
+            t0 = time.time()
+            re, im = prog(re, im, reps)
+            float(re[0])  # scalar-fetch sync (relay-safe)
+            best = min(best, time.time() - t0)
+        return best
+
+    ones = np.ones(nr, np.int32)
+    timed(ones)  # compile + warm
+    t_base = timed(ones)
+    results = []
+    for k in range(nr):
+        reps = ones.copy()
+        reps[k] += extra_reps
+        dt = max(timed(reps) - t_base, 0.0) / extra_reps
+        results.append(
+            {
+                **breakdown[k],
+                "ms": dt * 1e3,
+                "gbps": sweep_bytes / dt / 1e9 if dt > 0 else float("inf"),
+            }
+        )
+    return results
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Perfetto/XProf trace of everything inside the block

@@ -133,6 +133,23 @@ def test_profile_passes_runs():
         assert e["gbps"] > 0
 
 
+def test_profile_passes_fused_runs():
+    from rustqip_tpu.algos.qfft import qfft
+    from rustqip_tpu.utils.observe import profile_passes, profile_passes_fused
+
+    b = LocalBuilder()
+    qfft(b, b.register(6))
+    out = profile_passes_fused(b, extra_reps=2, iters=1)
+    assert len(out) >= 1
+    for e in out:
+        assert e["ms"] >= 0
+        assert e["gbps"] > 0
+    # one entry per sweep, same schedule as the per-compile profiler
+    slow = profile_passes(b, iters=1)
+    assert [e["kind"] for e in out] == [e["kind"] for e in slow]
+    assert [e["ops"] for e in out] == [e["ops"] for e in slow]
+
+
 def test_shor_period():
     assert find_period(7, 15) == 4
     assert find_period(2, 15) == 4
