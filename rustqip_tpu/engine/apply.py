@@ -663,18 +663,25 @@ def _split_same_pairs(n: int, same):
     return rowp, colp, mixed
 
 
+#: Largest contiguous field reversed by one bit-axis transpose (rank =
+#: span + 3; the compiler chokes somewhere past rank ~20).
+_FIELD_REVERSAL_MAX_SPAN = 16
+
+
 def _row_swap_planes(n: int, pairs, planes):
     """Row-row swap pairs as structured axis transposes (pure copies, no
     matmul): each pair is a rank-6 reshape + transpose of its two 2-axes.
     The minor C=2^m lanes dimension stays intact, so XLA lowers each to a
-    tiled block copy (~bandwidth) instead of the dense strip pass (~11 ms
-    per pair at n=28 on v5e).
+    tiled block copy (~bandwidth) instead of the dense strip pass.
 
-    When the pairs form the reversal of one contiguous even-length row-bit
-    field — QFT's bit reversal restricted to row qubits, reference
-    qip/src/qfft.rs:29-37 — the whole set collapses into ONE
-    (pre, 2^k, 2^k, C) half-swap transpose plus two rev_k gathers along
-    the 2^k axes (rev(u·2^k+v) = rev_k(v)·2^k + rev_k(u)).
+    When the pairs form the reversal of one contiguous row-bit field —
+    QFT's bit reversal restricted to row qubits, reference
+    qip/src/qfft.rs:29-37 — the whole set collapses into ONE transpose
+    with per-bit axes in reversed order. Measured for QFT-28's 7 row
+    pairs (both planes, v5e): 37.8 ms for the single rank-16 transpose
+    vs 78 ms chained pair transposes vs 125 ms dense passes; gather
+    formulations (rev_k index takes) are 512-byte-granularity
+    pathological (172+ ms) and are avoided entirely.
     """
     m, R, C = _geometry(n)
     n_m = n - m
@@ -683,12 +690,11 @@ def _row_swap_planes(n: int, pairs, planes):
     for x in planes:
         x = x.reshape(R, C)
         if fused is not None:
-            pre, k, mid, rev = fused
-            post = R // (pre * mid << (2 * k))
-            shape = (pre, 1 << k, mid, 1 << k, post, C)
-            x = x.reshape(shape).transpose(0, 3, 2, 1, 4, 5)
-            x = jnp.take(x, rev, axis=1)
-            x = jnp.take(x, rev, axis=3).reshape(R, C)
+            pre, span = fused
+            post = R // (pre << span)
+            shape = (pre,) + (2,) * span + (post, C)
+            perm = (0,) + tuple(range(span, 0, -1)) + (span + 1, span + 2)
+            x = x.reshape(shape).transpose(perm).reshape(R, C)
         else:
             for a, b in pairs:
                 pa, pb = n_m - 1 - a, n_m - 1 - b  # a < b -> pa > pb
@@ -706,23 +712,19 @@ def _row_swap_planes(n: int, pairs, planes):
 
 def _row_field_reversal(n_m: int, pairs):
     """Detect pairs reversing one contiguous row-bit field; returns
-    (pre, k, mid, rev_k_table) or None. ``mid`` is 1 (even field) or 2
-    (odd field with a fixed middle bit)."""
+    (pre, span) for the one-transpose path or None."""
     if len(pairs) < 2:
         return None
     qubits = sorted(q for p in pairs for q in p)
     lo, hi = qubits[0], qubits[-1]
-    want = {(lo + t, hi - t) for t in range((hi - lo + 1) // 2)}
+    span = hi - lo + 1
+    if span > _FIELD_REVERSAL_MAX_SPAN:
+        return None
+    want = {(lo + t, hi - t) for t in range(span // 2)}
     if {tuple(sorted(p)) for p in pairs} != want:
         return None
-    span = hi - lo + 1
-    k = span // 2
-    mid = 1 if span % 2 == 0 else 2
     pre = 1 << lo  # qubit lo = row bit n_m-1-lo; higher qubits are "pre"
-    rev = np.zeros(1 << k, np.int32)
-    for i in range(1 << k):
-        rev[i] = int(format(i, f"0{k}b")[::-1], 2)
-    return pre, k, mid, jnp.asarray(rev)
+    return pre, span
 
 
 def _col_swap_planes(n: int, pairs, planes):

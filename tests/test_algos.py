@@ -191,6 +191,7 @@ def test_copy_truth_table():
         assert tt.decode(out, rb) == a ^ bv
 
 
+@pytest.mark.heavy
 def test_times_mod_truth_table():
     n, k = 2, 2
     b = LocalBuilder()
@@ -258,6 +259,7 @@ def _exp_mod_truth_table(n, k, ms):
         assert tt.decode(out, re) == (p * a**bval) % m, (a, bval, m, p)
 
 
+@pytest.mark.heavy
 def test_exp_mod_truth_table_base_case():
     # e = (p * a^b) mod m, single exponent bit (recursion base case).
     # Feasible on CPU CI since native conditioning collapsed the circuit
@@ -265,6 +267,7 @@ def test_exp_mod_truth_table_base_case():
     _exp_mod_truth_table(2, 1, (2, 3))
 
 
+@pytest.mark.heavy
 def test_exp_mod_truth_table_recursive_small():
     # Smallest circuit exercising the square-and-multiply RECURSION (k=2)
     # in the default suite (VERDICT r1 #9): n=1 keeps the qubit count low

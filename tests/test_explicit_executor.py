@@ -5,6 +5,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # collective tests: ~4 min of the 10-min suite
+
 from rustqip_tpu.parallel import make_shard_mesh
 from rustqip_tpu.parallel.sharded import sharded_calculate_state
 from rustqip_tpu.prelude import LocalBuilder

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rustqip_tpu.ops.measurement_ops import (
     MeasuredCondition,
@@ -88,6 +89,7 @@ def test_measure_forced_condition():
     np.testing.assert_allclose(np.asarray(collapsed), [0, 0, h, h], atol=1e-10)
 
 
+@pytest.mark.heavy
 def test_measure_sampling_statistics():
     state = jnp.asarray(
         np.array([np.sqrt(0.25), 0, 0, np.sqrt(0.75)]), dtype=jnp.complex128

@@ -29,6 +29,7 @@ def _controlled_embed(U, nc):
 
 
 @pytest.mark.parametrize("nc,nt", [(2, 1), (3, 1), (5, 1), (3, 2)])
+@pytest.mark.heavy
 def test_mcu_ladder_matches_controlled_embed(nc, nt):
     U = _random_unitary(nt, seed=nc * 10 + nt)
     ctrls = list(range(nc))

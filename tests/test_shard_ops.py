@@ -4,6 +4,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # collective tests: ~4 min of the 10-min suite
+
 from rustqip_tpu.engine.apply import apply_op
 from rustqip_tpu.ops import gates
 from rustqip_tpu.ops.matrix_ops import (

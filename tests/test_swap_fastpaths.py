@@ -67,16 +67,15 @@ def test_swap_matches_permutation(case_i):
 
 def test_field_reversal_detection():
     # even field
-    assert _row_field_reversal(5, [(1, 4), (2, 3)]) is not None
-    pre, k, mid, rev = _row_field_reversal(5, [(1, 4), (2, 3)])
-    assert (pre, k, mid) == (2, 2, 1)
-    assert list(np.asarray(rev)) == [0, 2, 1, 3]
-    # odd field: middle bit fixed
-    pre, k, mid, _ = _row_field_reversal(5, [(0, 4), (1, 3)])
-    assert (pre, k, mid) == (1, 2, 2)
+    assert _row_field_reversal(5, [(1, 4), (2, 3)]) == (2, 4)
+    # odd field: middle bit fixed by the reversal
+    assert _row_field_reversal(5, [(0, 4), (1, 3)]) == (1, 5)
     # not a reversal
     assert _row_field_reversal(5, [(0, 2), (1, 3)]) is None
     assert _row_field_reversal(5, [(0, 3)]) is None
+    # span cap: falls back to chained pair transposes
+    big = [(t, 17 - t) for t in range(9)]
+    assert _row_field_reversal(18, big) is None
 
 
 def test_swap_schedule_split():

@@ -76,6 +76,7 @@ def test_two_bit_scalar_high_pairing():
     _check(ops)
 
 
+@pytest.mark.heavy
 def test_mixed_sequence_with_unpairable_ops():
     ops = [
         make_matrix_op([0], gates.H.reshape(-1)),

@@ -52,6 +52,7 @@ def _run_window_kernel(ops, n=N, allow_diag=False):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_alternating_window_kernel():
     _run_window_kernel(
         [make_matrix_op([(i % 2) * (N - 1)], gates.H.reshape(-1))
@@ -59,6 +60,7 @@ def test_alternating_window_kernel():
     )
 
 
+@pytest.mark.heavy
 def test_h2_window_kernel():
     _run_window_kernel([
         make_matrix_op([0], gates.H.reshape(-1)),
@@ -214,6 +216,7 @@ def test_mixed_real_complex_low_with_diag():
     )
 
 
+@pytest.mark.heavy
 def test_h3_window_kernel():
     # Three distinct row bits (8 strips, halved block rows) in one sweep.
     _run_window_kernel(
