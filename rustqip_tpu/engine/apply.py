@@ -712,11 +712,14 @@ def _row_swap_planes(n: int, pairs, planes):
 
 def _row_field_reversal(n_m: int, pairs):
     """Detect pairs reversing one contiguous row-bit field; returns
-    (pre, span) for the one-transpose path or None."""
+    (pre, span) for the one-transpose path or None. ``n_m`` is the
+    row-qubit count — every pair qubit must be a row qubit."""
     if len(pairs) < 2:
         return None
     qubits = sorted(q for p in pairs for q in p)
     lo, hi = qubits[0], qubits[-1]
+    if hi >= n_m:
+        return None
     span = hi - lo + 1
     if span > _FIELD_REVERSAL_MAX_SPAN:
         return None

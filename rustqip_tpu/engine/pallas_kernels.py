@@ -406,8 +406,10 @@ def window_sweep(
     ``seg_sizes``: the row-space segment sizes around the window bits —
     (s_0, s_1, ..., s_h) with the window bits interleaved between them
     (rows = s_0 * 2 * s_1 * 2 * ... * s_h); strips may therefore be
-    STRIDED in HBM, expressed through block index maps. Requires
-    s_h % _BLOCK_ROWS == 0 (strips are unions of aligned blocks).
+    STRIDED in HBM, expressed through block index maps. The block size
+    adapts down to s_h (both powers of two), so strips are always unions
+    of aligned blocks; the caller guarantees s_h >= 64 — one full
+    (8, 128) tile per DMA block (``_window_kernel_applicable``).
 
     ``steps``: ("low", B_complex_ndarray) | ("mix", {(j, i): complex}) |
     ("diag", (const, row_monos, col_monos, mixed) angle groups) |

@@ -282,25 +282,53 @@ def _lower_schedule(n: int, g: int, ops: Sequence[MatrixOp]) -> List:
 # ---------------------------------------------------------------------------
 
 
+def _exchange_chunks() -> int:
+    """Chunk count for the pipelined single-global exchange (see
+    ``apply_sharded_ops``). Default 1 (single full-shard ppermute)."""
+    import os
+
+    try:
+        k = int(os.environ.get("RUSTQIP_TPU_EXCHANGE_CHUNKS", "1"))
+    except ValueError:
+        return 1
+    return k if k >= 1 and (k & (k - 1)) == 0 else 1
+
+
 def apply_sharded_ops(
     mesh: jax.sharding.Mesh,
     n: int,
     ops: Sequence[MatrixOp],
     re: jnp.ndarray,
     im: jnp.ndarray,
+    chunks: int = 0,
 ) -> Pair:
     """Apply a gate-op sequence to a mesh-sharded (re, im) state pair as
-    ONE shard_map program with a hand-pinned collective schedule."""
+    ONE shard_map program with a hand-pinned collective schedule.
+
+    ``chunks`` (0 = read ``RUSTQIP_TPU_EXCHANGE_CHUNKS``, default 1)
+    splits each single-global exchange into that many independent
+    ppermute+recombine pipelines along the leading local qubits — the
+    double-buffered ring exchange: chunk k's ICI transfer overlaps chunk
+    k-1's recombination (XLA schedules the independent collectives
+    asynchronously on real hardware). Falls back to the whole-shard
+    exchange when the op's local support touches the chunking qubits.
+    Needs real multi-chip hardware to show a win; equivalence is tested
+    on the virtual mesh."""
     axis, d, g = _mesh_geometry(mesh)
     local_n = n - g
     sched = _lower_schedule(n, g, list(ops))
+    if chunks == 0:
+        chunks = _exchange_chunks()
+    kbits = max(chunks.bit_length() - 1, 0)
 
-    def blk_apply(b, re_s, im_s, rest_local):
+    def blk_apply(b, re_s, im_s, rest_local, sub_n=None):
         if not np.any(b):
             return jnp.zeros_like(re_s), jnp.zeros_like(im_s)
         if rest_local:
             lop = DenseOp(rest_local, np.ascontiguousarray(b))
-            return apply_ops_ri(local_n, [lop], re_s, im_s)
+            return apply_ops_ri(
+                local_n if sub_n is None else sub_n, [lop], re_s, im_s
+            )
         val = complex(b[0, 0])
         return (
             re_s * val.real - im_s * val.imag,
@@ -361,15 +389,48 @@ def apply_sharded_ops(
                 _, mask, blocks, rest_local = entry
                 perm = [(i, i ^ mask) for i in range(d)]
                 bit = (my & mask) != 0
-                pre = jax.lax.ppermute(re_s, axis, perm)
-                pim = jax.lax.ppermute(im_s, axis, perm)
-                # own shard has global bit = bit; partner the complement.
-                r00, i00 = blk_apply(blocks[0][0], re_s, im_s, rest_local)
-                r01, i01 = blk_apply(blocks[0][1], pre, pim, rest_local)
-                r10, i10 = blk_apply(blocks[1][0], pre, pim, rest_local)
-                r11, i11 = blk_apply(blocks[1][1], re_s, im_s, rest_local)
-                re_s = jnp.where(bit, r10 + r11, r00 + r01)
-                im_s = jnp.where(bit, i10 + i11, i00 + i01)
+
+                def one_exchange(rs, is_, rest, sub_n):
+                    pre = jax.lax.ppermute(rs, axis, perm)
+                    pim = jax.lax.ppermute(is_, axis, perm)
+                    # own shard has global bit = bit; partner the
+                    # complement.
+                    r00, i00 = blk_apply(blocks[0][0], rs, is_, rest, sub_n)
+                    r01, i01 = blk_apply(blocks[0][1], pre, pim, rest, sub_n)
+                    r10, i10 = blk_apply(blocks[1][0], pre, pim, rest, sub_n)
+                    r11, i11 = blk_apply(blocks[1][1], rs, is_, rest, sub_n)
+                    return (
+                        jnp.where(bit, r10 + r11, r00 + r01),
+                        jnp.where(bit, i10 + i11, i00 + i01),
+                    )
+
+                if (
+                    kbits > 0
+                    and local_n - kbits >= 1
+                    and all(q >= kbits for q in rest_local)
+                ):
+                    # Pipelined: independent per-chunk ppermutes along the
+                    # top local qubits (outside the op's support), so each
+                    # chunk's transfer can overlap the previous chunk's
+                    # recombination.
+                    sub_n = local_n - kbits
+                    sub = tuple(q - kbits for q in rest_local)
+                    rs = re_s.reshape(1 << kbits, -1)
+                    is_ = im_s.reshape(1 << kbits, -1)
+                    outs = [
+                        one_exchange(rs[c], is_[c], sub, sub_n)
+                        for c in range(1 << kbits)
+                    ]
+                    re_s = jnp.concatenate(
+                        [o[0] for o in outs]
+                    ).reshape(re_s.shape)
+                    im_s = jnp.concatenate(
+                        [o[1] for o in outs]
+                    ).reshape(im_s.shape)
+                else:
+                    re_s, im_s = one_exchange(
+                        re_s, im_s, rest_local, local_n
+                    )
             else:  # diag
                 _, terms = entry
                 flat = jnp.arange(re_s.size, dtype=jnp.int32)

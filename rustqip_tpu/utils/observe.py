@@ -195,6 +195,33 @@ def pass_breakdown(builder) -> list:
     return out
 
 
+def _collect_runs(cc) -> list:
+    """The op run of each HBM sweep of a compiled circuit, in execution
+    order (measurement segments skipped) — the shared sweep-boundary
+    walk behind both profilers and ``pass_breakdown``. Must use the same
+    windowing parameters as ``apply_ops_ri``'s kernel path."""
+    from rustqip_tpu.engine.compile import MeasureEntry
+    from rustqip_tpu.engine.real_apply import _collect_window
+
+    runs = []
+    for seg in cc.segments:
+        if isinstance(seg, MeasureEntry):
+            continue
+        ops = seg[2] if isinstance(seg, tuple) and seg[0] == "repeat" else seg
+        i = 0
+        while i < len(ops):
+            window, j = _collect_window(
+                cc.n, ops, i, max_h=3, allow_diag=True
+            )
+            if window is None:
+                runs.append([ops[i]])
+                i += 1
+            else:
+                runs.append(list(ops[i:j]))
+                i = j
+    return runs
+
+
 def profile_passes(builder, iters: int = 3, seed: int = 0) -> list:
     """Measured per-sweep timing: run each sweep's op run as its own
     donated jit program and report ms + effective GB/s per sweep.
@@ -208,8 +235,7 @@ def profile_passes(builder, iters: int = 3, seed: int = 0) -> list:
     import jax
     import jax.numpy as jnp
 
-    from rustqip_tpu.engine.compile import MeasureEntry
-    from rustqip_tpu.engine.real_apply import _collect_window, apply_ops_ri
+    from rustqip_tpu.engine.real_apply import apply_ops_ri
 
     cc = builder.compile()
     n = cc.n
@@ -217,23 +243,7 @@ def profile_passes(builder, iters: int = 3, seed: int = 0) -> list:
     amp_bytes = np.dtype(builder.dtype).itemsize
     sweep_bytes = 2 * (1 << n) * amp_bytes
     breakdown = pass_breakdown(builder)
-
-    # Collect the op runs per sweep in order (skipping measurements).
-    runs = []
-    for seg in cc.segments:
-        if isinstance(seg, MeasureEntry):
-            continue
-        ops = seg[2] if isinstance(seg, tuple) and seg[0] == "repeat" else seg
-        i = 0
-        while i < len(ops):
-            window, j = _collect_window(n, ops, i, max_h=3, allow_diag=True)
-            if window is None:
-                runs.append([ops[i]])
-                i += 1
-            else:
-                runs.append(list(ops[i:j]))
-                i = j
-
+    runs = _collect_runs(cc)
     dim = 1 << n
     re = jnp.zeros(dim, rdtype).at[0].set(1.0)
     im = jnp.zeros(dim, rdtype)
@@ -280,14 +290,20 @@ def profile_passes_fused(
     Sweeps inside a ``repeat`` segment are profiled at one iteration of
     the loop body; measurement segments are skipped (as in
     ``profile_passes``).
+
+    NOTE (axon relay): the single program wraps every sweep in a
+    while_loop, which defeats the relay compile cache's reuse across
+    sweeps — one compile, but a big one (observed >15 min for a
+    Pallas-window circuit). On a standard TPU install the one-compile
+    trade is strictly better; over the relay prefer ``pass_breakdown``
+    for quick looks.
     """
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    from rustqip_tpu.engine.compile import MeasureEntry
-    from rustqip_tpu.engine.real_apply import _collect_window, apply_ops_ri
+    from rustqip_tpu.engine.real_apply import apply_ops_ri
 
     cc = builder.compile()
     n = cc.n
@@ -295,21 +311,7 @@ def profile_passes_fused(
     amp_bytes = np.dtype(builder.dtype).itemsize
     sweep_bytes = 2 * (1 << n) * amp_bytes
     breakdown = [b for b in pass_breakdown(builder) if b["kind"] != "measure"]
-
-    runs = []
-    for seg in cc.segments:
-        if isinstance(seg, MeasureEntry):
-            continue
-        ops = seg[2] if isinstance(seg, tuple) and seg[0] == "repeat" else seg
-        i = 0
-        while i < len(ops):
-            window, j = _collect_window(n, ops, i, max_h=3, allow_diag=True)
-            if window is None:
-                runs.append([ops[i]])
-                i += 1
-            else:
-                runs.append(list(ops[i:j]))
-                i = j
+    runs = _collect_runs(cc)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def prog(re, im, reps):
@@ -345,12 +347,21 @@ def profile_passes_fused(
     for k in range(nr):
         reps = ones.copy()
         reps[k] += extra_reps
-        dt = max(timed(reps) - t_base, 0.0) / extra_reps
+        delta = timed(reps) - t_base
+        dt = max(delta, 0.0) / extra_reps
+        # A non-positive delta means the sweep's cost is below the
+        # per-call noise floor — flag it instead of reporting gbps=inf.
+        below_floor = delta <= 0
         results.append(
             {
                 **breakdown[k],
                 "ms": dt * 1e3,
-                "gbps": sweep_bytes / dt / 1e9 if dt > 0 else float("inf"),
+                "gbps": (
+                    float("nan")
+                    if below_floor
+                    else sweep_bytes / dt / 1e9
+                ),
+                "below_noise_floor": below_floor,
             }
         )
     return results

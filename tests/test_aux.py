@@ -143,7 +143,7 @@ def test_profile_passes_fused_runs():
     assert len(out) >= 1
     for e in out:
         assert e["ms"] >= 0
-        assert e["gbps"] > 0
+        assert e["below_noise_floor"] or e["gbps"] > 0
     # one entry per sweep, same schedule as the per-compile profiler
     slow = profile_passes(b, iters=1)
     assert [e["kind"] for e in out] == [e["kind"] for e in slow]

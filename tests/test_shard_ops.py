@@ -215,3 +215,58 @@ def test_wide_sparse_all_globals_no_recursion():
     rows = [[(int(perm[i]), 1.0)] for i in range(1 << N)]
     op = make_sparse_matrix_op(list(range(N)), rows)
     run_both(op)
+
+
+def test_chunked_exchange_equivalence():
+    # Double-buffered ring exchange: chunks=4 splits each single-global
+    # ppermute into independent per-chunk pipelines along the top local
+    # qubits; must be bit-exact vs the whole-shard exchange and the
+    # single-device oracle.
+    require_8()
+    from rustqip_tpu.parallel.shard_ops import apply_sharded_ops
+
+    rng = np.random.default_rng(9)
+    m = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+    u, _ = np.linalg.qr(m)
+    ops = [
+        make_matrix_op([4], gates.H.reshape(-1)),
+        make_matrix_op([1], u.reshape(-1)),      # global: exchange
+        make_matrix_op([0], gates.H.reshape(-1)),  # global: exchange
+        make_matrix_op([6], gates.T.reshape(-1)),
+        make_matrix_op([2], gates.Y.reshape(-1)),  # global: exchange
+    ]
+    mesh = make_shard_mesh(8)
+    re, im = make_sharded_pair(mesh, N, initial_index=5, dtype=np.float64)
+    r1, i1 = apply_sharded_ops(mesh, N, ops, re, im, chunks=1)
+    re, im = make_sharded_pair(mesh, N, initial_index=5, dtype=np.float64)
+    r4, i4 = apply_sharded_ops(mesh, N, ops, re, im, chunks=4)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r4))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i4))
+
+    state = np.zeros(1 << N, dtype=np.complex128)
+    state[5] = 1.0
+    for op in ops:
+        state = np.asarray(apply_op(N, op, state))
+    got = np.asarray(r4) + 1j * np.asarray(i4)
+    np.testing.assert_allclose(got, state, atol=1e-12)
+
+
+def test_chunked_exchange_falls_back_on_support_overlap():
+    # An exchange whose local support touches the chunking qubits must
+    # fall back to the whole-shard path (still correct).
+    require_8()
+    from rustqip_tpu.parallel.shard_ops import apply_sharded_ops
+
+    # global qubit 1 + local qubit 3 (= top local qubit at N=7, g=3)
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+    u, _ = np.linalg.qr(m)
+    op = make_matrix_op([1, 3], u.reshape(-1))
+    mesh = make_shard_mesh(8)
+    re, im = make_sharded_pair(mesh, N, initial_index=2, dtype=np.float64)
+    r4, i4 = apply_sharded_ops(mesh, N, [op], re, im, chunks=4)
+    state = np.zeros(1 << N, dtype=np.complex128)
+    state[2] = 1.0
+    state = np.asarray(apply_op(N, op, state))
+    got = np.asarray(r4) + 1j * np.asarray(i4)
+    np.testing.assert_allclose(got, state, atol=1e-12)

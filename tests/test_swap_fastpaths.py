@@ -1,10 +1,10 @@
 """Structured swap fast paths vs an index-permutation oracle.
 
 Row-row pairs lower to rank-6 axis transposes (or, for a contiguous
-field reversal — QFT's tail, reference qip/src/qfft.rs:29-37 — one
-half-swap transpose + two rev_k gathers), col-col pairs to one lane
-relabel, cross pairs to the staged block transpose. All must equal the
-plain bit-swap permutation of the state index.
+field reversal — QFT's tail, reference qip/src/qfft.rs:29-37 — ONE
+transpose with the field's bit-axes in reversed order), col-col pairs
+to one lane relabel, cross pairs to the staged block transpose. All
+must equal the plain bit-swap permutation of the state index.
 """
 
 import numpy as np
