@@ -278,9 +278,12 @@ def window_block_rows(h: int, steps) -> int:
     # cos/sin + per-mixed-monomial masks), which scale with the strip
     # count: a 256-row h=2 QFT diag window hit 25.2M scoped VMEM against
     # the 16M budget. Measured-safe points: h<=1 at 512 rows (14.0 ms vs
-    # 19.5 ms at 64 rows, and 90x faster Mosaic compiles), h=2 at 64
-    # (the long-proven configuration), h=3 at 64.
-    return _BLOCK_ROWS if h <= 1 else 64
+    # 19.5 ms at 64 rows), h=2 at 128 (14.7 ms vs 16.7 ms at 64, and a
+    # 100x faster Mosaic compile: 5 s vs 524 s), h=3 at 64 (128 would
+    # scale the temporaries like h=2 at 256 — over budget).
+    if h <= 1:
+        return _BLOCK_ROWS
+    return 128 if h == 2 else 64
 
 
 def _strip_index_map(seg_sizes, sl: int, i: int):
