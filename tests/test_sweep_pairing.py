@@ -168,3 +168,73 @@ def test_two_qubit_scalar_high_in_window():
         make_matrix_op([2], gates.H.reshape(-1)),
     ]
     _check(ops)
+
+
+def test_window_planner_fuzz_random_circuits():
+    """Property test: windowed execution (apply_ops_ri) must equal
+    op-by-op execution (apply_op_ri) for random mixed sequences — guards
+    the window collector / kernel-applicability seams against
+    regressions."""
+    import numpy as np
+    from rustqip_tpu.engine.real_apply import apply_op_ri, apply_ops_ri
+    from rustqip_tpu.ops import gates
+    from rustqip_tpu.ops.matrix_ops import (
+        PhaseProductOp,
+        make_control_op,
+        make_matrix_op,
+        make_swap_op,
+    )
+
+    n = 10
+    rng = np.random.default_rng(123)
+
+    def rand_unitary(dim):
+        m = rng.normal(size=(dim, dim)) + 1j * rng.normal(size=(dim, dim))
+        q, _ = np.linalg.qr(m)
+        return q
+
+    def rand_op():
+        kind = rng.integers(0, 6)
+        if kind == 0:  # single-qubit named gate
+            g = [gates.H, gates.T, gates.X, gates.Y][rng.integers(0, 4)]
+            return make_matrix_op([int(rng.integers(0, n))], g.reshape(-1))
+        if kind == 1:  # random 1q unitary
+            return make_matrix_op(
+                [int(rng.integers(0, n))], rand_unitary(2).reshape(-1)
+            )
+        if kind == 2:  # random 2q unitary
+            a, b = rng.choice(n, size=2, replace=False)
+            return make_matrix_op([int(a), int(b)], rand_unitary(4).reshape(-1))
+        if kind == 3:  # diagonal phase product
+            a, b = rng.choice(n, size=2, replace=False)
+            ang = rng.uniform(-3, 3)
+            return PhaseProductOp(
+                (((int(a), int(b)),
+                  (1, 1, 1, complex(np.cos(ang), np.sin(ang)))),)
+            )
+        if kind == 4:  # swap pair
+            a, b = sorted(rng.choice(n, size=2, replace=False))
+            return make_swap_op([int(a)], [int(b)])
+        ctrl, tgt = rng.choice(n, size=2, replace=False)
+        return make_control_op(
+            [int(ctrl)], make_matrix_op([int(tgt)], gates.X.reshape(-1))
+        )
+
+    for trial in range(8):
+        ops = [rand_op() for _ in range(12)]
+        v = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+        v /= np.linalg.norm(v)
+        re = np.real(v).copy()
+        im = np.imag(v).copy()
+        wr, wi = apply_ops_ri(n, ops, re, im)
+        sr, si = re, im
+        for op in ops:
+            sr, si = apply_op_ri(n, op, sr, si)
+        np.testing.assert_allclose(
+            np.asarray(wr), np.asarray(sr), atol=1e-10,
+            err_msg=f"trial {trial}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(wi), np.asarray(si), atol=1e-10,
+            err_msg=f"trial {trial}",
+        )
