@@ -82,18 +82,11 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
     r_id = pl.program_id(0)
 
     def block_rows(i):
-        """Full row indices (B, 1) of strip i's current block."""
-        d = r_id % sl
-        rest = r_id // sl
-        coords = []
-        for s in reversed(seg_sizes[:-1]):
-            coords.append(rest % s)
-            rest = rest // s
-        coords = coords[::-1]
-        blk = 0
-        for j, c in enumerate(coords):
-            blk = (blk * seg_sizes[j] + c) * 2 + ((i >> (h - 1 - j)) & 1)
-        base = (blk * sl + d) * br
+        """Full row indices (B, 1) of strip i's current block — the same
+        strip-ordinal factoring as ``_strip_index_map`` (shared helper;
+        here it runs on the traced grid index)."""
+        blk_row, _ = _strip_index_map(seg_sizes, sl, i)(r_id)
+        base = blk_row * br
         return base + jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
@@ -311,7 +304,14 @@ def _strip_index_map(seg_sizes, sl: int, i: int):
 def _window_matrix_operands(steps):
     """Split steps into body tags + matrix operand arrays: real B -> one
     ("lowr",) operand (2-dot path), complex B -> ("low",) with
-    (re, im, re+im) Karatsuba operands (3 dots instead of 4)."""
+    (re, im, re+im) Karatsuba operands (3 dots instead of 4).
+
+    Precision note: the Karatsuba imaginary plane (m - rr - ii with
+    pre-rounded xr+xi / Br+Bi operands) carries a small constant-factor
+    (~2x) worse worst-case rounding than the plain 4-dot form, so kernel
+    outputs match the XLA fallback approximately (~1e-7 rel at f32), not
+    bit-exactly. Still f32-grade — every dot runs at HIGHEST — and 25%
+    fewer MXU passes; chosen deliberately."""
     body_steps = []
     mats = []
     for step in steps:
@@ -447,23 +447,10 @@ def window_sweep(
         )
 
     def strip_spec(i):
-        def index_map(r, i=i):
-            # factor the strip-local block ordinal r into per-segment
-            # coordinates, then interleave the strip's bits back in
-            d = r % sl
-            rest = r // sl
-            coords = []
-            for s in reversed(seg_sizes[:-1]):
-                coords.append(rest % s)
-                rest = rest // s
-            coords = coords[::-1]
-            blk = 0
-            for j, c in enumerate(coords):
-                blk = (blk * seg_sizes[j] + c) * 2 + ((i >> (h - 1 - j)) & 1)
-            return blk * sl + d, 0
-
         return pl.BlockSpec(
-            (br, _C), index_map, memory_space=pltpu.VMEM
+            (br, _C),
+            _strip_index_map(seg_sizes, sl, i),
+            memory_space=pltpu.VMEM,
         )
 
     mat_spec = pl.BlockSpec(

@@ -538,19 +538,16 @@ def _window_sweep_ri(n: int, window, re, im) -> Pair:
     return assemble(0), assemble(1)
 
 
-def apply_ops_ri(
-    n: int, ops: Sequence[MatrixOp], re: jnp.ndarray, im: jnp.ndarray
-) -> Pair:
-    """Apply ops in sequence with strip-window sweeps: maximal runs of
-    dense ops whose supports stay within (column qubits) + (<= 3 row-qubit
-    bits with scalar blocks) execute as ONE read+write of the state —
-    strips mix on the VPU, composed C x C gates matmul on the MXU,
-    unitary diagonals evaluate in-body, reassembly happens once per
-    window. Measured at n=28 (v5e): the alternating H(0)/H(27) pattern
-    collapses from 30 passes to 1 (905 applies/s via the Pallas window
-    kernel; the XLA fallback uses the same windows without diagonals)."""
+def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):
+    """The sweep decomposition ``apply_ops_ri`` will execute, as a list of
+    ``(kind, payload, run_ops)`` entries — kind "kwindow" (Pallas window
+    kernel), "window" (XLA strip-window sweep) or "op" (single-op pass).
+    The SINGLE source of truth for sweep boundaries: execution,
+    ``pass_breakdown`` and both profilers all consume it, so the reported
+    boundaries/kernel flags always match what actually runs (they differ
+    by ``kernel_ok``: Pallas available + f32 planes)."""
     ops = list(ops)
-    kernel_ok = pallas_kernels.available() and re.dtype == jnp.float32
+    plan = []
     i = 0
     while i < len(ops):
         if kernel_ok:
@@ -563,14 +560,36 @@ def apply_ops_ri(
             if window is not None and _window_kernel_applicable(
                 n, window[0], window[1]
             ):
-                re, im = _window_kernel_run(n, window, re, im)
+                plan.append(("kwindow", window, ops[i:j]))
                 i = j
                 continue
         window, j = _collect_window(n, ops, i)
         if window is not None:
-            re, im = _window_sweep_ri(n, window, re, im)
+            plan.append(("window", window, ops[i:j]))
             i = j
             continue
-        re, im = apply_op_ri(n, ops[i], re, im)
+        plan.append(("op", ops[i], [ops[i]]))
         i += 1
+    return plan
+
+
+def apply_ops_ri(
+    n: int, ops: Sequence[MatrixOp], re: jnp.ndarray, im: jnp.ndarray
+) -> Pair:
+    """Apply ops in sequence with strip-window sweeps: maximal runs of
+    dense ops whose supports stay within (column qubits) + (<= 3 row-qubit
+    bits with scalar blocks) execute as ONE read+write of the state —
+    strips mix on the VPU, composed C x C gates matmul on the MXU,
+    unitary diagonals evaluate in-body, reassembly happens once per
+    window. Measured at n=28 (v5e): the alternating H(0)/H(27) pattern
+    collapses from 30 passes to 1 (905 applies/s via the Pallas window
+    kernel; the XLA fallback uses the same windows without diagonals)."""
+    kernel_ok = pallas_kernels.available() and re.dtype == jnp.float32
+    for kind, payload, _run in plan_sweeps(n, ops, kernel_ok):
+        if kind == "kwindow":
+            re, im = _window_kernel_run(n, payload, re, im)
+        elif kind == "window":
+            re, im = _window_sweep_ri(n, payload, re, im)
+        else:
+            re, im = apply_op_ri(n, payload, re, im)
     return re, im

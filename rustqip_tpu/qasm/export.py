@@ -37,6 +37,7 @@ from rustqip_tpu.builder.circuit_objects import (
     RzGate,
     SparseMatGate,
 )
+from rustqip_tpu.errors import CircuitError
 from rustqip_tpu.qasm.decompose import (
     QSD_CAP,
     synthesize_controlled,
@@ -104,7 +105,7 @@ def _ladder_ancillas_needed(obj: ControlledMatGate) -> int:
 
 
 def _emit_controlled_mat(
-    obj: ControlledMatGate, indices, out: List[str], n_main: int = 0
+    obj: ControlledMatGate, indices, out: List[str], n_main: int
 ):
     nc = obj.n_ctrl
     ctrls = list(indices[:nc])
@@ -225,8 +226,14 @@ def _emit_unitary(obj, indices, out: List[str]) -> None:
                 f"// sparse unitary on {list(indices)} exceeds synthesis "
                 f"cap ({QSD_CAP} qubits)"
             )
-    elif isinstance(obj, ControlledMatGate):
-        _emit_controlled_mat(obj, indices, out)
+    elif isinstance(obj, ControlledMatGate):  # pragma: no cover
+        # to_openqasm intercepts ControlledMatGate with the real n_main
+        # (ancilla indices start after the main register); reaching here
+        # without it would mis-address every qubit as anc[...].
+        raise CircuitError(
+            "ControlledMatGate must go through _emit_controlled_mat with "
+            "n_main set"
+        )
 
 
 def to_openqasm(builder) -> str:

@@ -31,20 +31,25 @@ _IF_RE = re.compile(
     r"^if\s*\(\s*(?P<creg>[a-zA-Z_]\w*)\s*==\s*(?P<val>\d+)\s*\)\s*(?P<stmt>.+)$"
 )
 _IDENT_RE = re.compile(r"[a-zA-Z_]\w*")
+#: numeric literal incl. scientific notation (1e-07, 2.5e3, .5) — stripped
+#: before the identifier scan so the exponent's "e" is not read as a name
+_NUMBER_RE = re.compile(r"(?<![\w.])(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
 
 _SAFE_NAMES = {"pi": np.pi}
 
 
 def _eval_param(expr: str, env: Optional[Dict[str, float]] = None) -> float:
-    """Evaluate a QASM angle expression: arithmetic over numbers, ``pi``,
-    and (inside a gate body) the gate's formal parameter names."""
+    """Evaluate a QASM angle expression: arithmetic over numbers (incl.
+    scientific notation — Qiskit prints tiny angles like
+    6.123233995736766e-17), ``pi``, and (inside a gate body) the gate's
+    formal parameter names."""
     names = dict(_SAFE_NAMES)
     if env:
         names.update(env)
     if not re.fullmatch(r"[\w\s\.\+\-\*/\(\)]*", expr):
         raise CircuitError(f"Unsupported QASM parameter expression {expr!r}")
-    for ident in _IDENT_RE.findall(expr):
-        if ident not in names and not ident.isdigit():
+    for ident in _IDENT_RE.findall(_NUMBER_RE.sub(" ", expr)):
+        if ident not in names:
             raise CircuitError(f"Unknown name {ident!r} in parameter {expr!r}")
     try:
         return float(eval(expr, {"__builtins__": {}}, names))  # noqa: S307
@@ -323,6 +328,18 @@ def circuit_from_qasm(text: str, builder=None) -> QasmCircuit:
                         f"{st!r} would be inexact"
                     )
                 ctrl_idxs.append(qi)
+            itok = _TOKEN_RE.match(inner)
+            if itok:
+                inner_idxs = set(qubit_indices(itok.group("args")))
+                overlap = inner_idxs & set(ctrl_idxs)
+                if overlap:
+                    raise CircuitError(
+                        f"Condition targets its own source qubit(s) "
+                        f"{sorted(overlap)} in {st!r} (e.g. the "
+                        f"measure-then-'if (c==1) x q' active-reset idiom); "
+                        f"deferred-measurement lowering cannot control a "
+                        f"gate by its own target — use 'reset q' instead"
+                    )
             ctrl_regs = [qubits[qi] for qi in ctrl_idxs]
             if any(r is None for r in ctrl_regs):
                 raise CircuitError(f"Control qubit unavailable in {st!r}")
@@ -377,11 +394,16 @@ def circuit_from_qasm(text: str, builder=None) -> QasmCircuit:
             if m.group("ci") is None and len(qis) > c_size:
                 raise CircuitError(f"creg too small in {st!r}")
             for pos, qi in enumerate(qis):
+                ci = int(m.group("ci")) if m.group("ci") is not None else pos
+                if ci >= c_size:
+                    raise CircuitError(
+                        f"creg bit {m.group('c')}[{ci}] out of range "
+                        f"(size {c_size}) in {st!r}"
+                    )
                 qubits[qi], handle = builder.measure(qubits[qi])
                 ordinal = len(out.measurements)
                 out.measurements.append((qi, handle))
                 fresh.add(qi)
-                ci = int(m.group("ci")) if m.group("ci") is not None else pos
                 out.creg_map[c_off + ci] = ordinal
             continue
         apply_statement(builder, st)

@@ -118,6 +118,16 @@ def profile_circuit(
     return out
 
 
+def _kernel_ok(builder) -> bool:
+    """Whether ``apply_ops_ri`` will take the Pallas window-kernel path
+    for this builder's circuit (Pallas available + f32 planes) — keeps
+    the profilers' sweep decomposition identical to execution."""
+    from rustqip_tpu.engine import pallas_kernels
+
+    cc = builder.compile()
+    return pallas_kernels.available() and np.dtype(cc.rdtype) == np.float32
+
+
 def pass_breakdown(builder) -> list:
     """Static per-sweep breakdown of the compiled circuit.
 
@@ -127,28 +137,25 @@ def pass_breakdown(builder) -> list:
     kernel takes it, and the estimated HBM bytes it moves. Host-side only
     (no device work) — the static half of the ROADMAP "per-pass timing
     breakdown" (the reference has no tracing at all, SURVEY.md §5).
+    Sweep boundaries come from the engine's own ``plan_sweeps`` with the
+    backend's real kernel availability, so they match execution exactly.
     """
     from rustqip_tpu.engine.compile import MeasureEntry
-    from rustqip_tpu.engine.real_apply import (
-        _collect_window,
-        _window_kernel_applicable,
-    )
+    from rustqip_tpu.engine.real_apply import plan_sweeps
 
     cc = builder.compile()
     n = cc.n
+    kernel_ok = _kernel_ok(builder)
     amp_bytes = np.dtype(builder.dtype).itemsize
     sweep_bytes = 2 * (1 << n) * amp_bytes
     out = []
 
     def emit(ops, repeat=1):
-        i = 0
-        while i < len(ops):
-            window, j = _collect_window(n, ops, i, max_h=3, allow_diag=True)
-            if window is None:
-                op = ops[i]
+        for kind, payload, run in plan_sweeps(n, ops, kernel_ok):
+            if kind == "op":
                 out.append(
                     {
-                        "kind": type(op).__name__,
+                        "kind": type(payload).__name__,
                         "ops": 1,
                         "repeat": repeat,
                         "steps": {},
@@ -156,24 +163,22 @@ def pass_breakdown(builder) -> list:
                         "est_bytes": sweep_bytes,
                     }
                 )
-                i += 1
                 continue
-            hq, steps = window
+            hq, steps = payload
             counts: Dict[str, int] = {}
             for s in steps:
                 counts[s[0]] = counts.get(s[0], 0) + 1
             out.append(
                 {
                     "kind": "window",
-                    "ops": j - i,
+                    "ops": len(run),
                     "repeat": repeat,
                     "row_bits": list(hq),
                     "steps": counts,
-                    "kernel": _window_kernel_applicable(n, hq, steps),
+                    "kernel": kind == "kwindow",
                     "est_bytes": sweep_bytes,
                 }
             )
-            i = j
 
     for seg in cc.segments:
         if isinstance(seg, MeasureEntry):
@@ -195,30 +200,21 @@ def pass_breakdown(builder) -> list:
     return out
 
 
-def _collect_runs(cc) -> list:
+def _collect_runs(cc, kernel_ok: bool) -> list:
     """The op run of each HBM sweep of a compiled circuit, in execution
     order (measurement segments skipped) — the shared sweep-boundary
-    walk behind both profilers and ``pass_breakdown``. Must use the same
-    windowing parameters as ``apply_ops_ri``'s kernel path."""
+    walk behind both profilers, delegating to the engine's own
+    ``plan_sweeps`` so boundaries match execution."""
     from rustqip_tpu.engine.compile import MeasureEntry
-    from rustqip_tpu.engine.real_apply import _collect_window
+    from rustqip_tpu.engine.real_apply import plan_sweeps
 
     runs = []
     for seg in cc.segments:
         if isinstance(seg, MeasureEntry):
             continue
         ops = seg[2] if isinstance(seg, tuple) and seg[0] == "repeat" else seg
-        i = 0
-        while i < len(ops):
-            window, j = _collect_window(
-                cc.n, ops, i, max_h=3, allow_diag=True
-            )
-            if window is None:
-                runs.append([ops[i]])
-                i += 1
-            else:
-                runs.append(list(ops[i:j]))
-                i = j
+        for _kind, _payload, run in plan_sweeps(cc.n, ops, kernel_ok):
+            runs.append(list(run))
     return runs
 
 
@@ -243,7 +239,7 @@ def profile_passes(builder, iters: int = 3, seed: int = 0) -> list:
     amp_bytes = np.dtype(builder.dtype).itemsize
     sweep_bytes = 2 * (1 << n) * amp_bytes
     breakdown = pass_breakdown(builder)
-    runs = _collect_runs(cc)
+    runs = _collect_runs(cc, _kernel_ok(builder))
     dim = 1 << n
     re = jnp.zeros(dim, rdtype).at[0].set(1.0)
     im = jnp.zeros(dim, rdtype)
@@ -311,7 +307,7 @@ def profile_passes_fused(
     amp_bytes = np.dtype(builder.dtype).itemsize
     sweep_bytes = 2 * (1 << n) * amp_bytes
     breakdown = [b for b in pass_breakdown(builder) if b["kind"] != "measure"]
-    runs = _collect_runs(cc)
+    runs = _collect_runs(cc, _kernel_ok(builder))
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def prog(re, im, reps):

@@ -232,3 +232,44 @@ def test_measure_whole_register_maps_creg_bits():
     state, _ = _state(qc)
     # c = a0 + 2*a1 = 2 -> condition fires -> b flips -> |011>
     assert np.argmax(np.abs(state)) == 0b011
+
+
+def test_scientific_notation_params():
+    # Qiskit prints tiny angles like 6.123233995736766e-17 (review r2).
+    from rustqip_tpu.qasm.importer import _eval_param
+
+    assert _eval_param("1e-07") == pytest.approx(1e-07)
+    assert _eval_param("2.5e3") == pytest.approx(2500.0)
+    assert _eval_param("2*pi - 1E-2") == pytest.approx(2 * np.pi - 0.01)
+    assert _eval_param("x2 + 1e1", {"x2": 5.0}) == pytest.approx(15.0)
+    text = HEADER + "qreg q[1];\nrz(6.123233995736766e-17) q[0];\n"
+    circuit_from_qasm(text)  # must not raise
+
+
+def test_measure_out_of_range_creg_bit_rejected():
+    # Review r2: this previously wrote into the NEIGHBORING creg's bits.
+    import pytest as _pytest
+
+    from rustqip_tpu.errors import CircuitError
+
+    text = HEADER + (
+        "qreg q[2];\ncreg c0[1];\ncreg c1[1];\n"
+        "measure q[0] -> c0[1];\n"
+    )
+    with _pytest.raises(CircuitError, match="out of range"):
+        circuit_from_qasm(text)
+
+
+def test_if_targeting_own_source_clear_error():
+    # The active-reset idiom can't lower via deferred measurement; the
+    # error must say so instead of a confusing reuse message (review r2).
+    import pytest as _pytest
+
+    from rustqip_tpu.errors import CircuitError
+
+    text = HEADER + (
+        "qreg q[1];\ncreg c[1];\n"
+        "measure q[0] -> c[0];\nif (c==1) x q[0];\n"
+    )
+    with _pytest.raises(CircuitError, match="own source"):
+        circuit_from_qasm(text)
