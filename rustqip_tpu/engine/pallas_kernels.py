@@ -139,17 +139,26 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                 nxt.append((xr * ca - xi * sa, xr * sa + xi * ca))
             cur = nxt
             continue
-        if step[0] == "cbf":
-            # 2x2 [[a,b],[c,d]] on column (lane) bit p: out at lanes with
-            # the bit clear = a*x + b*partner; set = d*x + c*partner.
-            # Exact f32 (no dots); ~2x cheaper than a HIGHEST-precision
-            # 128-wide matmul for a single-qubit gate.
+        if step[0] in ("cbf", "rbf"):
+            # 2x2 [[a,b],[c,d]] butterfly on one in-block index bit: out
+            # at positions with the bit clear = a*x + b*partner; set =
+            # d*x + c*partner. "cbf" pairs lanes (column bit p, roll on
+            # axis 1), "rbf" pairs sublane rows (row bit p < log2(br),
+            # roll on axis 0 — the partner rows live inside the same
+            # block, so no strips are needed). Exact f32 (no dots); ~2x
+            # cheaper than a HIGHEST-precision 128-wide matmul.
             from jax.experimental.pallas import tpu as pltpu
 
             p, coeffs = step[1], step[2]
             a, b, c, d = coeffs
             s = 1 << p
-            bit = ((cols >> p) & 1) == 1
+            if step[0] == "cbf":
+                axis, size = 1, _C
+                bit = ((cols >> p) & 1) == 1
+            else:
+                axis, size = 0, br
+                rows_io = jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
+                bit = ((rows_io >> p) & 1) == 1
             u_r = jnp.where(bit, np.float32(d.real), np.float32(a.real))
             v_r = jnp.where(bit, np.float32(c.real), np.float32(b.real))
             real_only = all(v.imag == 0 for v in coeffs)
@@ -159,10 +168,14 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
             nxt = []
             for xr, xi in cur:
                 pr = jnp.where(
-                    bit, pltpu.roll(xr, s, 1), pltpu.roll(xr, _C - s, 1)
+                    bit,
+                    pltpu.roll(xr, s, axis),
+                    pltpu.roll(xr, size - s, axis),
                 )
                 pi = jnp.where(
-                    bit, pltpu.roll(xi, s, 1), pltpu.roll(xi, _C - s, 1)
+                    bit,
+                    pltpu.roll(xi, s, axis),
+                    pltpu.roll(xi, size - s, axis),
                 )
                 if real_only:
                     nxt.append(

@@ -250,6 +250,12 @@ WINDOW_KERNEL_MAX_LOW = 24
 #: window (each costs a masked complex multiply per element).
 WINDOW_DIAG_MIXED_CAP = 8
 
+#: Largest row-bit position executed as an in-block sublane butterfly
+#: ("rbf"): the pair partner at stride 2^p must live inside the same
+#: kernel block, so 2^(p+1) <= block rows (checked against the final
+#: block size in ``_window_kernel_applicable``; 8 covers 512-row blocks).
+WINDOW_RBF_MAX_BIT = 8
+
 
 def _window_diag_plan(n: int, op) -> "tuple | None":
     """The angle group set of a PhaseProductOp eligible for in-window
@@ -284,10 +290,17 @@ def _collect_window(
 
     Returns ``((H_sorted, steps), next_index)`` or ``(None, start)``;
     steps: ("low", composed numpy C x C) | ("mix", op, plan) |
-    ("diag", angle_groups) | ("cbf", lane_bit, 2x2 coeffs) — the last is
-    kernel-only (``allow_diag``): single-column-qubit gates as lane-roll
-    butterflies, adjacent same-bit ones composed.
+    ("diag", angle_groups) | ("cbf", lane_bit, 2x2 coeffs) |
+    ("rbf", row_bit, 2x2 coeffs) — the last two are kernel-only
+    (``allow_diag``): single-qubit gates on column (lane) bits and on
+    LOW row (sublane) bits become in-block roll butterflies, adjacent
+    same-bit ones composed. rbf needs no strips at all (the pair partner
+    lives inside the block), so e.g. QFT-28's middle qubits 15-20 —
+    whose trailing segments are too small for strip windows — chain in
+    one sweep instead of one pass per gate.
     """
+    m, _, _ = _geometry(n)
+    n_m = n - m
     H: set = set()
     steps: List = []
     consumed = 0
@@ -342,6 +355,29 @@ def _collect_window(
                 continue
             B = p[1]
             pending_B = B if pending_B is None else B @ pending_B
+            j += 1
+            consumed += 1
+            continue
+        if (
+            allow_diag
+            and isinstance(op, DenseOp)
+            and op.num_indices == 1
+            and op.indices[0] < n_m
+            and n_m - 1 - op.indices[0] <= WINDOW_RBF_MAX_BIT
+        ):
+            # Kernel path: single-qubit gate on a low row bit as a
+            # sublane-roll butterfly (no strips; partner rows live in the
+            # same block). Applicability later checks 2^(p+1) <= block.
+            flush()
+            pb = n_m - 1 - op.indices[0]
+            mat = np.asarray(op.data, dtype=np.complex128).reshape(2, 2)
+            if steps and steps[-1][0] == "rbf" and steps[-1][1] == pb:
+                prev = np.array(steps[-1][2], dtype=np.complex128)
+                mat = mat @ prev.reshape(2, 2)
+                steps.pop()
+            steps.append(
+                ("rbf", pb, tuple(complex(v) for v in mat.reshape(-1)))
+            )
             j += 1
             consumed += 1
             continue
@@ -401,10 +437,12 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
     """The Pallas window kernel handles h <= 3 windows whose strips are
     unions of block-aligned row chunks (the trailing segment below the
     lowest window bit must cover whole blocks; h=3 halves the block so 8
-    strips fit VMEM). Worth invoking when the window chains a matmul or
-    butterfly behind strips, or contains diagonal steps (XLA fuses
-    neither across its materialization points); pure-mix windows fuse
-    fine in XLA already."""
+    strips fit VMEM). rbf steps additionally need their pair partner
+    inside the block: 2^(p+1) <= block rows. Worth invoking when the
+    window chains a matmul or butterfly behind strips, contains
+    diagonal steps, or chains >= 2 butterfly/matmul steps (XLA fuses
+    none of these across its materialization points); pure-mix windows
+    fuse fine in XLA already."""
     h = len(hq)
     m, R, C = _geometry(n)
     if h > 3 or C != 128:
@@ -412,14 +450,23 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
     segs = _window_seg_sizes(n, hq)
     # block rows adapt down to the trailing segment; require at least a
     # full (8, 128) tile per DMA block
-    if min(pallas_kernels.window_block_rows(h, steps), segs[-1]) < 64:
+    br = min(pallas_kernels.window_block_rows(h, steps), segs[-1])
+    if br < 64:
+        return False
+    rbf_bits = [s[1] for s in steps if s[0] == "rbf"]
+    if rbf_bits and (1 << (max(rbf_bits) + 1)) > br:
         return False
     n_low = sum(1 for s in steps if s[0] == "low")
     n_diag = sum(1 for s in steps if s[0] == "diag")
     n_cbf = sum(1 for s in steps if s[0] == "cbf")
+    n_rbf = len(rbf_bits)
     if n_low > WINDOW_KERNEL_MAX_LOW:
         return False
-    return n_diag >= 1 or (h >= 1 and n_low + n_cbf >= 1)
+    return (
+        n_diag >= 1
+        or n_low + n_cbf + n_rbf >= 2
+        or (h >= 1 and n_low + n_cbf + n_rbf >= 1)
+    )
 
 
 def _window_kernel_run(n: int, window, re, im) -> Pair:
@@ -551,17 +598,25 @@ def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):
     i = 0
     while i < len(ops):
         if kernel_ok:
-            # the kernel takes h <= 3 windows; collect to that cap so a
-            # 4th distinct row bit starts a new kernel window instead of
-            # forcing the whole run onto the XLA fallback
-            window, j = _collect_window(
-                n, ops, i, max_h=3, allow_diag=True
-            )
-            if window is not None and _window_kernel_applicable(
-                n, window[0], window[1]
-            ):
-                plan.append(("kwindow", window, ops[i:j]))
-                i = j
+            # The kernel takes h <= 3 windows; a greedy max-width window
+            # can be inapplicable for reasons a NARROWER one avoids —
+            # e.g. h=3 forces 64-row blocks, rejecting any rbf bit >= 6,
+            # while the same run collected at h<=1 keeps 512-row blocks
+            # (QFT-28's middle ladder). Retry down the h ladder before
+            # surrendering the run to the XLA fallback.
+            placed = False
+            for mh in (3, 2, 1):
+                window, j = _collect_window(
+                    n, ops, i, max_h=mh, allow_diag=True
+                )
+                if window is not None and _window_kernel_applicable(
+                    n, window[0], window[1]
+                ):
+                    plan.append(("kwindow", window, ops[i:j]))
+                    i = j
+                    placed = True
+                    break
+            if placed:
                 continue
         window, j = _collect_window(n, ops, i)
         if window is not None:

@@ -276,3 +276,92 @@ def test_qft_window_kernel_equivalence():
         er, ei = apply_op_ri(n, op, er, ei)
     want = np.asarray(er) + 1j * np.asarray(ei)
     np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_rbf_only_window():
+    # Single-qubit gates on LOW row bits (qubits n_m-1..n_m-6 at N=19:
+    # row bits 0..5) chain as sublane-roll butterflies — no strips.
+    _run_window_kernel(
+        [
+            make_matrix_op([11], gates.H.reshape(-1)),   # row bit 0
+            make_matrix_op([9], gates.Y.reshape(-1)),    # row bit 2
+            make_matrix_op([6], gates.H.reshape(-1)),    # row bit 5
+        ],
+        allow_diag=True,
+    )
+
+
+def test_rbf_with_diag_and_cbf():
+    from rustqip_tpu.ops.matrix_ops import PhaseProductOp
+
+    rng = np.random.default_rng(11)
+    terms = []
+    for q in (8, 10):
+        ang = rng.uniform(-3, 3)
+        terms.append(
+            ((q, N - 1), (1, 1, 1, complex(np.cos(ang), np.sin(ang))))
+        )
+    diag = PhaseProductOp(tuple(terms))
+    _run_window_kernel(
+        [
+            make_matrix_op([10], gates.H.reshape(-1)),   # rbf row bit 1
+            diag,
+            make_matrix_op([N - 1], gates.H.reshape(-1)),  # cbf lane bit 0
+            make_matrix_op([8], gates.T.reshape(-1)),    # rbf row bit 3
+        ],
+        allow_diag=True,
+    )
+
+
+def test_rbf_composition_same_bit():
+    # Adjacent same-bit rbf gates compose host-side: H then T on the
+    # same row qubit becomes one butterfly (a lone composed butterfly is
+    # then NOT worth a kernel window — XLA handles a single pass fine —
+    # so a cbf rides along to qualify the window).
+    from rustqip_tpu.engine.real_apply import _collect_window
+
+    ops = [
+        make_matrix_op([9], gates.H.reshape(-1)),
+        make_matrix_op([9], gates.T.reshape(-1)),
+        make_matrix_op([9], gates.H.reshape(-1)),
+        make_matrix_op([N - 1], gates.H.reshape(-1)),
+    ]
+    window, j = _collect_window(N, ops, 0, allow_diag=True)
+    assert j == 4
+    hq, steps = window
+    assert hq == ()
+    assert [s[0] for s in steps] == ["rbf", "cbf"]
+    _run_window_kernel(ops, allow_diag=True)
+
+
+def test_rbf_behind_strips():
+    # rbf inside a strip window (hq from a high-bit mix) — the strip
+    # blocks are br-aligned so the in-block row bit is still position p.
+    _run_window_kernel(
+        [
+            make_matrix_op([0], gates.H.reshape(-1)),    # mix (row bit 11)
+            make_matrix_op([11], gates.H.reshape(-1)),   # rbf row bit 0
+            make_matrix_op([N - 1], gates.T.reshape(-1)),  # cbf
+        ],
+        allow_diag=True,
+    )
+
+
+def test_rbf_qft_middle_ladder():
+    # The exact shape that motivated rbf: QFT-28's qubits 15..20 analog —
+    # H + controlled-phase diag per qubit, trailing segments too small
+    # for strips.
+    from rustqip_tpu.ops.matrix_ops import PhaseProductOp
+
+    ops = []
+    rng = np.random.default_rng(13)
+    for q in (7, 8, 9, 10, 11):
+        ops.append(make_matrix_op([q], gates.H.reshape(-1)))
+        terms = []
+        for q2 in range(q + 1, N):
+            ang = rng.uniform(-3, 3)
+            terms.append(
+                ((q, q2), (1, 1, 1, complex(np.cos(ang), np.sin(ang))))
+            )
+        ops.append(PhaseProductOp(tuple(terms)))
+    _run_window_kernel(ops, allow_diag=True)
