@@ -13,8 +13,11 @@ Usage: RUSTQIP_TPU_PALLAS=1 python benches/qft_bench.py [n]
 """
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -585,6 +585,23 @@ def _window_sweep_ri(n: int, window, re, im) -> Pair:
     return assemble(0), assemble(1)
 
 
+def _window_maxh_ladder() -> tuple:
+    """Kernel-window width ladder (RUSTQIP_TPU_WINDOW_MAXH, default
+    "3,2,1"): widths tried in order per run start. Wider windows retire
+    more ops per HBM sweep but force smaller VMEM blocks when diagonals
+    are present (h=3 -> 64 rows); "1" trades sweeps for big blocks."""
+    import os
+
+    raw = os.environ.get("RUSTQIP_TPU_WINDOW_MAXH", "3,2,1")
+    try:
+        ladder = tuple(
+            v for v in (int(x) for x in raw.split(",")) if 1 <= v <= 3
+        )
+    except ValueError:
+        return (3, 2, 1)
+    return ladder or (3, 2, 1)
+
+
 def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):
     """The sweep decomposition ``apply_ops_ri`` will execute, as a list of
     ``(kind, payload, run_ops)`` entries — kind "kwindow" (Pallas window
@@ -605,7 +622,7 @@ def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):
             # (QFT-28's middle ladder). Retry down the h ladder before
             # surrendering the run to the XLA fallback.
             placed = False
-            for mh in (3, 2, 1):
+            for mh in _window_maxh_ladder():
                 window, j = _collect_window(
                     n, ops, i, max_h=mh, allow_diag=True
                 )
