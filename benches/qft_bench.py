@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from rustqip_tpu.algos.qfft import qfft
 from rustqip_tpu.builder.builder import LocalBuilder, _lower_item
+from rustqip_tpu.engine import pallas_kernels
 from rustqip_tpu.engine.compile import UnitaryEntry
 from rustqip_tpu.engine.fusion import fuse_ops
 from rustqip_tpu.engine.real_apply import apply_ops_ri, plan_sweeps
@@ -37,9 +38,11 @@ def main():
     for item in b.pipeline:
         entries.extend(_lower_item(item))
     qops = fuse_ops([e.op for e in entries if isinstance(e, UnitaryEntry)])
+    kernel_ok = pallas_kernels.available()
     print(
         f"n={n}: {len(qops)} fused ops, "
-        f"{len(plan_sweeps(n, qops, True))} sweeps (kernel plan)",
+        f"{len(plan_sweeps(n, qops, kernel_ok))} sweeps "
+        f"({'kernel' if kernel_ok else 'XLA-fallback'} plan)",
         file=sys.stderr,
     )
 

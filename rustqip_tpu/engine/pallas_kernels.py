@@ -429,8 +429,9 @@ def window_sweep(
 
     ``steps``: ("low", B_complex_ndarray) | ("mix", {(j, i): complex}) |
     ("diag", (const, row_monos, col_monos, mixed) angle groups) |
-    ("cbf", lane_bit, (a, b, c, d)) — single-column-qubit 2x2 as a
-    lane-roll butterfly (no operand).
+    ("cbf", lane_bit, (a, b, c, d)) | ("rbf", row_bit, (a, b, c, d)) —
+    single-qubit 2x2s as lane-roll / sublane-roll butterflies (no
+    operand; rbf's row bit must satisfy 2^(bit+1) <= block rows).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

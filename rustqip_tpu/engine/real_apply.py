@@ -313,6 +313,16 @@ def _collect_window(
             steps.append(("low", pending_B))
             pending_B = None
 
+    def push_butterfly(kind: str, bit: int, op) -> None:
+        """Append a ("cbf"/"rbf", bit, 2x2 coeffs) step, composing into
+        an adjacent same-kind same-bit butterfly."""
+        mat = np.asarray(op.data, dtype=np.complex128).reshape(2, 2)
+        if steps and steps[-1][0] == kind and steps[-1][1] == bit:
+            prev = np.array(steps[-1][2], dtype=np.complex128)
+            mat = mat @ prev.reshape(2, 2)
+            steps.pop()
+        steps.append((kind, bit, tuple(complex(v) for v in mat.reshape(-1))))
+
     while j < len(ops) and consumed < WINDOW_MAX_OPS:
         op = ops[j]
         p = _plan_of(n, op)
@@ -341,15 +351,7 @@ def _collect_window(
                 # Only beats the matmul when dots run exact — at bf16
                 # "default" precision the matmul was faster, but that
                 # precision is wrong for amplitude simulation.
-                pbit = n - 1 - op.indices[0]
-                mat = np.asarray(op.data, dtype=np.complex128).reshape(2, 2)
-                if steps and steps[-1][0] == "cbf" and steps[-1][1] == pbit:
-                    prev = np.array(steps[-1][2], dtype=np.complex128)
-                    mat = mat @ prev.reshape(2, 2)
-                    steps.pop()
-                steps.append(
-                    ("cbf", pbit, tuple(complex(v) for v in mat.reshape(-1)))
-                )
+                push_butterfly("cbf", n - 1 - op.indices[0], op)
                 j += 1
                 consumed += 1
                 continue
@@ -369,15 +371,7 @@ def _collect_window(
             # sublane-roll butterfly (no strips; partner rows live in the
             # same block). Applicability later checks 2^(p+1) <= block.
             flush()
-            pb = n_m - 1 - op.indices[0]
-            mat = np.asarray(op.data, dtype=np.complex128).reshape(2, 2)
-            if steps and steps[-1][0] == "rbf" and steps[-1][1] == pb:
-                prev = np.array(steps[-1][2], dtype=np.complex128)
-                mat = mat @ prev.reshape(2, 2)
-                steps.pop()
-            steps.append(
-                ("rbf", pb, tuple(complex(v) for v in mat.reshape(-1)))
-            )
+            push_butterfly("rbf", n_m - 1 - op.indices[0], op)
             j += 1
             consumed += 1
             continue
@@ -612,6 +606,7 @@ def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):
     by ``kernel_ok``: Pallas available + f32 planes)."""
     ops = list(ops)
     plan = []
+    ladder = _window_maxh_ladder()  # read once: one atomic plan per call
     i = 0
     while i < len(ops):
         if kernel_ok:
@@ -622,7 +617,7 @@ def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):
             # (QFT-28's middle ladder). Retry down the h ladder before
             # surrendering the run to the XLA fallback.
             placed = False
-            for mh in _window_maxh_ladder():
+            for mh in ladder:
                 window, j = _collect_window(
                     n, ops, i, max_h=mh, allow_diag=True
                 )
