@@ -238,3 +238,27 @@ def test_window_planner_fuzz_random_circuits():
             np.asarray(wi), np.asarray(si), atol=1e-10,
             err_msg=f"trial {trial}",
         )
+
+
+def test_qft28_kernel_plan_sweep_budget():
+    """Perf-regression guard: QFT-28 must plan to <= 8 HBM sweeps on the
+    kernel path (measured 6 at 0.425 s on v5e; 41 at round start).
+    Host-side planning only — no device work."""
+    from rustqip_tpu.algos.qfft import qfft
+    from rustqip_tpu.builder.builder import LocalBuilder, _lower_item
+    from rustqip_tpu.engine.compile import UnitaryEntry
+    from rustqip_tpu.engine.fusion import fuse_ops
+    from rustqip_tpu.engine.real_apply import plan_sweeps
+
+    n = 28
+    b = LocalBuilder()
+    qfft(b, b.register(n))
+    entries = []
+    for item in b.pipeline:
+        entries.extend(_lower_item(item))
+    qops = fuse_ops([e.op for e in entries if isinstance(e, UnitaryEntry)])
+    plan = plan_sweeps(n, qops, True)
+    assert len(plan) <= 8, [p[0] for p in plan]
+    # every gate window must ride the kernel (only the swap is outside)
+    kinds = [k for k, _, _ in plan]
+    assert kinds.count("kwindow") >= 5, kinds
