@@ -91,6 +91,61 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
 
+    # Window qubit ids from the segment layout: window bit j sits above
+    # seg_sizes[j+1..h] and the h-1-j lower window bits.
+    _wq = []
+    for j in range(h):
+        pos = sum(
+            int(seg_sizes[k]).bit_length() - 1 for k in range(j + 1, h + 1)
+        ) + (h - 1 - j)
+        _wq.append(n_m - 1 - pos)
+
+    def _specialize(groups, i):
+        """Partially evaluate angle groups for strip ``i``: window-bit
+        values are trace-time constants, so monomials touching a 0-valued
+        window bit DROP, fully-window monomials fold into the constant,
+        and mixed monomials whose row part was all window bits demote to
+        (cheaper) col monomials. QFT ladders lose half their
+        transcendental work this way (the controlled-phase diag of a
+        window qubit is the identity on every bit=0 strip)."""
+        wvals = {_wq[j]: (i >> (h - 1 - j)) & 1 for j in range(h)}
+        const, row_monos, col_monos, mixed = groups
+        const2 = float(const)
+        rm2 = []
+        for rq, c in row_monos:
+            keep, dead = [], False
+            for q in rq:
+                v = wvals.get(q)
+                if v == 0:
+                    dead = True
+                    break
+                if v is None:
+                    keep.append(q)
+            if dead:
+                continue
+            if keep:
+                rm2.append((tuple(keep), c))
+            else:
+                const2 += c
+        cm2 = list(col_monos)
+        mx2 = []
+        for rq, cq, c in mixed:
+            keep, dead = [], False
+            for q in rq:
+                v = wvals.get(q)
+                if v == 0:
+                    dead = True
+                    break
+                if v is None:
+                    keep.append(q)
+            if dead:
+                continue
+            if keep:
+                mx2.append((tuple(keep), cq, c))
+            else:
+                cm2.append((cq, c))
+        return const2, tuple(rm2), tuple(cm2), tuple(mx2)
+
     def diag_factors(groups, i):
         """(cos, sin) of the angle over strip i's block."""
         const, row_monos, col_monos, mixed = groups
@@ -134,8 +189,18 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
         if step[0] == "diag":
             groups = step[1]
             nxt = []
+            cache = {}  # strips with identical specialized groups share
             for i, (xr, xi) in enumerate(cur):
-                ca, sa = diag_factors(groups, i)
+                sg = _specialize(groups, i)
+                const2, rm2, cm2, mx2 = sg
+                if not rm2 and not cm2 and not mx2 and const2 == 0.0:
+                    nxt.append((xr, xi))  # identity on this strip
+                    continue
+                if sg in cache:
+                    ca, sa = cache[sg]
+                else:
+                    ca, sa = diag_factors(sg, i)
+                    cache[sg] = (ca, sa)
                 nxt.append((xr * ca - xi * sa, xr * sa + xi * ca))
             cur = nxt
             continue
