@@ -354,6 +354,9 @@ def window_block_rows(h: int, steps) -> int:
     # scale the temporaries like h=2 at 256 — over budget).
     if h <= 1:
         return _BLOCK_ROWS
+    # h=3 at 128 compiled and matched 64's steady time exactly (0.240 vs
+    # 0.239 s QFT-28) once specialization pruned the temporaries — but
+    # its VMEM fit depends on that pruning, so 64 stays (guaranteed).
     return 128 if h == 2 else 64
 
 
