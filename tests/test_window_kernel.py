@@ -365,3 +365,66 @@ def test_rbf_qft_middle_ladder():
             )
         ops.append(PhaseProductOp(tuple(terms)))
     _run_window_kernel(ops, allow_diag=True)
+
+
+@pytest.mark.heavy
+def test_window_kernel_randomized_fuzz():
+    """Random window-eligible op mixes (mixes, cbf, rbf, diags, low
+    matmuls) through the interpret-mode kernel vs op-by-op execution —
+    hardens the specialization/butterfly/strip seams beyond the shaped
+    tests above."""
+    from rustqip_tpu.engine.real_apply import (
+        _collect_window,
+        _expand_mix,
+        _window_kernel_applicable,
+        _window_seg_sizes,
+    )
+    from rustqip_tpu.ops.matrix_ops import PhaseProductOp
+
+    rng = np.random.default_rng(99)
+
+    def rand_u2():
+        m = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+        q, _ = np.linalg.qr(m)
+        return q
+
+    def rand_diag(max_terms=3):
+        terms = []
+        for _ in range(rng.integers(1, max_terms + 1)):
+            a, b = rng.choice(N, size=2, replace=False)
+            ang = rng.uniform(-3, 3)
+            terms.append(
+                ((int(a), int(b)),
+                 (1, 1, 1, complex(np.cos(ang), np.sin(ang))))
+            )
+        return PhaseProductOp(tuple(terms))
+
+    # qubit pools at N=19 (n_m=12): window bits 0..2, rbf 3..11, lanes 12..18
+    for trial in range(6):
+        ops = []
+        for _ in range(rng.integers(3, 9)):
+            kind = rng.integers(0, 4)
+            if kind == 0:
+                ops.append(
+                    make_matrix_op([int(rng.integers(0, 3))],
+                                   rand_u2().reshape(-1))
+                )
+            elif kind == 1:
+                ops.append(
+                    make_matrix_op([int(rng.integers(3, 12))],
+                                   rand_u2().reshape(-1))
+                )
+            elif kind == 2:
+                ops.append(
+                    make_matrix_op([int(rng.integers(12, N))],
+                                   rand_u2().reshape(-1))
+                )
+            else:
+                ops.append(rand_diag())
+        window, j = _collect_window(N, ops, 0, allow_diag=True)
+        if window is None or not _window_kernel_applicable(
+            N, window[0], window[1]
+        ):
+            continue
+        ops = ops[:j]
+        _run_window_kernel(ops, allow_diag=True)
