@@ -262,3 +262,19 @@ def test_qft28_kernel_plan_sweep_budget():
     # every gate window must ride the kernel (only the swap is outside)
     kinds = [k for k, _, _ in plan]
     assert kinds.count("kwindow") >= 5, kinds
+
+
+def test_headline_alternating_single_sweep_budget():
+    """Perf-regression guard for the driver headline: 30 alternating
+    H(0)/H(27) gates at n=28 must plan to ONE kernel sweep."""
+    from rustqip_tpu.engine.real_apply import plan_sweeps
+    from rustqip_tpu.ops import gates as g
+    from rustqip_tpu.ops.matrix_ops import make_matrix_op
+
+    n = 28
+    ops = [
+        make_matrix_op([(i % 2) * (n - 1)], g.H.reshape(-1))
+        for i in range(30)
+    ]
+    plan = plan_sweeps(n, ops, True)
+    assert len(plan) == 1 and plan[0][0] == "kwindow", [p[0] for p in plan]
