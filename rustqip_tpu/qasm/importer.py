@@ -221,10 +221,24 @@ def circuit_from_qasm(text: str, builder=None) -> QasmCircuit:
             fresh.discard(qi)
         return regs
 
-    def apply_gate_call(b, name: str, params: List[float], idxs: List[int]) -> None:
+    def apply_gate_call(
+        b,
+        name: str,
+        params: List[float],
+        idxs: List[int],
+        _stack: frozenset = frozenset(),
+    ) -> None:
         """Apply gate ``name`` on global qubit indices ``idxs`` through
-        builder ``b`` (the plain builder or a ``Conditioned`` wrapper)."""
+        builder ``b`` (the plain builder or a ``Conditioned`` wrapper).
+        ``_stack`` tracks in-flight custom-gate expansions: a self- or
+        mutually-recursive definition has no finite expansion, so
+        re-entry is a CircuitError rather than a RecursionError."""
         if name in gate_defs:
+            if name in _stack:
+                raise CircuitError(
+                    f"Recursive gate definition: {name!r} expands to "
+                    f"itself (via {sorted(_stack)})"
+                )
             gd = gate_defs[name]
             if len(params) != len(gd.params):
                 raise CircuitError(
@@ -257,7 +271,13 @@ def circuit_from_qasm(text: str, builder=None) -> QasmCircuit:
                             f"Unknown qubit {arg!r} in gate {name} body"
                         )
                     sub_idxs.append(qmap[arg])
-                apply_gate_call(b, tok.group("name"), sub_params, sub_idxs)
+                apply_gate_call(
+                    b,
+                    tok.group("name"),
+                    sub_params,
+                    sub_idxs,
+                    _stack | {name},
+                )
             return
         if name not in _GATES:
             raise CircuitError(f"Unknown gate {name!r}")
@@ -311,8 +331,15 @@ def circuit_from_qasm(text: str, builder=None) -> QasmCircuit:
                     f"Conditioned {inner.split()[0]} is not supported: {st!r}"
                 )
             # Map each classical bit to its source qubit (bit j of val
-            # compares against creg bit j, QASM little-endian).
+            # compares against creg bit j, QASM little-endian). Two creg
+            # bits measured from the SAME source qubit collapse to one
+            # control: their classical values are necessarily equal, so
+            # the condition either dedups (bits of val agree) or is
+            # unsatisfiable (bits conflict) — collecting the handle twice
+            # would otherwise fail deep in merge with a linear-register
+            # error.
             ctrl_idxs = []
+            bit_of = {}
             for j in range(size):
                 ordinal = out.creg_map.get(off + j)
                 if ordinal is None:
@@ -327,7 +354,20 @@ def circuit_from_qasm(text: str, builder=None) -> QasmCircuit:
                         f"measurement; deferred-measurement lowering of "
                         f"{st!r} would be inexact"
                     )
+                bit = (val >> j) & 1
+                if qi in bit_of:
+                    if bit_of[qi] != bit:
+                        raise CircuitError(
+                            f"Condition {st!r} is unsatisfiable: creg bits "
+                            f"measured from the same source qubit q[{qi}] "
+                            f"must compare equal, but {creg}=={val} requires "
+                            f"them to differ"
+                        )
+                    continue
+                bit_of[qi] = bit
                 ctrl_idxs.append(qi)
+            # Re-pack the compare value over the deduplicated control list.
+            val = sum(bit_of[qi] << t for t, qi in enumerate(ctrl_idxs))
             itok = _TOKEN_RE.match(inner)
             if itok:
                 inner_idxs = set(qubit_indices(itok.group("args")))

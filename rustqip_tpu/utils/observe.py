@@ -218,9 +218,33 @@ def _collect_runs(cc, kernel_ok: bool) -> list:
     return runs
 
 
-def profile_passes(builder, iters: int = 3, seed: int = 0) -> list:
+def _initial_pair(dim: int, rdtype, seed):
+    """Initial (re, im) planes for profiling: ``seed=None`` -> |0..0>;
+    an int seeds a random normalized state (gate cost is state-independent
+    on this engine, but a random state exercises non-trivial values
+    through every lane)."""
+    import jax.numpy as jnp
+
+    if seed is None:
+        return (
+            jnp.zeros(dim, rdtype).at[0].set(1.0),
+            jnp.zeros(dim, rdtype),
+        )
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=dim) + 1j * rng.normal(size=dim)
+    v /= np.linalg.norm(v)
+    return (
+        jnp.asarray(v.real, dtype=rdtype),
+        jnp.asarray(v.imag, dtype=rdtype),
+    )
+
+
+def profile_passes(builder, iters: int = 3, seed=None) -> list:
     """Measured per-sweep timing: run each sweep's op run as its own
     donated jit program and report ms + effective GB/s per sweep.
+
+    ``seed``: None profiles from |0..0>; an int profiles from a seeded
+    random normalized state.
 
     NOTE: costs one XLA compile per distinct sweep — cheap on CPU,
     minutes-per-sweep over the axon TPU relay (use ``pass_breakdown`` for
@@ -241,8 +265,7 @@ def profile_passes(builder, iters: int = 3, seed: int = 0) -> list:
     breakdown = pass_breakdown(builder)
     runs = _collect_runs(cc, _kernel_ok(builder))
     dim = 1 << n
-    re = jnp.zeros(dim, rdtype).at[0].set(1.0)
-    im = jnp.zeros(dim, rdtype)
+    re, im = _initial_pair(dim, rdtype, seed)
     results = []
     gates = iter(b for b in breakdown if b["kind"] != "measure")
     for run_ops in runs:
@@ -270,9 +293,13 @@ def profile_passes(builder, iters: int = 3, seed: int = 0) -> list:
 
 
 def profile_passes_fused(
-    builder, extra_reps: int = 7, iters: int = 2, seed: int = 0
+    builder, extra_reps: int = 7, iters: int = 2, seed=None
 ) -> list:
     """Measured per-sweep timing from ONE compiled program.
+
+    ``seed``: None profiles from |0..0>; an int profiles from a seeded
+    random normalized state (regenerated per timed execution — the planes
+    are donated).
 
     ``profile_passes`` costs one XLA compile per sweep — minutes each over
     the axon TPU relay. This variant compiles a single jit program whose
@@ -328,8 +355,7 @@ def profile_passes_fused(
         reps = jnp.asarray(reps_np, dtype=jnp.int32)
         best = float("inf")
         for _ in range(iters):
-            re = jnp.zeros(dim, rdtype).at[0].set(1.0)
-            im = jnp.zeros(dim, rdtype)
+            re, im = _initial_pair(dim, rdtype, seed)
             t0 = time.time()
             re, im = prog(re, im, reps)
             float(re[0])  # scalar-fetch sync (relay-safe)

@@ -133,6 +133,27 @@ def test_profile_passes_runs():
         assert e["gbps"] > 0
 
 
+def test_profile_passes_seeded_random_initial():
+    # seed=int profiles from a seeded random normalized state (review r2:
+    # the parameter used to be accepted and ignored).
+    import jax.numpy as jnp
+
+    from rustqip_tpu.utils.observe import _initial_pair, profile_passes
+
+    re, im = _initial_pair(1 << 4, jnp.float32, seed=7)
+    norm = float(jnp.sum(re * re + im * im))
+    assert abs(norm - 1.0) < 1e-6
+    assert float(jnp.max(jnp.abs(im))) > 0  # genuinely random, not |0..0>
+    r2, i2 = _initial_pair(1 << 4, jnp.float32, seed=7)
+    assert jnp.allclose(re, r2) and jnp.allclose(im, i2)  # deterministic
+
+    b = LocalBuilder()
+    r = b.register(4)
+    r = b.h(r)
+    out = profile_passes(b, iters=1, seed=3)
+    assert len(out) >= 1 and all(e["ms"] >= 0 for e in out)
+
+
 def test_profile_passes_fused_runs():
     from rustqip_tpu.algos.qfft import qfft
     from rustqip_tpu.utils.observe import profile_passes, profile_passes_fused

@@ -273,3 +273,53 @@ def test_if_targeting_own_source_clear_error():
     )
     with _pytest.raises(CircuitError, match="own source"):
         circuit_from_qasm(text)
+
+
+def test_recursive_gate_definition_rejected():
+    # A self-recursive custom gate has no finite expansion; the importer
+    # must raise CircuitError, not blow the Python stack (advisor r2).
+    text = HEADER + (
+        "gate g a { h a; g a; }\n"
+        "qreg q[1];\ng q[0];\n"
+    )
+    with pytest.raises(CircuitError, match="Recursive gate definition"):
+        circuit_from_qasm(text)
+
+
+def test_mutually_recursive_gate_definitions_rejected():
+    text = HEADER + (
+        "gate g1 a { g2 a; }\n"
+        "gate g2 a { g1 a; }\n"
+        "qreg q[1];\ng1 q[0];\n"
+    )
+    with pytest.raises(CircuitError, match="Recursive gate definition"):
+        circuit_from_qasm(text)
+
+
+def test_if_duplicate_source_qubit_dedups():
+    # Two creg bits measured from the SAME source qubit: the condition
+    # collapses to one control (advisor r2 — previously died in merge
+    # with a linear-register error). c==3 requires both bits 1 -> fires
+    # exactly when q[0] measured 1.
+    text = HEADER + (
+        "qreg q[2];\ncreg c[2];\n"
+        "x q[0];\n"
+        "measure q[0] -> c[0];\nmeasure q[0] -> c[1];\n"
+        "if (c==3) x q[1];\n"
+    )
+    qc = circuit_from_qasm(text)
+    state, _ = _state(qc)
+    assert np.argmax(np.abs(state)) == 0b11
+    assert abs(state[0b11]) == pytest.approx(1.0, abs=1e-10)
+
+
+def test_if_duplicate_source_qubit_conflicting_bits_rejected():
+    # c==1 asks bit0=1 and bit1=0 of two copies of the same measurement —
+    # unsatisfiable; must be a clear QASM-level diagnostic.
+    text = HEADER + (
+        "qreg q[2];\ncreg c[2];\n"
+        "measure q[0] -> c[0];\nmeasure q[0] -> c[1];\n"
+        "if (c==1) x q[1];\n"
+    )
+    with pytest.raises(CircuitError, match="unsatisfiable"):
+        circuit_from_qasm(text)
