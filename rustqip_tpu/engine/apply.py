@@ -134,6 +134,12 @@ def _dense_plan(n: int, indices: Tuple[int, ...], mat_key):
             if l == 0:
                 val = sub[0, 0]
                 blocks[(hj, hi)] = ("scalar", complex(val))
+            elif np.array_equal(sub, sub[0, 0] * np.eye(dl)):
+                # v * I acts on the column space as a plain scaling —
+                # demote to a scalar block (saves a C x C matmul per strip
+                # and lets identity-heavy gates, e.g. controlled ops
+                # straddling the row/col seam, join scalar mixes).
+                blocks[(hj, hi)] = ("scalar", complex(sub[0, 0]))
             else:
                 blocks[(hj, hi)] = ("mat", expand_op_matrix(sub, lpos, m))
     seg_shape = _row_segment_shape(n, m, high)

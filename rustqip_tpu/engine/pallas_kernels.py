@@ -70,9 +70,18 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
 
     h = len(seg_sizes) - 1
     ns = 1 << h
-    n_mat_refs = sum(
-        3 if s[0] == "low" else (1 if s[0] == "lowr" else 0) for s in steps
-    )
+
+    def _mat_end(ent):
+        return ent[1] + (3 if ent[0] == "low" else 1)
+
+    n_mat_refs = 0
+    for s in steps:
+        if s[0] in ("low", "lowr"):
+            n_mat_refs = max(n_mat_refs, _mat_end(s))
+        elif s[0] == "rmix":
+            for blk in s[1].values():
+                if blk[0] != "scalar":
+                    n_mat_refs = max(n_mat_refs, _mat_end(blk))
     ins = refs[: 2 * ns]
     mats = refs[2 * ns : 2 * ns + n_mat_refs]
     outs = refs[2 * ns + n_mat_refs :]
@@ -183,8 +192,26 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
             sa = sa + mask * (ni - sa)
         return ca, sa
 
+    def _dot(x, m):
+        return jnp.dot(
+            x, m, preferred_element_type=jnp.float32, precision=_PREC
+        )
+
+    def _matmul_pair(xr, xi, ent):
+        """(xr + i xi) @ B^T via a ("lowr"/"low", idx) operand entry:
+        real B = 2 dots, complex B = 3-dot Karatsuba."""
+        if ent[0] == "lowr":
+            mr = mats[ent[1]][:]
+            return _dot(xr, mr), _dot(xi, mr)
+        mr = mats[ent[1]][:]
+        mi = mats[ent[1] + 1][:]
+        ms = mats[ent[1] + 2][:]
+        rr = _dot(xr, mr)
+        ii = _dot(xi, mi)
+        m_ = _dot(xr + xi, ms)
+        return rr - ii, m_ - rr - ii
+
     cur = [(ins[2 * i][:], ins[2 * i + 1][:]) for i in range(ns)]
-    li = 0
     for step in steps:
         if step[0] == "diag":
             groups = step[1]
@@ -255,51 +282,47 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                     )
             cur = nxt
             continue
-        if step[0] == "lowr":
-            # Real-valued B (e.g. Hadamard krons): two dots, half the MXU
-            # work of the complex product.
-            mr = mats[li][:]
-            li += 1
-            cur = [
-                (
-                    jnp.dot(
-                        xr,
-                        mr,
-                        preferred_element_type=jnp.float32,
-                        precision=_PREC,
-                    ),
-                    jnp.dot(
-                        xi,
-                        mr,
-                        preferred_element_type=jnp.float32,
-                        precision=_PREC,
-                    ),
-                )
-                for xr, xi in cur
-            ]
+        if step[0] in ("low", "lowr"):
+            # Per-strip C x C matmul: real B = 2 dots, complex B =
+            # Karatsuba (3 dots instead of 4).
+            cur = [_matmul_pair(xr, xi, step) for xr, xi in cur]
             continue
-        if step[0] == "low":
-            # Karatsuba complex product: 3 dots instead of 4 (operands
-            # br, bi, bs = br + bi; m - rr - ii gives the imaginary part).
-            mr = mats[li][:]
-            mi = mats[li + 1][:]
-            ms = mats[li + 2][:]
-            li += 3
+        if step[0] == "rmix":
+            # Non-scalar row-block mix: out_strip[j] = sum_i f(strip[i])
+            # where f is a scalar multiply or a C x C matmul — disjoint
+            # dense ops straddling the row/col seam chain in-window.
+            blocks = step[1]
             nxt = []
-            for xr, xi in cur:
-                rr = jnp.dot(
-                    xr, mr, preferred_element_type=jnp.float32, precision=_PREC
-                )
-                ii = jnp.dot(
-                    xi, mi, preferred_element_type=jnp.float32, precision=_PREC
-                )
-                m = jnp.dot(
-                    xr + xi,
-                    ms,
-                    preferred_element_type=jnp.float32,
-                    precision=_PREC,
-                )
-                nxt.append((rr - ii, m - rr - ii))
+            for jw in range(ns):
+                acc_r = acc_i = None
+                for iw in range(ns):
+                    blk = blocks.get((jw, iw))
+                    if blk is None:
+                        continue
+                    sr, si = cur[iw]
+                    if blk[0] == "scalar":
+                        v = blk[1]
+                        if v == 0:
+                            continue
+                        if v == 1:
+                            tr, ti = sr, si
+                        elif v.imag == 0:
+                            tr, ti = sr * v.real, si * v.real
+                        elif v.real == 0:
+                            tr, ti = -si * v.imag, sr * v.imag
+                        else:
+                            tr = sr * v.real - si * v.imag
+                            ti = sr * v.imag + si * v.real
+                    else:
+                        tr, ti = _matmul_pair(sr, si, blk)
+                    if acc_r is None:
+                        acc_r, acc_i = tr, ti
+                    else:
+                        acc_r, acc_i = acc_r + tr, acc_i + ti
+                if acc_r is None:
+                    acc_r = jnp.zeros_like(cur[0][0])
+                    acc_i = jnp.zeros_like(cur[0][1])
+                nxt.append((acc_r, acc_i))
             cur = nxt
         else:  # mix: {(j, i): complex scalar}
             blocks = step[1]
@@ -342,8 +365,12 @@ def window_block_rows(h: int, steps) -> int:
     = 16 MiB at h=3, over budget — so h=3 halves the block); diagonal
     steps add per-strip transcendental temporaries (a 512-row h=2 diag
     window measured 32 MiB of scoped VMEM against the 16 MiB budget), so
-    those scale down with the strip count."""
-    if not any(s[0] == "diag" for s in steps):
+    those scale down with the strip count. "rmix" steps keep EVERY input
+    strip live until all output strips are accumulated (out[j] =
+    sum_i f(in[i]) — nothing frees mid-step, unlike 1:1 low/mix steps:
+    a 512-row h=2 rmix window measured 24.2 MiB scoped VMEM), so they
+    take the same reduced schedule as diag windows."""
+    if not any(s[0] in ("diag", "rmix") for s in steps):
         return _BLOCK_ROWS if h <= 2 else _BLOCK_ROWS // 2
     # Diag windows carry per-strip transcendental temporaries (angle +
     # cos/sin + per-mixed-monomial masks), which scale with the strip
@@ -383,9 +410,13 @@ def _strip_index_map(seg_sizes, sl: int, i: int):
 
 
 def _window_matrix_operands(steps):
-    """Split steps into body tags + matrix operand arrays: real B -> one
-    ("lowr",) operand (2-dot path), complex B -> ("low",) with
-    (re, im, re+im) Karatsuba operands (3 dots instead of 4).
+    """Split steps into body tags + matrix operand arrays: real B -> a
+    ("lowr", idx) operand (2-dot path), complex B -> ("low", idx) with
+    (re, im, re+im) Karatsuba operands at mats[idx:idx+3] (3 dots instead
+    of 4). "rmix" steps carry {(j, i): ("scalar", v) | ("lowr"/"low",
+    idx)} block maps; identical matrices (byte-equal B^T) share one
+    operand — a window-expanded rmix references the same few op blocks
+    from up to 2^h strip pairs.
 
     Precision note: the Karatsuba imaginary plane (m - rr - ii with
     pre-rounded xr+xi / Br+Bi operands) carries a small constant-factor
@@ -395,17 +426,34 @@ def _window_matrix_operands(steps):
     fewer MXU passes; chosen deliberately."""
     body_steps = []
     mats = []
+    index_of = {}
+
+    def add_mat(B):
+        bt = np.ascontiguousarray(np.asarray(B, dtype=np.complex128).T)
+        key = bt.tobytes()
+        ent = index_of.get(key)
+        if ent is not None:
+            return ent
+        mbr = np.real(bt).astype(np.float32)
+        mbi = np.imag(bt).astype(np.float32)
+        if not np.any(mbi):
+            ent = ("lowr", len(mats))
+            mats.append(mbr)
+        else:
+            ent = ("low", len(mats))
+            mats.extend([mbr, mbi, mbr + mbi])
+        index_of[key] = ent
+        return ent
+
     for step in steps:
         if step[0] == "low":
-            bt = np.ascontiguousarray(step[1].T)
-            mbr = np.real(bt).astype(np.float32)
-            mbi = np.imag(bt).astype(np.float32)
-            if not np.any(mbi):
-                body_steps.append(("lowr",))
-                mats.append(mbr)
-            else:
-                body_steps.append(("low",))
-                mats += [mbr, mbi, mbr + mbi]
+            body_steps.append(add_mat(step[1]))
+        elif step[0] == "rmix":
+            blocks = {
+                k: (blk if blk[0] == "scalar" else add_mat(blk[1]))
+                for k, blk in step[1].items()
+            }
+            body_steps.append(("rmix", blocks))
         else:
             body_steps.append(step)
     return tuple(body_steps), mats
@@ -468,12 +516,24 @@ def _window_sweep_pipelined(n, xr, xi, seg_sizes, steps, br):
             jax.ShapeDtypeStruct((rows, _C), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=sum(8 * rows * _C * _C for s in steps if s[0] == "low"),
+            flops=8 * rows * _C * _C * _n_matmul_steps(steps),
             bytes_accessed=2 * rows * _C * 4 * 2,
             transcendentals=0,
         ),
     )(xr, xi, *[jnp.asarray(m) for m in mats])
     return out_r, out_i
+
+
+def _n_matmul_steps(steps) -> int:
+    """Matmul count for cost estimates: low steps hit every strip once;
+    each rmix matrix block is one strip-pair matmul."""
+    n = 0
+    for s in steps:
+        if s[0] == "low":
+            n += 1
+        elif s[0] == "rmix":
+            n += sum(1 for b in s[1].values() if b[0] != "scalar")
+    return n
 
 
 def window_sweep(
@@ -544,7 +604,7 @@ def window_sweep(
     for i in range(ns):
         in_specs += [strip_spec(i), strip_spec(i)]
         operands += [xr, xi]
-    n_low = sum(1 for s in steps if s[0] == "low")
+    n_low = _n_matmul_steps(steps)
     body_steps, mats = _window_matrix_operands(steps)
     for m in mats:
         operands.append(jnp.asarray(m))

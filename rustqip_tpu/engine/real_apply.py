@@ -250,6 +250,12 @@ WINDOW_KERNEL_MAX_LOW = 24
 #: window (each costs a masked complex multiply per element).
 WINDOW_DIAG_MIXED_CAP = 8
 
+#: Largest ROW-bit support of a dense op admitted to a window as an
+#: "rmix" step (non-scalar row blocks: per-strip-pair C x C matmuls).
+#: 2 row bits = up to 16 blocks; the block matrices count toward
+#: WINDOW_KERNEL_MAX_LOW, bounding VMEM.
+RMIX_MAX_ROW_BITS = 2
+
 #: Largest row-bit position executed as an in-block sublane butterfly
 #: ("rbf"): the pair partner at stride 2^p must live inside the same
 #: kernel block, so 2^(p+1) <= block rows (checked against the final
@@ -376,6 +382,26 @@ def _collect_window(
             consumed += 1
             continue
         if not _is_scalar_high(p):
+            # Non-scalar row blocks ("rmix"): a dense op straddling the
+            # row/col seam decomposes as out_strip[j] = sum_i strip[i] @
+            # B[j,i]^T — per-strip-pair C x C matmuls, so arbitrary
+            # DISJOINT dense op runs retire in one state sweep (the
+            # reference's apply_ops/MultiOpIterator one-pass semantics,
+            # qip-iterators/src/matrix_ops.rs:158-219).
+            rbits = {q for q in op.indices if q < n_m}
+            new_h = H | rbits
+            if (
+                isinstance(op, DenseOp)
+                and p[0] == "blocks"
+                and len(rbits) <= RMIX_MAX_ROW_BITS
+                and len(new_h) <= max_h
+            ):
+                H = new_h
+                flush()
+                steps.append(("rmix", op, p))
+                j += 1
+                consumed += 1
+                continue
             break
         new_h = H | set(op.indices)
         if len(new_h) > max_h:
@@ -391,11 +417,15 @@ def _collect_window(
     return (tuple(sorted(H)), steps), j
 
 
-def _expand_mix(hq, op, plan) -> dict:
-    """Expand a scalar-block op's (j_op, i_op) blocks into window strip
-    index space: {(j_window, i_window): scalar}."""
+def _expand_blocks(n: int, hq, op, plan) -> dict:
+    """Expand an op's (j_op, i_op) blocks into window strip index space:
+    {(j_window, i_window): ("scalar", v) | ("mat", C x C ndarray)}.
+
+    The op's block indices run over its ROW bits only (col support, if
+    any, lives inside the expanded "mat" blocks)."""
+    m, _, _ = _geometry(n)
     blocks = plan[1]
-    op_bits = sorted(op.indices)
+    op_bits = [q for q in sorted(op.indices) if q < n - m]
     h = len(hq)
     h_op = len(op_bits)
     wpos = [hq.index(q) for q in op_bits]
@@ -413,8 +443,15 @@ def _expand_mix(hq, op, plan) -> dict:
                 bit = (i_op >> (h_op - 1 - t)) & 1
                 pos = h - 1 - wpos[t]
                 iw = (iw & ~(1 << pos)) | (bit << pos)
-            out[(jw, iw)] = blk[1]
+            out[(jw, iw)] = blk
     return out
+
+
+def _expand_mix(n: int, hq, op, plan) -> dict:
+    """Scalar-block expansion: {(j_window, i_window): scalar}."""
+    return {
+        k: blk[1] for k, blk in _expand_blocks(n, hq, op, plan).items()
+    }
 
 
 def _window_seg_sizes(n: int, hq):
@@ -454,11 +491,19 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
     n_diag = sum(1 for s in steps if s[0] == "diag")
     n_cbf = sum(1 for s in steps if s[0] == "cbf")
     n_rbf = len(rbf_bits)
-    if n_low > WINDOW_KERNEL_MAX_LOW:
+    n_rmix = sum(1 for s in steps if s[0] == "rmix")
+    # rmix block matrices are VMEM residents like low operands (upper
+    # bound pre-dedup; _window_matrix_operands dedups identical blocks)
+    n_rmix_mats = sum(
+        sum(1 for b in s[2][1].values() if b[0] == "mat")
+        for s in steps
+        if s[0] == "rmix"
+    )
+    if n_low + n_rmix_mats > WINDOW_KERNEL_MAX_LOW:
         return False
     return (
         n_diag >= 1
-        or n_low + n_cbf + n_rbf >= 2
+        or n_low + n_cbf + n_rbf + n_rmix >= 2
         or (h >= 1 and n_low + n_cbf + n_rbf >= 1)
     )
 
@@ -471,7 +516,9 @@ def _window_kernel_run(n: int, window, re, im) -> Pair:
     ksteps = []
     for s in steps:
         if s[0] == "mix":
-            ksteps.append(("mix", _expand_mix(hq, s[1], s[2])))
+            ksteps.append(("mix", _expand_mix(n, hq, s[1], s[2])))
+        elif s[0] == "rmix":
+            ksteps.append(("rmix", _expand_blocks(n, hq, s[1], s[2])))
         else:
             ksteps.append(s)
     out_r, out_i = pallas_kernels.window_sweep(
@@ -523,39 +570,22 @@ def _window_sweep_ri(n: int, window, re, im) -> Pair:
                 _real_block_matmul(sr, si, B) for sr, si in strips
             ]
             continue
+        # "mix" (scalar blocks) / "rmix" (C x C matrix blocks): linear
+        # combinations of strips, expanded into window index space.
         _, op, plan = step
-        blocks = plan[1]
-        op_bits = sorted(op.indices)
-        h_op = len(op_bits)
-        # window bit position of each op bit (op block bit (h_op-1-t)
-        # <-> op_bits[t] <-> window bit (h-1-hq.index(...)))
-        wpos = [hq.index(q) for q in op_bits]
-
-        def op_sub(iw: int) -> int:
-            v = 0
-            for t in range(h_op):
-                bit = (iw >> (h - 1 - wpos[t])) & 1
-                v |= bit << (h_op - 1 - t)
-            return v
-
-        def with_sub(iw: int, sub: int) -> int:
-            v = iw
-            for t in range(h_op):
-                bit = (sub >> (h_op - 1 - t)) & 1
-                pos = h - 1 - wpos[t]
-                v = (v & ~(1 << pos)) | (bit << pos)
-            return v
-
+        wblocks = _expand_blocks(n, hq, op, plan)
         new_strips: List = []
         for jw in range(1 << h):
-            j_op = op_sub(jw)
             acc_r = acc_i = None
-            for i_op in range(1 << h_op):
-                blk = blocks.get((j_op, i_op))
+            for iw in range(1 << h):
+                blk = wblocks.get((jw, iw))
                 if blk is None:
                     continue
-                sr, si = strips[with_sub(jw, i_op)]
-                tr, ti = _scalar_mul(sr, si, blk[1])
+                sr, si = strips[iw]
+                if blk[0] == "scalar":
+                    tr, ti = _scalar_mul(sr, si, blk[1])
+                else:
+                    tr, ti = _real_block_matmul(sr, si, blk[1])
                 if acc_r is None:
                     acc_r, acc_i = tr, ti
                 else:

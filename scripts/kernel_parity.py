@@ -8,11 +8,11 @@ device info. This script closes that gap (VERDICT r2 weak #2): it drives
 the kernel path against the complex XLA apply path (engine/apply.apply_op
 — the kron-oracle-tested reference implementation, cf. the reference's
 engine-vs-kron harness discipline, qip-iterators/src/matrix_ops.rs:221-375)
-on five engineered windows covering every kernel step kind — low
+on six engineered windows covering every kernel step kind — low
 (Karatsuba complex matmul), lowr (real 2-dot matmul), mix (strip linear
 combination), diag (in-body phase evaluation), cbf (lane-roll butterfly),
-rbf (sublane-roll butterfly) — at n=20, and asserts <= 1e-6 max abs
-amplitude disagreement.
+rbf (sublane-roll butterfly), rmix (non-scalar row-block strip-pair
+matmuls) — at n=20, and asserts <= 1e-6 max abs amplitude disagreement.
 
 Everything runs in ONE jit program (one relay compile): kernel outputs and
 oracle outputs never leave the device; only per-window max-abs-diffs are
@@ -123,6 +123,18 @@ def build_sequences(n: int):
         ],
         {"mix", "diag", "low", "cbf", "rbf"},
     ))
+    # 6. rmix: disjoint dense 3q unitaries straddling the row/col seam
+    #    (non-scalar row blocks -> per-strip-pair C x C matmuls); both
+    #    must retire in ONE sweep (reference apply_ops one-pass
+    #    semantics, qip-iterators/src/matrix_ops.rs:158-219)
+    seqs.append((
+        "rmix_disjoint",
+        [
+            make_matrix_op([1, n - 6, n - 5], _rand_u(3, 41).reshape(-1)),
+            make_matrix_op([2, n - 4, n - 3], _rand_u(3, 42).reshape(-1)),
+        ],
+        {"rmix"},
+    ))
     return seqs
 
 
@@ -146,7 +158,7 @@ def check_plans(n: int, seqs) -> list:
         log(f"plan {name}: {len(plan)} kernel sweep(s), steps {sorted(kinds)}")
         all_kinds.append(sorted(kinds))
     covered = set().union(*(set(k) for k in all_kinds))
-    assert {"low", "mix", "diag", "cbf", "rbf"} <= covered, covered
+    assert {"low", "mix", "diag", "cbf", "rbf", "rmix"} <= covered, covered
     return all_kinds
 
 

@@ -9,6 +9,7 @@ import pytest
 from rustqip_tpu.engine.pallas_kernels import _BLOCK_ROWS, window_sweep
 from rustqip_tpu.engine.real_apply import (
     _collect_window,
+    _expand_blocks,
     _expand_mix,
     _window_kernel_applicable,
     _window_seg_sizes,
@@ -32,7 +33,9 @@ def _run_window_kernel(ops, n=N, allow_diag=False):
     ksteps = []
     for s in steps:
         if s[0] == "mix":
-            ksteps.append(("mix", _expand_mix(hq, s[1], s[2])))
+            ksteps.append(("mix", _expand_mix(n, hq, s[1], s[2])))
+        elif s[0] == "rmix":
+            ksteps.append(("rmix", _expand_blocks(n, hq, s[1], s[2])))
         else:
             ksteps.append(s)
     re, im = jnp.asarray(sr), jnp.asarray(si)
@@ -86,6 +89,40 @@ def test_strided_two_bit_window_kernel():
         make_matrix_op([1], gates.H.reshape(-1)),
         make_matrix_op([N - 1], gates.T.reshape(-1)),
         make_matrix_op([2], gates.X.reshape(-1)),
+        make_matrix_op([N - 2], gates.H.reshape(-1)),
+    ])
+
+
+def _rand_u(rng, k):
+    m = rng.normal(size=(1 << k, 1 << k)) + 1j * rng.normal(
+        size=(1 << k, 1 << k)
+    )
+    q, _ = np.linalg.qr(m)
+    return q
+
+
+def test_rmix_window_kernel():
+    """Dense ops straddling the row/col seam with NON-scalar row blocks
+    ("rmix" steps: per-strip-pair C x C matmuls) — two disjoint 3-qubit
+    unitaries retire in one kernel sweep (the reference's apply_ops
+    one-pass semantics, qip-iterators/src/matrix_ops.rs:158-219)."""
+    rng = np.random.default_rng(7)
+    # N=19: col bits 12..18, row bits 0..11
+    _run_window_kernel([
+        make_matrix_op([1, 13, 14], _rand_u(rng, 3).reshape(-1)),
+        make_matrix_op([2, 15, 16], _rand_u(rng, 3).reshape(-1)),
+    ])
+
+
+def test_rmix_mixed_with_scalar_steps():
+    """rmix interleaved with plain mixes, lane matmuls, and rbf
+    butterflies in one window."""
+    rng = np.random.default_rng(11)
+    _run_window_kernel([
+        make_matrix_op([0], gates.H.reshape(-1)),
+        make_matrix_op([1, 12, 13], _rand_u(rng, 3).reshape(-1)),
+        make_matrix_op([N - 1], gates.T.reshape(-1)),
+        make_matrix_op([2, 0], gates.CNOT.reshape(-1)),
         make_matrix_op([N - 2], gates.H.reshape(-1)),
     ])
 
@@ -403,8 +440,21 @@ def test_window_kernel_randomized_fuzz():
     for trial in range(6):
         ops = []
         for _ in range(rng.integers(3, 9)):
-            kind = rng.integers(0, 4)
-            if kind == 0:
+            kind = rng.integers(0, 5)
+            if kind == 4:
+                # Straddling dense op (rmix candidate): 1 row bit from
+                # the window pool + 1-2 lane bits.
+                rb = int(rng.integers(0, 3))
+                nl = int(rng.integers(1, 3))
+                lanes = rng.choice(np.arange(12, N), size=nl,
+                                   replace=False)
+                bits = [rb] + [int(q) for q in lanes]
+                ops.append(
+                    make_matrix_op(
+                        bits, _rand_u(rng, len(bits)).reshape(-1)
+                    )
+                )
+            elif kind == 0:
                 ops.append(
                     make_matrix_op([int(rng.integers(0, 3))],
                                    rand_u2().reshape(-1))
