@@ -30,6 +30,30 @@ from rustqip_tpu.utils import flip_bits, full_to_sub, sub_to_full, transpose_spa
 
 SparseRows = Tuple[Tuple[Tuple[int, complex], ...], ...]
 
+#: Widest sparse/function op accepted (qubits). The reference streams
+#: ``(col, val)`` lazily at any width with O(1) memory
+#: (qip-iterators/src/iterators/qubit_iterators.rs:60,223); the
+#: TPU-native columnar design instead embeds per-row tables (2^k entries
+#: per nonzero diagonal) as program constants — O(2^k) host memory and
+#: program bytes. k=20 keeps a permutation oracle's tables at ~20 MB
+#: host / ~12 MB embedded; beyond that compile time and program size
+#: degrade faster than any realistic oracle needs (tested to k=16 inside
+#: an n=24 circuit, tests/test_wide_sparse.py). Raise via
+#: ``RUSTQIP_TPU_MAX_SPARSE_BITS`` if you accept the cost; the error
+#: below names the knob.
+MAX_SPARSE_BITS = 20
+
+
+def _max_sparse_bits() -> int:
+    import os
+
+    try:
+        return int(
+            os.environ.get("RUSTQIP_TPU_MAX_SPARSE_BITS", MAX_SPARSE_BITS)
+        )
+    except ValueError:
+        return MAX_SPARSE_BITS
+
 
 @dataclass(frozen=True)
 class DenseOp:
@@ -222,6 +246,14 @@ def make_sparse_matrix_op(
     n = len(indices)
     if n == 0:
         raise CircuitError("Must supply at least one op index")
+    if n > _max_sparse_bits():
+        raise CircuitError(
+            f"Sparse op on {n} qubits exceeds the supported width "
+            f"({_max_sparse_bits()}): the TPU engine embeds 2^k-entry "
+            "per-row tables as program constants (the reference streams "
+            "lazily; see MAX_SPARSE_BITS). Set RUSTQIP_TPU_MAX_SPARSE_BITS "
+            "to raise the cap if the memory/compile cost is acceptable."
+        )
     if len(rows) != (1 << n):
         raise CircuitError(
             f"Sparse matrix has {len(rows)} rows versus expected 2^{n}"
@@ -254,6 +286,12 @@ def make_sparse_matrix_from_function(
     This is the oracle/phase-function op pathway (the reference's
     ``FunctionOpIterator`` analog): pass the result to
     ``make_sparse_matrix_op``."""
+    if n > _max_sparse_bits():
+        raise CircuitError(
+            f"Sparse function op on {n} qubits exceeds the supported "
+            f"width ({_max_sparse_bits()}); see MAX_SPARSE_BITS / "
+            "RUSTQIP_TPU_MAX_SPARSE_BITS."
+        )
     out: List[List[Tuple[int, complex]]] = []
     for indx in range(1 << n):
         row = flip_bits(n, indx) if order is Representation.LittleEndian else indx

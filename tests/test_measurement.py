@@ -111,3 +111,56 @@ def test_measure_sampling_statistics():
 def test_prob_magnitude():
     state = jnp.array([0.5, 0.5, 0.5, 0.5], dtype=jnp.complex128)
     assert abs(float(prob_magnitude(state)) - 1.0) < 1e-12
+
+
+def test_measure_prob_fn_scalar_matches_vector():
+    """measure_prob_fn (ref measurement_ops.rs:65-112) with a SCALAR-only
+    f agrees with measure_prob on the materialized state."""
+    from rustqip_tpu.ops.measurement_ops import measure_prob_fn
+
+    n = 6
+    rng = np.random.default_rng(5)
+    amps = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    amps /= np.linalg.norm(amps)
+
+    def f(i):
+        if not isinstance(i, int):  # force the scalar fallback path
+            raise TypeError("scalar only")
+        return complex(amps[i])
+
+    state = jnp.asarray(amps)
+    for indices in ([0], [2, 4], [5, 1, 3]):
+        for m in range(1 << len(indices)):
+            got = measure_prob_fn(n, m, indices, f)
+            want = float(measure_prob(n, m, indices, state))
+            np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_measure_prob_fn_vectorized_path():
+    """A numpy-elementwise f takes the chunked vectorized path (probe
+    validates it against scalar calls) and is exact at n beyond what the
+    per-index Python loop could reach quickly."""
+    import time
+
+    from rustqip_tpu.ops.measurement_ops import measure_prob_fn
+
+    n = 22
+    # Plane wave restricted below a threshold: elementwise numpy ops only.
+    thresh = (1 << n) * 3 // 4
+    norm = 1.0 / np.sqrt(thresh)
+
+    def f(i):
+        phase = np.exp(2j * np.pi * (np.asarray(i) % 97) / 97.0)
+        return np.where(np.asarray(i) < thresh, norm * phase, 0.0)
+
+    t0 = time.time()
+    p0 = measure_prob_fn(n, 0, [0], f)
+    p1 = measure_prob_fn(n, 1, [0], f)
+    dt = time.time() - t0
+    # qubit 0 = top index bit; P(0) covers indices < 2^(n-1) (all below
+    # thresh), P(1) the rest (thresh cuts at 3/4 of the range).
+    np.testing.assert_allclose(p0, (1 << (n - 1)) / thresh, rtol=1e-9)
+    np.testing.assert_allclose(p1, (thresh - (1 << (n - 1))) / thresh,
+                               rtol=1e-9)
+    np.testing.assert_allclose(p0 + p1, 1.0, rtol=1e-9)
+    assert dt < 30, f"vectorized path too slow: {dt:.1f}s"
