@@ -10,9 +10,11 @@ program, so the branches share a compile):
 - **fused**: alternating H(0)/H(27) x30 — the sweep planner collapses the
   run to a single Pallas window sweep (one state read+write for 30 gates).
   This is the headline: it measures the framework's fusion ceiling.
-- **unfused**: mixed row+col controlled gates (CNOT(5,27)-style) the
-  planner cannot collapse — one HBM pass per gate. This keeps the raw
-  single-pass path regression-visible (a planner win can't hide it).
+- **unfused**: dense 4-qubit unitaries straddling the row/col seam with
+  3 row bits (> RMIX_MAX_ROW_BITS) — inadmissible to strip windows, one
+  HBM pass per gate. This keeps the raw single-pass path
+  regression-visible (a planner win can't hide it). Round 2 used
+  seam-straddling CNOTs, but those fuse via "rmix" steps since round 3.
 
 The baseline is the native C++ CPU engine on the same machine (the
 algorithmic stand-in for the reference's Rust engine — no Rust toolchain
@@ -52,8 +54,10 @@ def _remaining() -> float:
 
 
 def _build_ops(n: int, reps_fused: int, reps_unfused: int):
+    import numpy as np
+
     from rustqip_tpu.ops import gates
-    from rustqip_tpu.ops.matrix_ops import make_control_op, make_matrix_op
+    from rustqip_tpu.ops.matrix_ops import make_matrix_op
 
     # Fused shape: H on qubit 0 (worst-stride axis-0 contraction)
     # alternated with H on the last qubit (contiguous) — the planner
@@ -62,15 +66,26 @@ def _build_ops(n: int, reps_fused: int, reps_unfused: int):
         make_matrix_op([(i % 2) * (n - 1)], gates.H.reshape(-1))
         for i in range(reps_fused)
     ]
-    # Unfused shape: controlled-X with control on a row qubit and target
-    # on a column qubit (and vice versa) — non-scalar blocks straddling
-    # the seam, one state pass per gate by construction.
-    pairs = [(5, n - 1), (4, n - 2), (6, n - 3), (3, n - 4)]
+    # Unfused shape: dense 4-qubit unitaries with THREE row-qubit bits
+    # (> engine RMIX_MAX_ROW_BITS = 2) straddling the row/col seam —
+    # inadmissible to strip windows, one state pass per gate by
+    # construction (guard-tested in tests/test_sweep_pairing.py).
+    # Round 2 used seam-straddling CNOTs here, but those now FUSE via
+    # "rmix" window steps, so they no longer probe the raw path.
+    def u4(seed):
+        r = np.random.default_rng(seed)
+        m = r.normal(size=(16, 16)) + 1j * r.normal(size=(16, 16))
+        q, _ = np.linalg.qr(m)
+        return q
+
+    quads = [
+        (3, 4, 5, n - 1),
+        (4, 5, 6, n - 2),
+        (5, 6, 7, n - 3),
+        (3, 5, 7, n - 4),
+    ]
     unfused = [
-        make_control_op(
-            [pairs[i % 4][i % 2]],
-            make_matrix_op([pairs[i % 4][(i + 1) % 2]], gates.X.reshape(-1)),
-        )
+        make_matrix_op(list(quads[i % 4]), u4(i % 4).reshape(-1))
         for i in range(reps_unfused)
     ]
     return fused, unfused

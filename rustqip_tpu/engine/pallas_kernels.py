@@ -156,7 +156,19 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
         return const2, tuple(rm2), tuple(cm2), tuple(mx2)
 
     def diag_factors(groups, i):
-        """(cos, sin) of the angle over strip i's block."""
+        """Separable phase factors of the angle over strip i's block:
+        ``((rc, rs), (cc, cs), masks)`` with e^{i angle} = (rc + i rs)
+        (br, 1) x (cc + i cs) (1, C) x masked per-element factors.
+
+        The row/col monomial sums are SEPARABLE — e^{i(a_row + a_col)} =
+        e^{i a_row} e^{i a_col} — so cos/sin run over br + C VECTOR
+        elements instead of br x C block elements. QFT ladders have no
+        mixed (free-row x col) monomials after per-strip specialization,
+        so their per-element transcendentals vanish entirely (the old
+        (br, C) cos+sin per strip per diag step was the dominant VPU
+        cost of the strided QFT windows). Mixed monomials keep the
+        masked complex-multiply fallback, now applied to the state
+        planes directly."""
         const, row_monos, col_monos, mixed = groups
         rows = block_rows(i)
 
@@ -172,25 +184,42 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                 acc = b if acc is None else acc * b
             return acc * jnp.float32(coeff)
 
-        angle = jnp.full((br, 1), const, dtype=jnp.float32)
-        for rq, c in row_monos:
-            angle = angle + mono([rbit(q) for q in rq], c)
-        cangle = jnp.zeros((1, _C), dtype=jnp.float32)
-        for cq, c in col_monos:
-            cangle = cangle + mono([cbit(q) for q in cq], c)
-        angle = angle + cangle
-        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        rfac = None
+        if row_monos or const != 0.0:
+            angle = jnp.full((br, 1), const, dtype=jnp.float32)
+            for rq, c in row_monos:
+                angle = angle + mono([rbit(q) for q in rq], c)
+            rfac = (jnp.cos(angle), jnp.sin(angle))
+        cfac = None
+        if col_monos:
+            cangle = jnp.zeros((1, _C), dtype=jnp.float32)
+            for cq, c in col_monos:
+                cangle = cangle + mono([cbit(q) for q in cq], c)
+            cfac = (jnp.cos(cangle), jnp.sin(cangle))
+        masks = []
         for rq, cq, c in mixed:
             mask = mono([rbit(q) for q in rq], 1.0) * mono(
                 [cbit(q) for q in cq], 1.0
             )
-            pc, ps = np.float32(np.cos(c)), np.float32(np.sin(c))
-            # multiply (ca, sa) by e^{i c} where mask == 1
-            nr = ca * pc - sa * ps
-            ni = ca * ps + sa * pc
-            ca = ca + mask * (nr - ca)
-            sa = sa + mask * (ni - sa)
-        return ca, sa
+            masks.append(
+                (mask, np.float32(np.cos(c)), np.float32(np.sin(c)))
+            )
+        return rfac, cfac, masks
+
+    def diag_apply(xr, xi, factors):
+        """Multiply the state planes by the separable phase factors."""
+        rfac, cfac, masks = factors
+        for fac in (rfac, cfac):
+            if fac is None:
+                continue
+            fc, fs = fac
+            xr, xi = xr * fc - xi * fs, xr * fs + xi * fc
+        for mask, pc, ps in masks:
+            nr = xr * pc - xi * ps
+            ni = xr * ps + xi * pc
+            xr = xr + mask * (nr - xr)
+            xi = xi + mask * (ni - xi)
+        return xr, xi
 
     def _dot(x, m):
         return jnp.dot(
@@ -223,12 +252,16 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                 if not rm2 and not cm2 and not mx2 and const2 == 0.0:
                     nxt.append((xr, xi))  # identity on this strip
                     continue
+                # Cache key: strips differ only in WINDOW bit values, so
+                # free-bit factors are identical whenever the specialized
+                # groups coincide (free row bits carry the same pattern
+                # across paired strip blocks at a given grid step).
                 if sg in cache:
-                    ca, sa = cache[sg]
+                    factors = cache[sg]
                 else:
-                    ca, sa = diag_factors(sg, i)
-                    cache[sg] = (ca, sa)
-                nxt.append((xr * ca - xi * sa, xr * sa + xi * ca))
+                    factors = diag_factors(sg, i)
+                    cache[sg] = factors
+                nxt.append(diag_apply(xr, xi, factors))
             cur = nxt
             continue
         if step[0] in ("cbf", "rbf"):

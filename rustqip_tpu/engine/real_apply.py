@@ -331,6 +331,18 @@ def _collect_window(
 
     while j < len(ops) and consumed < WINDOW_MAX_OPS:
         op = ops[j]
+        if (
+            isinstance(op, (ControlOp, SparseOp))
+            and op.num_indices <= DENSE_CAP
+        ):
+            # Controlled / small sparse gates already execute via their
+            # dense equivalent per-op (_control_ri / apply_op_ri); the
+            # same equivalence admits them to windows, so CNOT/CCX
+            # chains — the bulk of arithmetic circuits — fuse instead of
+            # breaking the run. Identity sub-blocks demote to scalar
+            # mixes in _dense_plan, so a seam-straddling CNOT costs one
+            # C x C matmul on half its strips, not a full rmix.
+            op = DenseOp(tuple(op.indices), op_to_dense(op))
         p = _plan_of(n, op)
         if p is None:
             if allow_diag and isinstance(op, PhaseProductOp):

@@ -281,10 +281,11 @@ def test_headline_alternating_single_sweep_budget():
 
 
 def test_bench_unfused_shape_one_pass_per_gate():
-    """The bench's second headline (mixed row+col controlled gates) must
-    stay UNFUSABLE — one single-op pass per gate — so the raw apply path
-    remains regression-visible (VERDICT r2 weak #3). Also checks the
-    sequence is numerically exact vs op-by-op at a testable size."""
+    """The bench's second headline (4-qubit dense ops with 3 row bits,
+    > RMIX_MAX_ROW_BITS) must stay UNFUSABLE — one single-op pass per
+    gate — so the raw apply path remains regression-visible (VERDICT r2
+    weak #3). Also checks the sequence is numerically exact vs op-by-op
+    at a testable size."""
     import importlib.util
     import os
 
@@ -303,9 +304,23 @@ def test_bench_unfused_shape_one_pass_per_gate():
     fplan = plan_sweeps(28, fused, True)
     assert len(fplan) == 1 and fplan[0][0] == "kwindow"
 
-    # numeric equivalence at n=10 (control/target qubits clipped in-range)
-    _, small = bench._build_ops(N, 8, 8)
-    _check(small)
+    # Numeric equivalence at n=12 — the smallest size where the bench
+    # quads (row bits 3..7, col bit n-1..n-4) stay distinct.
+    n12 = 12
+    _, small = bench._build_ops(n12, 8, 8)
+    rng = np.random.default_rng(0)
+    state = rng.normal(size=1 << n12) + 1j * rng.normal(size=1 << n12)
+    state /= np.linalg.norm(state)
+    re, im = jnp.asarray(state.real), jnp.asarray(state.imag)
+    gr, gi = apply_ops_ri(n12, small, re, im)
+    er, ei = re, im
+    for op in small:
+        er, ei = apply_op_ri(n12, op, er, ei)
+    np.testing.assert_allclose(
+        np.asarray(gr) + 1j * np.asarray(gi),
+        np.asarray(er) + 1j * np.asarray(ei),
+        atol=1e-10,
+    )
 
 
 def test_disjoint_straddling_ops_single_sweep():
@@ -361,4 +376,42 @@ def test_rmix_interleaved_with_mixes():
         make_control_op([2], make_matrix_op([0], gates.X.reshape(-1))),
         make_matrix_op([1, 8], _rand_u(2, 42).reshape(-1)),
     ]
+    _check(ops)
+
+
+def test_controlled_seam_gates_fuse():
+    """Seam-straddling CNOT/CCX chains — the bulk of arithmetic
+    circuits — now admit to windows via dense normalization (identity
+    sub-blocks demote to scalar mixes, the X block becomes one rmix
+    matmul), instead of costing one pass per gate."""
+    from rustqip_tpu.engine.real_apply import plan_sweeps
+
+    # N=10: row qubits 0..2, col qubits 3..9
+    ops = [
+        make_control_op([0], make_matrix_op([5], gates.X.reshape(-1))),
+        make_control_op([6], make_matrix_op([1], gates.X.reshape(-1))),
+        make_control_op(
+            [0, 4], make_matrix_op([7], gates.X.reshape(-1))
+        ),
+    ]
+    for kernel_ok in (False, True):
+        plan = plan_sweeps(N, ops, kernel_ok)
+        assert len(plan) == 1, [p[0] for p in plan]
+    _check(ops)
+
+
+def test_small_sparse_joins_window():
+    """A small sparse op (<= DENSE_CAP) normalizes to dense inside
+    window collection and fuses with neighbors."""
+    from rustqip_tpu.engine.real_apply import plan_sweeps
+    from rustqip_tpu.ops.matrix_ops import make_sparse_matrix_op
+
+    sp = make_sparse_matrix_op([1, 5], [[(i ^ 1, 1.0)] for i in range(4)])
+    ops = [
+        make_matrix_op([0], gates.H.reshape(-1)),
+        sp,
+        make_matrix_op([N - 1], gates.T.reshape(-1)),
+    ]
+    plan = plan_sweeps(N, ops, False)
+    assert len(plan) == 1, [p[0] for p in plan]
     _check(ops)

@@ -254,12 +254,16 @@ def test_sparse_width_cap_env_override(monkeypatch):
     assert len(rows) == 32
 
 
-@pytest.mark.heavy
+@pytest.mark.slow
 def test_k16_oracle_inside_n24_circuit():
     """A 16-qubit permutation oracle inside a 24-qubit circuit — the
     upper-middle of the supported width range on a big state (VERDICT r2
     item 8 'test at k=16 inside an n=24 circuit'). Verified against
-    direct index arithmetic."""
+    direct index arithmetic. ``slow``: ~10 min solo on the 1-core host
+    (the 2^16-entry inverse-map table + x64 gathers over 16M-element
+    planes); run with ``-m slow``. The default suite covers k=13 in
+    ``test_wide_permutation_oracle_matches_known_map`` and the width-cap
+    errors above."""
     n, k = 24, 16
     a, N = 3, 65521  # 3 * x mod 65521 (prime < 2^16), identity above
 

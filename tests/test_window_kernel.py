@@ -114,6 +114,22 @@ def test_rmix_window_kernel():
     ])
 
 
+def test_controlled_gates_in_window_kernel():
+    """Seam-straddling CNOT/CCX normalize to dense ops inside window
+    collection and run through the kernel (identity blocks demoted to
+    scalar mixes; the X block as one rmix matmul)."""
+    from rustqip_tpu.ops.matrix_ops import make_control_op
+
+    _run_window_kernel([
+        make_control_op([0], make_matrix_op([14], gates.X.reshape(-1))),
+        make_matrix_op([N - 1], gates.T.reshape(-1)),
+        make_control_op(
+            [1, 13], make_matrix_op([15], gates.X.reshape(-1))
+        ),
+        make_matrix_op([0], gates.H.reshape(-1)),
+    ])
+
+
 def test_rmix_mixed_with_scalar_steps():
     """rmix interleaved with plain mixes, lane matmuls, and rbf
     butterflies in one window."""
