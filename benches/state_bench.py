@@ -9,8 +9,10 @@ Covers the shapes of ``qip/benches/state_bench.rs`` and
   4. fused vs sequential multi-gate apply (n=5, 10, 16)
   5. sparse identity apply (n=5, 10, 16)
   6. optionally the native C++ CPU engine on the same shapes (--native)
+  7. optionally the library comparison of matmul_bench.rs (--libs):
+     engine vs scipy CSR kron (reuse/build-each) vs numpy dense BLAS
 
-Usage: python benches/state_bench.py [--big] [--native] [--cpu]
+Usage: python benches/state_bench.py [--big] [--native] [--cpu] [--libs]
 Note: on the axon relay each distinct shape costs minutes of remote
 compile; --cpu forces the CPU backend for quick local numbers.
 """
@@ -58,6 +60,11 @@ def main():
     ap.add_argument("--big", action="store_true", help="include n=24/28 cases")
     ap.add_argument("--native", action="store_true", help="also time the C++ engine")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument(
+        "--libs",
+        action="store_true",
+        help="library comparison (scipy CSR / numpy dense; matmul_bench.rs)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -136,6 +143,79 @@ def main():
                 state = native_apply_op(n, op, state)
             dt = (time.time() - t0) / iters
             print(f"{'H on qubit 0, n=' + str(n):48s} {dt:12.3e}")
+
+    if args.libs:
+        bench_libs()
+
+
+def bench_libs():
+    """Library-comparison analog of the reference's matmul_bench.rs
+    (qip vs sprs CSR kron vs ndarray BLAS vs faer,
+    qip-iterators/benches/matmul_bench.rs:19-221): the engine's
+    structured apply vs generic sparse (scipy CSR kron, reuse AND
+    build-each) and dense (numpy BLAS) matrix-vector products, H on
+    qubit 0, n=12 (all) and n=20 (CSR only — a 2^20-square dense matrix
+    does not fit)."""
+    import scipy.sparse as sp
+
+    from rustqip_tpu.engine.cpu_native import load_library, native_apply_op
+    from rustqip_tpu.ops import gates
+    from rustqip_tpu.ops.matrix_ops import make_matrix_op
+
+    have_native = load_library() is not None
+    H2 = gates.H
+
+    def timeit(f, iters=5):
+        f()  # warm
+        t0 = time.time()
+        for _ in range(iters):
+            f()
+        return (time.time() - t0) / iters
+
+    print("\nlibrary comparison (H on qubit 0, complex128):")
+    for n in (12, 20):
+        v = np.zeros(1 << n, dtype=np.complex128)
+        v[0] = 1.0
+        op = make_matrix_op([0], gates.H.reshape(-1))
+        rows = []
+
+        import jax.numpy as jnp
+
+        from rustqip_tpu.engine.apply import apply_op as engine_apply
+
+        import jax
+
+        @jax.jit
+        def eng(x):
+            return engine_apply(n, op, x)
+
+        xj = jnp.asarray(v)
+        rows.append(("engine (XLA)", timeit(lambda: np.asarray(eng(xj)))))
+        if have_native:
+            rows.append(
+                ("engine (C++)",
+                 timeit(lambda: native_apply_op(n, op, v)))
+            )
+        csr = sp.kron(
+            sp.csr_matrix(H2), sp.identity(1 << (n - 1), format="csr"),
+            format="csr",
+        )
+        rows.append(("scipy CSR kron (reuse)", timeit(lambda: csr @ v)))
+
+        def build_each():
+            m = sp.kron(
+                sp.csr_matrix(H2),
+                sp.identity(1 << (n - 1), format="csr"),
+                format="csr",
+            )
+            return m @ v
+
+        rows.append(("scipy CSR kron (build each)", timeit(build_each)))
+        if n <= 12:
+            dense = np.kron(H2, np.eye(1 << (n - 1), dtype=np.complex128))
+            rows.append(("numpy dense BLAS (reuse)", timeit(lambda: dense @ v)))
+        for name, dt in rows:
+            print(f"  n={n:2d} {name:32s} {dt:12.3e} s")
 
 
 if __name__ == "__main__":
