@@ -30,18 +30,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def sync(x):
-    return float(np.asarray(x).ravel()[0])
+    # Device-side slice, then a ONE-scalar fetch: np.asarray(x) here would
+    # pull the whole state over the axon relay (~60 s/iteration at n=28,
+    # observed) and time the tunnel, not the gate.
+    return float(x.ravel()[0])
 
 
-def time_apply(n, ops, iters=5, dtype=np.float64):
+def time_apply(n, ops, iters=5, dtype=np.float64, inner=1):
+    """Mean seconds per gate. ``inner`` repeats the op run device-side
+    (lax.fori_loop) so dispatch latency amortizes — over the axon relay a
+    single dispatch costs ~1 ms round-trip, which would swamp every
+    small-n shape (the reference's in-process harness has no such
+    overhead)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from rustqip_tpu.engine.real_apply import apply_ops_ri
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(re, im):
-        return apply_ops_ri(n, ops, re, im)
+        if inner == 1:
+            return apply_ops_ri(n, ops, re, im)
+
+        def body(_, c):
+            r, i = c
+            return apply_ops_ri(n, ops, r, i)
+
+        return jax.lax.fori_loop(0, inner, body, (re, im))
 
     re = jnp.zeros(1 << n, dtype).at[0].set(1.0)
     im = jnp.zeros(1 << n, dtype)
@@ -51,7 +68,7 @@ def time_apply(n, ops, iters=5, dtype=np.float64):
     for _ in range(iters):
         re, im = step(re, im)
     sync(re)
-    dt = (time.time() - t0) / iters / max(len(ops), 1)
+    dt = (time.time() - t0) / iters / inner / max(len(ops), 1)
     return dt
 
 
@@ -64,6 +81,12 @@ def main():
         "--libs",
         action="store_true",
         help="library comparison (scipy CSR / numpy dense; matmul_bench.rs)",
+    )
+    ap.add_argument(
+        "--one-per-class",
+        action="store_true",
+        help="largest size per shape class only (bounds TPU relay "
+        "compiles: ~6 programs instead of ~17)",
     )
     args = ap.parse_args()
 
@@ -83,42 +106,59 @@ def main():
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     rows = []
 
+    lite = args.one_per_class
+    # Device-side repeat factor: amortizes the ~1 ms relay dispatch on
+    # TPU for shapes whose gate cost is far below it; on CPU (or the big
+    # n>=24 states, where one pass is ms-scale) a plain dispatch loop is
+    # accurate and keeps peak memory at one state.
+    rep = 1 if args.cpu else 16
+
     # 1. dense single-qubit gate expanded to the full n-qubit matrix
-    for n in (3, 8):
+    for n in (8,) if lite else (3, 8):
         full = expand_op_matrix(gates.H, [0], n)
         op = make_matrix_op(list(range(n)), full.reshape(-1))
-        rows.append((f"dense full-matrix H, n={n}", time_apply(n, [op])))
+        rows.append(
+            (f"dense full-matrix H, n={n}", time_apply(n, [op], inner=rep))
+        )
 
     # 2. single H on qubit 0 of a large state
     big_ns = (16, 20, 24) + ((28,) if args.big else ())
+    if lite:
+        big_ns = big_ns[-1:]
     for n in big_ns:
         op = make_matrix_op([0], gates.H.reshape(-1))
         dtype = np.float32 if n >= 24 else np.float64
         rows.append(
-            (f"H on qubit 0, n={n}", time_apply(n, [op], dtype=dtype))
+            (f"H on qubit 0, n={n}",
+             time_apply(n, [op], dtype=dtype, inner=rep if n < 24 else 1))
         )
 
     # 3. (n-1)-controlled identity
-    for n in (3, 8, 16):
+    for n in (16,) if lite else (3, 8, 16):
         inner = make_matrix_op([n - 1], np.eye(2).reshape(-1))
         op = make_control_op(list(range(n - 1)), inner)
-        rows.append((f"(n-1)-controlled identity, n={n}", time_apply(n, [op])))
+        rows.append(
+            (f"(n-1)-controlled identity, n={n}",
+             time_apply(n, [op], inner=rep))
+        )
 
     # 4. fused vs sequential multi-gate
     from rustqip_tpu.engine.fusion import fuse_ops
 
-    for n in (5, 10, 16):
+    for n in (16,) if lite else (5, 10, 16):
         ops = [make_matrix_op([q % n], gates.H.reshape(-1)) for q in range(6)]
-        seq = time_apply(n, ops)
+        seq = time_apply(n, ops, inner=rep)
         fused = fuse_ops(ops)
-        fus = time_apply(n, fused) * len(fused) / len(ops)
+        fus = time_apply(n, fused, inner=rep) * len(fused) / len(ops)
         rows.append((f"sequential 6 gates, n={n}", seq))
         rows.append((f"fused 6 gates ({len(fused)} passes), n={n}", fus))
 
     # 5. sparse identity
-    for n in (5, 10, 16):
+    for n in (16,) if lite else (5, 10, 16):
         sp = make_sparse_matrix_op([0, 1], [[(i, 1.0)] for i in range(4)])
-        rows.append((f"sparse identity [0,1], n={n}", time_apply(n, [sp])))
+        rows.append(
+            (f"sparse identity [0,1], n={n}", time_apply(n, [sp], inner=rep))
+        )
 
     print(f"{'case':48s} {'s/gate':>12s} {'GB/s (c128)':>12s}")
     for name, dt in rows:
