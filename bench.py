@@ -10,9 +10,9 @@ program, so the branches share a compile):
 - **fused**: alternating H(0)/H(27) x30 — the sweep planner collapses the
   run to a single Pallas window sweep (one state read+write for 30 gates).
   This is the headline: it measures the framework's fusion ceiling.
-- **unfused**: dense 4-qubit unitaries straddling the row/col seam with
-  3 row bits (> RMIX_MAX_ROW_BITS) — inadmissible to strip windows, one
-  HBM pass per gate. This keeps the raw single-pass path
+- **unfused**: Toffolis on rotating disjoint row-qubit triples — each
+  CCX fills the whole h<=3 strip window, so no two gates share a sweep:
+  one HBM pass per gate by construction. This keeps the raw sweep path
   regression-visible (a planner win can't hide it). Round 2 used
   seam-straddling CNOTs, but those fuse via "rmix" steps since round 3.
 
@@ -66,26 +66,20 @@ def _build_ops(n: int, reps_fused: int, reps_unfused: int):
         make_matrix_op([(i % 2) * (n - 1)], gates.H.reshape(-1))
         for i in range(reps_fused)
     ]
-    # Unfused shape: dense 4-qubit unitaries with THREE row-qubit bits
-    # (> engine RMIX_MAX_ROW_BITS = 2) straddling the row/col seam —
-    # inadmissible to strip windows, one state pass per gate by
-    # construction (guard-tested in tests/test_sweep_pairing.py).
-    # Round 2 used seam-straddling CNOTs here, but those now FUSE via
-    # "rmix" window steps, so they no longer probe the raw path.
-    def u4(seed):
-        r = np.random.default_rng(seed)
-        m = r.normal(size=(16, 16)) + 1j * r.normal(size=(16, 16))
-        q, _ = np.linalg.qr(m)
-        return q
-
-    quads = [
-        (3, 4, 5, n - 1),
-        (4, 5, 6, n - 2),
-        (5, 6, 7, n - 3),
-        (3, 5, 7, n - 4),
-    ]
+    # Unfused shape: Toffolis on rotating DISJOINT row-qubit triples
+    # (BASELINE.json's "Toffoli mix"). Each CCX's 3 row bits fill the
+    # whole h<=3 window (WINDOW_MAX_BITS, a VMEM bound), so consecutive
+    # gates on different triples cannot share a window: exactly ONE
+    # HBM-bound strip-mix sweep per gate (guard-tested in
+    # tests/test_sweep_pairing.py). Round 2 used seam-straddling CNOTs
+    # here, but those now FUSE via "rmix" window steps; a dense-4q
+    # variant probed the MXU-bound path instead (161 ms/gate — HIGHEST-
+    # precision matmuls, not the raw sweep this metric guards).
+    ccx = np.eye(8, dtype=np.complex128)
+    ccx[[6, 7]] = ccx[[7, 6]]
+    triples = [(3, 4, 5), (6, 7, 8), (9, 10, 11), (4, 6, 10)]
     unfused = [
-        make_matrix_op(list(quads[i % 4]), u4(i % 4).reshape(-1))
+        make_matrix_op(list(triples[i % 4]), ccx.reshape(-1))
         for i in range(reps_unfused)
     ]
     return fused, unfused

@@ -146,7 +146,18 @@ class CompiledCircuit:
 
     # -- planning ----------------------------------------------------------
     def _plan(self, fuse: bool, max_fused_qubits: int):
-        """Split the pipeline into unitary runs (fused) and measurements."""
+        """Split the pipeline into unitary runs (fused) and measurements.
+
+        Swap deferral (``engine/relabel.py``): SwapOps never execute
+        mid-circuit — they update a logical->physical position map that
+        rewrites every later gate's and measurement's indices; the
+        residual permutation materializes as <= 2 physical SwapOps at
+        the end (QFT + inverse-QFT pairs cancel to zero). Disable with
+        ``RUSTQIP_TPU_DEFER_SWAPS=0``."""
+        from rustqip_tpu.engine import relabel
+
+        defer = relabel.enabled()
+        pos = list(range(self.n))
         segments: List = []
         run: List[MatrixOp] = []
 
@@ -156,10 +167,22 @@ class CompiledCircuit:
                 segments.append(fuse_ops(run, max_fused_qubits) if fuse else run)
                 run = []
 
+        def flush_perm():
+            """Materialize the pending relabeling as physical swaps."""
+            nonlocal pos
+            for sw in relabel.materialize(pos):
+                run.append(sw)
+            pos = list(range(self.n))
+
         for e in self.entries:
             if isinstance(e, UnitaryEntry):
-                run.append(e.op)
+                if defer:
+                    run.extend(relabel.defer_swaps_ops(self.n, [e.op], pos))
+                else:
+                    run.append(e.op)
             elif isinstance(e, RepeatEntry):
+                if defer:
+                    flush_perm()
                 flush()
                 body_ops = []
                 for be in e.entries:
@@ -168,11 +191,23 @@ class CompiledCircuit:
                             "RepeatEntry bodies must be purely unitary"
                         )
                     body_ops.append(be.op)
+                if defer:
+                    # Body-local deferral: the body repeats, so its own
+                    # residual must materialize inside the body.
+                    bpos = list(range(self.n))
+                    body_ops = relabel.defer_swaps_ops(self.n, body_ops, bpos)
+                    body_ops.extend(relabel.materialize(bpos))
                 body = fuse_ops(body_ops, max_fused_qubits) if fuse else body_ops
                 segments.append(("repeat", e.times, body))
             else:
+                if defer and pos != list(range(self.n)):
+                    e = MeasureEntry(
+                        tuple(pos[q] for q in e.indices), e.stochastic
+                    )
                 flush()
                 segments.append(e)
+        if defer:
+            flush_perm()
         flush()
         return segments
 

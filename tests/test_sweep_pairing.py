@@ -281,11 +281,11 @@ def test_headline_alternating_single_sweep_budget():
 
 
 def test_bench_unfused_shape_one_pass_per_gate():
-    """The bench's second headline (4-qubit dense ops with 3 row bits,
-    > RMIX_MAX_ROW_BITS) must stay UNFUSABLE — one single-op pass per
-    gate — so the raw apply path remains regression-visible (VERDICT r2
-    weak #3). Also checks the sequence is numerically exact vs op-by-op
-    at a testable size."""
+    """The bench's second headline (Toffolis on rotating disjoint
+    row-qubit triples, each filling the whole h<=3 window) must stay
+    one-sweep-per-gate so the raw sweep path remains regression-visible
+    (VERDICT r2 weak #3). Also checks the sequence is numerically exact
+    vs op-by-op at a testable size."""
     import importlib.util
     import os
 
@@ -300,7 +300,8 @@ def test_bench_unfused_shape_one_pass_per_gate():
 
     fused, unfused = bench._build_ops(28, 30, 20)
     plan = plan_sweeps(28, unfused, True)
-    assert len(plan) == 20 and all(k == "op" for k, _, _ in plan)
+    assert len(plan) == 20, [k for k, _, _ in plan]
+    assert all(len(run) == 1 for _, _, run in plan)
     fplan = plan_sweeps(28, fused, True)
     assert len(fplan) == 1 and fplan[0][0] == "kwindow"
 
