@@ -206,20 +206,26 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
             )
         return rfac, cfac, masks
 
-    def diag_apply(xr, xi, factors):
-        """Multiply the state planes by the separable phase factors."""
-        rfac, cfac, masks = factors
-        for fac in (rfac, cfac):
-            if fac is None:
-                continue
-            fc, fs = fac
-            xr, xi = xr * fc - xi * fs, xr * fs + xi * fc
-        for mask, pc, ps in masks:
-            nr = xr * pc - xi * ps
-            ni = xr * ps + xi * pc
-            xr = xr + mask * (nr - xr)
-            xi = xi + mask * (ni - xi)
-        return xr, xi
+    def _combine_factors(rfac, cfac, masks):
+        """Fold separable + masked factors into one complex phase array
+        of the minimal broadcastable shape ((br,1), (1,C) or (br,C))."""
+        if rfac is None and cfac is None:
+            pc = jnp.ones((1, 1), jnp.float32)
+            ps = jnp.zeros((1, 1), jnp.float32)
+        elif cfac is None:
+            pc, ps = rfac
+        elif rfac is None:
+            pc, ps = cfac
+        else:
+            rc, rs = rfac
+            cc, cs = cfac
+            pc, ps = rc * cc - rs * cs, rc * cs + rs * cc
+        for mask, mc, ms in masks:
+            nr = pc * mc - ps * ms
+            ni = pc * ms + ps * mc
+            pc = pc + mask * (nr - pc)
+            ps = ps + mask * (ni - ps)
+        return pc, ps
 
     def _dot(x, m):
         return jnp.dot(
@@ -255,13 +261,21 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                 # Cache key: strips differ only in WINDOW bit values, so
                 # free-bit factors are identical whenever the specialized
                 # groups coincide (free row bits carry the same pattern
-                # across paired strip blocks at a given grid step).
+                # across paired strip blocks at a given grid step). The
+                # CACHED value is the fully COMBINED phase (row x col
+                # outer product + masked mixed factors): building it
+                # costs one (br, C)-shaped pass per DISTINCT group —
+                # amortized across the strips sharing it (a QFT ladder's
+                # bit=1 strips all share one) — and every strip then
+                # pays exactly ONE complex multiply, same as the old
+                # transcendental path but with cos/sin on br + C vector
+                # elements only.
                 if sg in cache:
-                    factors = cache[sg]
+                    pc, ps = cache[sg]
                 else:
-                    factors = diag_factors(sg, i)
-                    cache[sg] = factors
-                nxt.append(diag_apply(xr, xi, factors))
+                    pc, ps = _combine_factors(*diag_factors(sg, i))
+                    cache[sg] = (pc, ps)
+                nxt.append((xr * pc - xi * ps, xr * ps + xi * pc))
             cur = nxt
             continue
         if step[0] in ("cbf", "rbf"):

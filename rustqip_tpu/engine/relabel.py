@@ -12,11 +12,11 @@ permutation as at most TWO physical SwapOps at the end of the circuit
 — e.g. a lone QFT bit reversal — stays ONE op, taking the same structured
 one-transpose fast path as before).
 
-Net effect: a single trailing swap costs exactly what it used to; swap
-pairs that compensate (QFT followed by inverse-QFT around a diagonal —
-Shor's modular-exponentiation readout, phase estimation) cancel to ZERO
-physical passes; and any interior swap is absorbed into the indices of
-the gates behind it.
+Net effect: a single trailing swap (phase estimation / Shor readout)
+costs exactly what it used to; swap pairs that compensate (QFT around a
+diagonal followed by inverse-QFT — Draper-style QFT-basis arithmetic)
+cancel to ZERO physical passes; and any interior swap is absorbed into
+the indices of the gates behind it.
 
 ``RepeatEntry`` bodies are handled body-locally (the body repeats, so its
 residual must materialize inside the body); the outer map is materialized
