@@ -484,8 +484,12 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
     inside the block: 2^(p+1) <= block rows. Worth invoking when the
     window chains a matmul or butterfly behind strips, contains
     diagonal steps, or chains >= 2 butterfly/matmul steps (XLA fuses
-    none of these across its materialization points); pure-mix windows
-    fuse fine in XLA already."""
+    none of these across its materialization points). PURE-MIX windows
+    ride the kernel too: the XLA slice/concat fallback measured ~2.5
+    physical passes per sweep on a one-sweep CCX (13.2 ms/gate at n=28
+    vs the 5.2 ms HBM floor, BENCH_r03 validation run) — the kernel
+    reads and writes each block exactly once, and mix-only windows keep
+    the large (512/256-row) block schedule."""
     h = len(hq)
     m, R, C = _geometry(n)
     if h > 3 or C != 128:
@@ -513,11 +517,24 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
     )
     if n_low + n_rmix_mats > WINDOW_KERNEL_MAX_LOW:
         return False
+    n_mix = sum(1 for s in steps if s[0] == "mix")
     return (
         n_diag >= 1
         or n_low + n_cbf + n_rbf + n_rmix >= 2
         or (h >= 1 and n_low + n_cbf + n_rbf >= 1)
+        or (h >= 1 and n_mix >= 1 and _pure_mix_kernel_enabled())
     )
+
+
+def _pure_mix_kernel_enabled() -> bool:
+    """RUSTQIP_TPU_KERNEL_PURE_MIX=0 reverts mix-only windows to the XLA
+    slice/concat path — escape hatch for circuits with very many DISTINCT
+    pure-mix window structures, where each costs a separate Mosaic kernel
+    compile over the relay (~4 s each measured; the XLA path compiles
+    faster but executes ~2.5 physical passes per sweep)."""
+    import os
+
+    return os.environ.get("RUSTQIP_TPU_KERNEL_PURE_MIX", "1") != "0"
 
 
 def _window_kernel_run(n: int, window, re, im) -> Pair:

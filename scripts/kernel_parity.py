@@ -135,6 +135,16 @@ def build_sequences(n: int):
         ],
         {"rmix"},
     ))
+    # 7. pure-mix: a Toffoli on row qubits (the bench's unfused shape) —
+    #    mix-only windows ride the kernel since round 3 (the XLA
+    #    slice/concat fallback measured ~2.5 physical passes per sweep)
+    ccx = np.eye(8, dtype=np.complex128)
+    ccx[[6, 7]] = ccx[[7, 6]]
+    seqs.append((
+        "pure_mix_ccx",
+        [make_matrix_op([3, 4, 5], ccx.reshape(-1))],
+        {"mix"},
+    ))
     return seqs
 
 

@@ -114,6 +114,46 @@ def test_rmix_window_kernel():
     ])
 
 
+def test_pure_mix_window_kernel():
+    """A pure-mix window (all supports on row qubits, scalar blocks —
+    e.g. the bench's one-sweep-per-gate Toffoli shape) rides the kernel:
+    the XLA slice/concat fallback measured ~2.5 physical passes per
+    sweep (13.2 ms/gate at n=28 vs the 5.2 ms HBM floor), so mix-only
+    windows are kernel-applicable since round 3."""
+    from rustqip_tpu.ops.matrix_ops import make_control_op
+
+    ccx = np.eye(8, dtype=np.complex128)
+    ccx[[6, 7]] = ccx[[7, 6]]
+    # N=19: row qubits 0..11; CCX on a row triple = h=3 scalar-mix window
+    _run_window_kernel(
+        [make_matrix_op([3, 4, 5], ccx.reshape(-1))], allow_diag=True
+    )
+    # mixed permutation + phases: CZ then CCX on overlapping row bits
+    _run_window_kernel(
+        [
+            make_control_op([1], make_matrix_op([2], gates.Z.reshape(-1))),
+            make_matrix_op([1, 2, 3], ccx.reshape(-1)),
+        ],
+        allow_diag=True,
+    )
+
+
+def test_pure_mix_window_planned_as_kernel_sweep():
+    """plan_sweeps admits the bench's unfused Toffoli shape to the kernel
+    (one kwindow per gate) when kernel_ok."""
+    from rustqip_tpu.engine.real_apply import plan_sweeps
+
+    ccx = np.eye(8, dtype=np.complex128)
+    ccx[[6, 7]] = ccx[[7, 6]]
+    ops = [
+        make_matrix_op(list(t), ccx.reshape(-1))
+        for t in ((3, 4, 5), (6, 7, 8), (9, 10, 11), (4, 6, 10))
+    ]
+    plan = plan_sweeps(28, ops, True)
+    assert [k for k, _, _ in plan] == ["kwindow"] * 4
+    assert all(len(run) == 1 for _, _, run in plan)
+
+
 def test_controlled_gates_in_window_kernel():
     """Seam-straddling CNOT/CCX normalize to dense ops inside window
     collection and run through the kernel (identity blocks demoted to
