@@ -136,6 +136,11 @@ def test_pure_mix_window_kernel():
         ],
         allow_diag=True,
     )
+    # h=1 single-mix window (a lone H on a row qubit — the state_bench
+    # "H on qubit 0" shape, previously ~2-3 XLA passes)
+    _run_window_kernel(
+        [make_matrix_op([0], gates.H.reshape(-1))], allow_diag=True
+    )
 
 
 def test_pure_mix_window_planned_as_kernel_sweep():
