@@ -128,9 +128,13 @@ def main():
     for n in big_ns:
         op = make_matrix_op([0], gates.H.reshape(-1))
         dtype = np.float32 if n >= 24 else np.float64
+        # n>=24: a pass is ms-scale but so is relay dispatch (~1.4-7 ms
+        # amortized, CLAUDE.md) — a small device-side repeat still pays;
+        # the donated fori_loop carry keeps peak memory at one state.
         rows.append(
             (f"H on qubit 0, n={n}",
-             time_apply(n, [op], dtype=dtype, inner=rep if n < 24 else 1))
+             time_apply(n, [op], dtype=dtype,
+                        inner=rep if n < 24 else min(rep, 4)))
         )
 
     # 3. (n-1)-controlled identity
