@@ -145,7 +145,11 @@ def test_pure_mix_window_kernel():
 
 def test_pure_mix_window_planned_as_kernel_sweep():
     """plan_sweeps admits the bench's unfused Toffoli shape to the kernel
-    (one kwindow per gate) when kernel_ok."""
+    (one kwindow per gate) when kernel_ok; RUSTQIP_TPU_KERNEL_PURE_MIX=0
+    reverts mix-only windows to the XLA window path (escape hatch for
+    Mosaic-compile-bound circuits)."""
+    import os
+
     from rustqip_tpu.engine.real_apply import plan_sweeps
 
     ccx = np.eye(8, dtype=np.complex128)
@@ -157,6 +161,13 @@ def test_pure_mix_window_planned_as_kernel_sweep():
     plan = plan_sweeps(28, ops, True)
     assert [k for k, _, _ in plan] == ["kwindow"] * 4
     assert all(len(run) == 1 for _, _, run in plan)
+
+    os.environ["RUSTQIP_TPU_KERNEL_PURE_MIX"] = "0"
+    try:
+        plan = plan_sweeps(28, ops, True)
+        assert [k for k, _, _ in plan] == ["window"] * 4
+    finally:
+        del os.environ["RUSTQIP_TPU_KERNEL_PURE_MIX"]
 
 
 def test_controlled_gates_in_window_kernel():
