@@ -185,9 +185,11 @@ def bench_cpu_baseline(n: int, reps: int = 7) -> float:
     return applies_per_sec
 
 
-def _cached_cpu_baseline() -> Optional[float]:
-    """Most recent recorded CPU baseline (bench_history.json), newest
-    last."""
+def _cached_cpu_baseline(n: int) -> Optional[float]:
+    """Most recent recorded CPU baseline (bench_history.json) MEASURED AT
+    state size n — an n=26 fallback baseline is ~4x an n=28 one, so
+    entries are filtered by the qubit count embedded in their metric
+    name before the newest is taken."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_history.json"
     )
@@ -198,7 +200,11 @@ def _cached_cpu_baseline() -> Optional[float]:
         return None
     for entry in reversed(hist):
         v = entry.get("cpu_baseline_applies_per_sec")
-        if v is not None and not entry.get("tainted"):
+        if (
+            v is not None
+            and not entry.get("tainted")
+            and f"_{n}q" in entry.get("metric", "")
+        ):
             return float(v)
     return None
 
@@ -273,7 +279,7 @@ def main():
             fused, unfused, compile_s = bench_device_pair(n)
         path = "xla"
 
-    cpu_rate = _cached_cpu_baseline()
+    cpu_rate = _cached_cpu_baseline(n)
     baseline_cached = cpu_rate is not None
     if cpu_rate is None and _remaining() > 420:
         cpu_rate = bench_cpu_baseline(n, reps=3)

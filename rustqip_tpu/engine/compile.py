@@ -534,6 +534,21 @@ class CompiledCircuit:
 _CACHE: Dict[tuple, CompiledCircuit] = {}
 
 
+def _env_plan_flags() -> tuple:
+    """Trace-time env knobs that change the compiled plan: they must join
+    the cache fingerprint, or flipping one (e.g. the documented
+    RUSTQIP_TPU_DEFER_SWAPS=0 kill switch) would be silently ignored on a
+    cache hit and return a CompiledCircuit built under the old setting."""
+    import os
+
+    return (
+        os.environ.get("RUSTQIP_TPU_DEFER_SWAPS", "1"),
+        os.environ.get("RUSTQIP_TPU_KERNEL_PURE_MIX", "1"),
+        os.environ.get("RUSTQIP_TPU_WINDOW_MAXH", "3,2,1"),
+        os.environ.get("RUSTQIP_TPU_PALLAS", ""),
+    )
+
+
 def compile_pipeline(
     n: int,
     entries: Sequence[PipelineEntry],
@@ -551,6 +566,7 @@ def compile_pipeline(
         fuse,
         max_fused_qubits,
         norm_flag,
+        _env_plan_flags(),
         tuple(e.fingerprint() for e in entries),
     )
     cached = _CACHE.get(fp)

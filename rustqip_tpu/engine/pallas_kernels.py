@@ -54,6 +54,22 @@ def available() -> bool:
     return "PALLAS_AXON_TPU_GEN" not in os.environ
 
 
+def _scalar_pair(sr, si, v):
+    """(sr + i si) * v with trace-time special cases, or None for v == 0
+    (the term contributes nothing to an accumulation). Shared by the
+    kernel's mix and rmix scalar branches — keep any new special case in
+    this one place (real_apply._scalar_mul is the XLA-path analog)."""
+    if v == 0:
+        return None
+    if v == 1:
+        return sr, si
+    if v.imag == 0:
+        return sr * v.real, si * v.real
+    if v.real == 0:
+        return -si * v.imag, sr * v.imag
+    return sr * v.real - si * v.imag, sr * v.imag + si * v.real
+
+
 def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
     """Kernel body: chain a whole strip-window in VMEM.
 
@@ -348,18 +364,10 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                         continue
                     sr, si = cur[iw]
                     if blk[0] == "scalar":
-                        v = blk[1]
-                        if v == 0:
+                        t = _scalar_pair(sr, si, blk[1])
+                        if t is None:
                             continue
-                        if v == 1:
-                            tr, ti = sr, si
-                        elif v.imag == 0:
-                            tr, ti = sr * v.real, si * v.real
-                        elif v.real == 0:
-                            tr, ti = -si * v.imag, sr * v.imag
-                        else:
-                            tr = sr * v.real - si * v.imag
-                            ti = sr * v.imag + si * v.real
+                        tr, ti = t
                     else:
                         tr, ti = _matmul_pair(sr, si, blk)
                     if acc_r is None:
@@ -378,18 +386,13 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                 acc_r = acc_i = None
                 for i in range(ns):
                     v = blocks.get((j, i))
-                    if v is None or v == 0:
+                    if v is None:
                         continue
                     sr, si = cur[i]
-                    if v == 1:
-                        tr, ti = sr, si
-                    elif v.imag == 0:
-                        tr, ti = sr * v.real, si * v.real
-                    elif v.real == 0:
-                        tr, ti = -si * v.imag, sr * v.imag
-                    else:
-                        tr = sr * v.real - si * v.imag
-                        ti = sr * v.imag + si * v.real
+                    t = _scalar_pair(sr, si, v)
+                    if t is None:
+                        continue
+                    tr, ti = t
                     if acc_r is None:
                         acc_r, acc_i = tr, ti
                     else:

@@ -342,7 +342,16 @@ def _collect_window(
             # breaking the run. Identity sub-blocks demote to scalar
             # mixes in _dense_plan, so a seam-straddling CNOT costs one
             # C x C matmul on half its strips, not a full rmix.
-            op = DenseOp(tuple(op.indices), op_to_dense(op))
+            # Memoized on the (frozen) op: plan_sweeps retries the
+            # collection down the max_h ladder and the profilers re-plan
+            # the same ops — without the cache each attempt rebuilds the
+            # dense matrix (16 MB for a DENSE_CAP-wide control) and
+            # re-hashes its bytes for the _dense_plan lru key.
+            dense = getattr(op, "_window_dense", None)
+            if dense is None:
+                dense = DenseOp(tuple(op.indices), op_to_dense(op))
+                object.__setattr__(op, "_window_dense", dense)
+            op = dense
         p = _plan_of(n, op)
         if p is None:
             if allow_diag and isinstance(op, PhaseProductOp):
@@ -415,7 +424,12 @@ def _collect_window(
                 consumed += 1
                 continue
             break
-        new_h = H | set(op.indices)
+        # Only ROW bits join the window bit set: a seam-straddling op can
+        # be scalar-high when every sub-block is v*I (the col part acts
+        # as identity — _dense_plan's demotion), and its col indices must
+        # not leak into H (_row_segment_shape only accepts row bits; the
+        # expansion already filters op_bits to row bits).
+        new_h = H | {q for q in op.indices if q < n_m}
         if len(new_h) > max_h:
             break
         H = new_h

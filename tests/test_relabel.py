@@ -151,10 +151,28 @@ def test_deferral_matches_eager_compiled(monkeypatch):
         r = qfft(b, r)
         return b
 
-    s1, _ = build().calculate_state()
+    from rustqip_tpu.ops.matrix_ops import SwapOp
+
+    def swap_count(b):
+        cc = b.compile()
+        return sum(
+            sum(1 for op in seg if isinstance(op, SwapOp))
+            for seg in cc.segments
+            if isinstance(seg, list)
+        )
+
+    b1 = build()
+    s1, _ = b1.calculate_state()
+    n_deferred = swap_count(b1)
     monkeypatch.setenv("RUSTQIP_TPU_DEFER_SWAPS", "0")
-    s2, _ = build().calculate_state()
+    b2 = build()
+    s2, _ = b2.calculate_state()
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-9)
+    # The kill switch must actually reach the plan: compile_pipeline's
+    # cache fingerprint includes the env flag (a cache hit here would
+    # silently return the deferred plan and make this test vacuous).
+    n_eager = swap_count(b2)
+    assert n_eager > n_deferred, (n_eager, n_deferred)
 
 
 def test_measurement_after_swap_remaps():

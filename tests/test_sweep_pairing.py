@@ -324,6 +324,33 @@ def test_bench_unfused_shape_one_pass_per_gate():
     )
 
 
+def test_scalar_high_seam_op_keeps_col_bits_out_of_window():
+    """A seam-straddling op whose sub-blocks are all v*I (col part acts
+    as identity — _dense_plan's scalar demotion) classifies scalar-high;
+    the window collector must add only its ROW bits to the window bit
+    set (col indices crashed _row_segment_shape with a negative shift
+    before the round-3 fix)."""
+    X = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+    cases = [
+        make_matrix_op([0, N - 1], np.kron(X, np.eye(2)).reshape(-1)),
+        make_matrix_op(
+            [0, N - 2, N - 1], np.kron(X, np.eye(4)).reshape(-1)
+        ),
+        make_matrix_op(
+            [1, N - 1], np.kron(np.diag([1, 1j]), np.eye(2)).reshape(-1)
+        ),
+    ]
+    rng = np.random.default_rng(5)
+    state = rng.normal(size=1 << N) + 1j * rng.normal(size=1 << N)
+    state /= np.linalg.norm(state)
+    re, im = jnp.asarray(state.real), jnp.asarray(state.imag)
+    for op in cases:
+        gr, gi = apply_ops_ri(N, [op], re, im)
+        er, ei = apply_op_ri(N, op, re, im)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(er), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(ei), atol=1e-10)
+
+
 def test_disjoint_straddling_ops_single_sweep():
     """Two disjoint dense 3-qubit unitaries straddling the row/col seam
     (non-scalar row blocks) plan to ONE sweep via "rmix" steps — the
