@@ -21,6 +21,7 @@ re-running the same circuit never re-traces.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
@@ -154,17 +155,38 @@ class CompiledCircuit:
         residual permutation materializes as <= 2 physical SwapOps at
         the end (QFT + inverse-QFT pairs cancel to zero). Disable with
         ``RUSTQIP_TPU_DEFER_SWAPS=0``."""
-        from rustqip_tpu.engine import relabel
+        from rustqip_tpu.engine import pallas_kernels, relabel
+        from rustqip_tpu.engine.real_apply import butterfly_eligible
 
         defer = relabel.enabled()
         pos = list(range(self.n))
         segments: List = []
         run: List[MatrixOp] = []
 
+        # When execution will take the Pallas kernel path, controlled-
+        # butterfly-eligible ops (CCX/CNOT/multi-controlled 1q gates with
+        # seam-adjacent targets) are exempted from dense fusion: the
+        # window collector chains them — many per HBM sweep — while a
+        # fused joint dense op near the seam cannot kernel-window at all.
+        # RUSTQIP_TPU_KEEP_BUTTERFLY=0 reverts to plain dense fusion
+        # (A/B escape hatch, same pattern as RUSTQIP_TPU_KERNEL_PURE_MIX).
+        keep = None
+        if (
+            pallas_kernels.available()
+            and np.dtype(self.rdtype) == np.float32
+            and os.environ.get("RUSTQIP_TPU_KEEP_BUTTERFLY", "1") != "0"
+        ):
+            n = self.n
+            keep = lambda op: butterfly_eligible(n, op)  # noqa: E731
+
         def flush():
             nonlocal run
             if run:
-                segments.append(fuse_ops(run, max_fused_qubits) if fuse else run)
+                segments.append(
+                    fuse_ops(run, max_fused_qubits, keep=keep)
+                    if fuse
+                    else run
+                )
                 run = []
 
         def flush_perm():
@@ -197,7 +219,11 @@ class CompiledCircuit:
                     bpos = list(range(self.n))
                     body_ops = relabel.defer_swaps_ops(self.n, body_ops, bpos)
                     body_ops.extend(relabel.materialize(bpos))
-                body = fuse_ops(body_ops, max_fused_qubits) if fuse else body_ops
+                body = (
+                    fuse_ops(body_ops, max_fused_qubits, keep=keep)
+                    if fuse
+                    else body_ops
+                )
                 segments.append(("repeat", e.times, body))
             else:
                 if defer and pos != list(range(self.n)):
@@ -539,11 +565,10 @@ def _env_plan_flags() -> tuple:
     the cache fingerprint, or flipping one (e.g. the documented
     RUSTQIP_TPU_DEFER_SWAPS=0 kill switch) would be silently ignored on a
     cache hit and return a CompiledCircuit built under the old setting."""
-    import os
-
     return (
         os.environ.get("RUSTQIP_TPU_DEFER_SWAPS", "1"),
         os.environ.get("RUSTQIP_TPU_KERNEL_PURE_MIX", "1"),
+        os.environ.get("RUSTQIP_TPU_KEEP_BUTTERFLY", "1"),
         os.environ.get("RUSTQIP_TPU_WINDOW_MAXH", "3,2,1"),
         os.environ.get("RUSTQIP_TPU_PALLAS", ""),
     )

@@ -109,14 +109,23 @@ def _coalesce_swaps(ops: Sequence[MatrixOp]) -> List[MatrixOp]:
 
 
 def fuse_ops(
-    ops: Sequence[MatrixOp], max_qubits: int = DEFAULT_MAX_FUSED_QUBITS
+    ops: Sequence[MatrixOp],
+    max_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
+    keep=None,
 ) -> List[MatrixOp]:
     """Merge adjacent ops: diagonal runs -> one elementwise pass; swap
     chains -> one permutation gather; everything else greedily into joint
     dense unitaries of <= max_qubits.
 
     Returns a new op list with identical semantics. Ops too wide to fuse
-    pass through untouched (the engine applies any width).
+    pass through untouched (the engine applies any width). ``keep`` is an
+    optional predicate: ops it accepts pass through UN-fused — the
+    compiler uses it to exempt controlled-butterfly-eligible ops when the
+    Pallas kernel path is active (a chain of those retires in one kernel
+    sweep; folding them into a joint dense op near the row/col seam would
+    produce a gate the window planner cannot kernel at all). Diagonal
+    controlled ops are never exempted (the diagonal coalescer handles
+    them better).
     """
     ops = _coalesce_swaps(ops)
     ops = _coalesce_diagonals(ops, max_qubits)
@@ -133,7 +142,7 @@ def fuse_ops(
     for op in ops:
         op_set = set(op.indices)
         joint = block_indices + tuple(i for i in op.indices if i not in block_indices)
-        if op.num_indices > max_qubits:
+        if op.num_indices > max_qubits or (keep is not None and keep(op)):
             flush()
             fused.append(op)
             continue

@@ -302,9 +302,16 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
             # roll on axis 0 — the partner rows live inside the same
             # block, so no strips are needed). Exact f32 (no dots); ~2x
             # cheaper than a HIGHEST-precision 128-wide matmul.
+            # An optional 4th element carries CONTROL bits (("r"|"c",
+            # absolute bit position) pairs): the butterfly result is
+            # select-masked against absolute row/col iotas, so
+            # controlled single-qubit gates — CCX/CNOT chains, wide
+            # multi-controlled phases — chain in-window at any control
+            # position (only the TARGET needs in-block locality).
             from jax.experimental.pallas import tpu as pltpu
 
             p, coeffs = step[1], step[2]
+            ctrl = step[3] if len(step) > 3 else ()
             a, b, c, d = coeffs
             s = 1 << p
             if step[0] == "cbf":
@@ -320,8 +327,13 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
             if not real_only:
                 u_i = jnp.where(bit, np.float32(d.imag), np.float32(a.imag))
                 v_i = jnp.where(bit, np.float32(c.imag), np.float32(b.imag))
+            cmask = None  # column-control part: strip-independent
+            for ck, pc in ctrl:
+                if ck == "c":
+                    m = ((cols >> pc) & 1) == 1
+                    cmask = m if cmask is None else (cmask & m)
             nxt = []
-            for xr, xi in cur:
+            for i, (xr, xi) in enumerate(cur):
                 pr = jnp.where(
                     bit,
                     pltpu.roll(xr, s, axis),
@@ -333,16 +345,22 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                     pltpu.roll(xi, size - s, axis),
                 )
                 if real_only:
-                    nxt.append(
-                        (u_r * xr + v_r * pr, u_r * xi + v_r * pi)
-                    )
+                    yr, yi = u_r * xr + v_r * pr, u_r * xi + v_r * pi
                 else:
-                    nxt.append(
-                        (
-                            u_r * xr - u_i * xi + v_r * pr - v_i * pi,
-                            u_r * xi + u_i * xr + v_r * pi + v_i * pr,
-                        )
-                    )
+                    yr = u_r * xr - u_i * xi + v_r * pr - v_i * pi
+                    yi = u_r * xi + u_i * xr + v_r * pi + v_i * pr
+                if ctrl:
+                    m = cmask
+                    rabs = None
+                    for ck, pc in ctrl:
+                        if ck == "r":
+                            if rabs is None:
+                                rabs = block_rows(i)
+                            mr = ((rabs >> pc) & 1) == 1
+                            m = mr if m is None else (m & mr)
+                    yr = jnp.where(m, yr, xr)
+                    yi = jnp.where(m, yi, xi)
+                nxt.append((yr, yi))
             cur = nxt
             continue
         if step[0] in ("low", "lowr"):

@@ -263,6 +263,61 @@ RMIX_MAX_ROW_BITS = 2
 WINDOW_RBF_MAX_BIT = 8
 
 
+def _butterfly_ctrl_spec(n: int, n_m: int, op) -> "tuple | None":
+    """A ControlOp whose inner is a single-qubit dense gate becomes a
+    CONTROLLED in-block butterfly when its target sits on a lane bit or
+    a low row bit: the partner amplitude comes from the usual roll, and
+    the control mask reads ABSOLUTE row/col iotas, so the controls may
+    sit on ANY qubit. This is what lets CCX/CNOT chains — the bulk of
+    the arithmetic library, whose targets hug the row/col seam where
+    strip windows cannot form (trailing segment < one block) — ride the
+    kernel and chain many gates per HBM sweep. Returns
+    (kind, bit, inner_1q, ctrl) or None."""
+    if not (
+        isinstance(op, ControlOp)
+        and isinstance(op.inner, DenseOp)
+        and len(op.target_indices) == 1
+        and op.inner.num_indices == 1
+    ):
+        return None
+    tq = op.target_indices[0]
+    if tq >= n_m:
+        kind, bit = "cbf", n - 1 - tq
+    elif n_m - 1 - tq <= WINDOW_RBF_MAX_BIT:
+        kind, bit = "rbf", n_m - 1 - tq
+    else:
+        return None
+    ctrl = tuple(
+        ("r", n_m - 1 - q) if q < n_m else ("c", n - 1 - q)
+        for q in sorted(op.control_indices)
+    )
+    return kind, bit, op.inner, ctrl
+
+
+def butterfly_eligible(n: int, op) -> bool:
+    """Whether ``op`` will plan as a controlled in-block butterfly.
+    ``engine/compile`` exempts such ops from dense fusion when the Pallas
+    kernel path is active — a chain of them retires in ONE kernel sweep,
+    beating the fused-dense alternative (which usually cannot window at
+    all near the row/col seam).
+
+    Small states are excluded: the kernel needs >= 64-row DMA blocks
+    (``_window_kernel_applicable``), so below R = 64 rows (n < 13) an
+    exempted op would just fall to a one-pass-per-op XLA plan — WORSE
+    than letting dense fusion merge it. Likewise an rbf target whose
+    pair partner cannot sit inside a block is not exempted."""
+    m, R, _ = _geometry(n)
+    if R < 64:
+        return False
+    spec = _butterfly_ctrl_spec(n, n - m, op)
+    if spec is None:
+        return False
+    kind, bit = spec[0], spec[1]
+    if kind == "rbf" and (1 << (bit + 1)) > min(512, R):
+        return False
+    return True
+
+
 def _window_diag_plan(n: int, op) -> "tuple | None":
     """The angle group set of a PhaseProductOp eligible for in-window
     (kernel) evaluation: unit modulus, few mixed monomials."""
@@ -319,18 +374,42 @@ def _collect_window(
             steps.append(("low", pending_B))
             pending_B = None
 
-    def push_butterfly(kind: str, bit: int, op) -> None:
-        """Append a ("cbf"/"rbf", bit, 2x2 coeffs) step, composing into
-        an adjacent same-kind same-bit butterfly."""
+    def push_butterfly(kind: str, bit: int, op, ctrl: tuple = ()) -> None:
+        """Append a ("cbf"/"rbf", bit, 2x2 coeffs[, ctrl]) step, composing
+        into an adjacent same-kind same-bit same-ctrl butterfly (for
+        controlled ones, C(U)C(V) = C(UV) — masks must match exactly)."""
         mat = np.asarray(op.data, dtype=np.complex128).reshape(2, 2)
-        if steps and steps[-1][0] == kind and steps[-1][1] == bit:
+        if (
+            steps
+            and steps[-1][0] == kind
+            and steps[-1][1] == bit
+            and (steps[-1][3] if len(steps[-1]) > 3 else ()) == ctrl
+        ):
             prev = np.array(steps[-1][2], dtype=np.complex128)
             mat = mat @ prev.reshape(2, 2)
             steps.pop()
-        steps.append((kind, bit, tuple(complex(v) for v in mat.reshape(-1))))
+        coeffs = tuple(complex(v) for v in mat.reshape(-1))
+        steps.append(
+            (kind, bit, coeffs, ctrl) if ctrl else (kind, bit, coeffs)
+        )
+
+    def butterfly_ctrl_spec(op) -> "tuple | None":
+        return _butterfly_ctrl_spec(n, n_m, op)
 
     while j < len(ops) and consumed < WINDOW_MAX_OPS:
         op = ops[j]
+        if allow_diag and isinstance(op, ControlOp):
+            spec = butterfly_ctrl_spec(op)
+            if spec is not None:
+                kind, bit, inner1q, ctrl = spec
+                # A pending composed C x C run must emit first: a lane
+                # butterfly with row controls cannot fold into a plain
+                # matmul, and emission order preserves semantics.
+                flush()
+                push_butterfly(kind, bit, inner1q, ctrl)
+                j += 1
+                consumed += 1
+                continue
         if (
             isinstance(op, (ControlOp, SparseOp))
             and op.num_indices <= DENSE_CAP
@@ -535,7 +614,13 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
     return (
         n_diag >= 1
         or n_low + n_cbf + n_rbf + n_rmix >= 2
-        or (h >= 1 and n_low + n_cbf + n_rbf >= 1)
+        # Any butterfly-bearing window pays: a lane/sublane roll pass
+        # (~2.5 ms at n=28) beats both the HIGHEST-precision matmul
+        # (5.1 ms) and the XLA slice/concat window (~2.5 physical
+        # passes) even for a single step — including a lone CONTROLLED
+        # butterfly (one CCX), whose dense alternative can't window.
+        or n_cbf + n_rbf >= 1
+        or (h >= 1 and n_low >= 1)
         or (h >= 1 and n_mix >= 1 and _pure_mix_kernel_enabled())
     )
 

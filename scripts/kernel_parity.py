@@ -145,6 +145,25 @@ def build_sequences(n: int):
         [make_matrix_op([3, 4, 5], ccx.reshape(-1))],
         {"mix"},
     ))
+    # 8. controlled butterflies (late round 3): CCX/CNOT/MCZ chains whose
+    #    targets sit on lane or low-row bits ride the kernel as masked
+    #    roll butterflies, controls at ANY position (the arithmetic-
+    #    library path: add-n28 plans 17 sweeps -> 8 this way)
+    from rustqip_tpu.ops.matrix_ops import make_control_op
+
+    X = gates.X.reshape(-1)
+    seqs.append((
+        "ctrl_butterfly",
+        [
+            make_control_op([0, 1], make_matrix_op([10], X)),    # rbf 2ctrl
+            make_control_op([10], make_matrix_op([n - 1], X)),   # cbf rctrl
+            make_control_op([2, n - 2], make_matrix_op([9], X)), # rbf mixed
+            make_control_op(
+                [0, 3, 5, n - 3], make_matrix_op([n - 1], gates.Z.reshape(-1))
+            ),                                                   # wide MCZ
+        ],
+        {"cbf", "rbf"},
+    ))
     return seqs
 
 

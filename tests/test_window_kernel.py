@@ -170,6 +170,137 @@ def test_pure_mix_window_planned_as_kernel_sweep():
         del os.environ["RUSTQIP_TPU_KERNEL_PURE_MIX"]
 
 
+def test_controlled_butterflies_in_window_kernel():
+    """ControlOps with a single-qubit dense inner become CONTROLLED
+    in-block butterflies (round 3): the partner comes from the usual
+    lane/sublane roll and the control mask reads absolute row/col iotas,
+    so controls sit on ANY qubit. This is the path that lets CCX/CNOT
+    chains — whose targets hug the row/col seam where strip windows
+    cannot form — ride the kernel."""
+    from rustqip_tpu.ops.matrix_ops import make_control_op
+
+    X = gates.X.reshape(-1)
+    # CNOT: high-row control -> lane target (cbf with row ctrl), plus a
+    # plain cbf so the window is kernel-applicable at h=0
+    _run_window_kernel(
+        [
+            make_control_op([0], make_matrix_op([N - 2], X)),
+            make_matrix_op([N - 1], gates.H.reshape(-1)),
+        ],
+        allow_diag=True,
+    )
+    # CCX: row + lane controls -> low row-bit target (rbf, mixed ctrl)
+    _run_window_kernel(
+        [
+            make_control_op([1, N - 3], make_matrix_op([9], X)),
+            make_control_op([0], make_matrix_op([10], X)),
+        ],
+        allow_diag=True,
+    )
+    # wide multi-controlled Z (Grover diffusion shape): 6 controls at
+    # arbitrary positions, lane target
+    _run_window_kernel(
+        [
+            make_control_op(
+                [0, 2, 5, 9, N - 3, N - 2],
+                make_matrix_op([N - 1], gates.Z.reshape(-1)),
+            ),
+            make_matrix_op([N - 1], gates.H.reshape(-1)),
+        ],
+        allow_diag=True,
+    )
+    # arithmetic-style chain: several CCX/CNOTs retire in ONE sweep
+    ops = [
+        make_control_op([3, 4], make_matrix_op([10], X)),
+        make_control_op([10], make_matrix_op([N - 1], X)),
+        make_control_op([5, N - 1], make_matrix_op([9], X)),
+        make_control_op([9], make_matrix_op([8], X)),
+    ]
+    from rustqip_tpu.engine.real_apply import plan_sweeps
+
+    plan = plan_sweeps(N, ops, True)
+    assert [k for k, _, _ in plan] == ["kwindow"], [k for k, _, _ in plan]
+    _run_window_kernel(ops, allow_diag=True)
+
+
+def test_arithmetic_adder_via_keep_fusion_and_kernel_plan():
+    """End-to-end: a real adder circuit's op stream, fused with the
+    compiler's butterfly keep-predicate, planned with kernel_ok, and
+    every kwindow executed through the INTERPRET-mode kernel — must
+    match op-by-op execution of the raw gate stream. This is the
+    round-3 path that takes add-n28 from 17 sweeps (0 kernel) to 8
+    (5 kernel windows)."""
+    from rustqip_tpu.algos import arithmetic
+    from rustqip_tpu.builder.builder import LocalBuilder
+    from rustqip_tpu.engine import relabel
+    from rustqip_tpu.engine.compile import UnitaryEntry
+    from rustqip_tpu.engine.fusion import fuse_ops
+    from rustqip_tpu.engine.real_apply import (
+        _window_kernel_run,
+        _window_seg_sizes,
+        _window_sweep_ri,
+        butterfly_eligible,
+        plan_sweeps,
+    )
+
+    b = LocalBuilder()
+    k = 6
+    ra = b.register(k)
+    rb = b.register(k + 1)
+    rc = b.make_zeroed_temp_register(k)
+    ra, rb, rc = arithmetic.add(b, rc, ra, rb)
+    cc = b.compile()
+    n = cc.n
+    raw = [e.op for e in cc.entries if isinstance(e, UnitaryEntry)]
+    pos = list(range(n))
+    raw = relabel.defer_swaps_ops(n, raw, pos) + relabel.materialize(pos)
+    fused = fuse_ops(raw, 5, keep=lambda op: butterfly_eligible(n, op))
+    plan = plan_sweeps(n, fused, True)
+    kinds = [kind for kind, _, _ in plan]
+    assert "kwindow" in kinds, kinds
+
+    rng = np.random.default_rng(17)
+    state = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    state /= np.linalg.norm(state)
+    re = jnp.asarray(state.real.astype(np.float32))
+    im = jnp.asarray(state.imag.astype(np.float32))
+    R, C = 1 << (n - 7), 128
+
+    gr, gi = re, im
+    for kind, payload, _run in plan:
+        if kind == "kwindow":
+            hq, steps = payload
+            ksteps = []
+            for s in steps:
+                if s[0] == "mix":
+                    ksteps.append(("mix", _expand_mix(n, hq, s[1], s[2])))
+                elif s[0] == "rmix":
+                    ksteps.append(
+                        ("rmix", _expand_blocks(n, hq, s[1], s[2]))
+                    )
+                else:
+                    ksteps.append(s)
+            out_r, out_i = window_sweep(
+                n,
+                gr.reshape(R, C),
+                gi.reshape(R, C),
+                _window_seg_sizes(n, hq),
+                ksteps,
+                interpret=True,
+            )
+            gr, gi = out_r.reshape(-1), out_i.reshape(-1)
+        elif kind == "window":
+            gr, gi = _window_sweep_ri(n, payload, gr, gi)
+        else:
+            gr, gi = apply_op_ri(n, payload, gr, gi)
+
+    er, ei = re, im
+    for op in raw:
+        er, ei = apply_op_ri(n, op, er, ei)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(er), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(ei), atol=1e-4)
+
+
 def test_controlled_gates_in_window_kernel():
     """Seam-straddling CNOT/CCX normalize to dense ops inside window
     collection and run through the kernel (identity blocks demoted to
@@ -508,12 +639,30 @@ def test_window_kernel_randomized_fuzz():
             )
         return PhaseProductOp(tuple(terms))
 
+    from rustqip_tpu.ops.matrix_ops import make_control_op
+
     # qubit pools at N=19 (n_m=12): window bits 0..2, rbf 3..11, lanes 12..18
     for trial in range(6):
         ops = []
         for _ in range(rng.integers(3, 9)):
-            kind = rng.integers(0, 5)
-            if kind == 4:
+            kind = rng.integers(0, 6)
+            if kind == 5:
+                # Controlled butterfly (round 3): 1q dense inner on a
+                # butterfly-eligible target (row bit <= 8 -> qubit >= 3,
+                # or a lane qubit), controls at ANY other position.
+                tq = int(rng.integers(3, N))
+                nc = int(rng.integers(1, 4))
+                pool = [q for q in range(N) if q != tq]
+                ctrls = [
+                    int(q)
+                    for q in rng.choice(pool, size=nc, replace=False)
+                ]
+                ops.append(
+                    make_control_op(
+                        ctrls, make_matrix_op([tq], rand_u2().reshape(-1))
+                    )
+                )
+            elif kind == 4:
                 # Straddling dense op (rmix candidate): 1 row bit from
                 # the window pool + 1-2 lane bits.
                 rb = int(rng.integers(0, 3))
