@@ -156,34 +156,72 @@ class CompiledCircuit:
         the end (QFT + inverse-QFT pairs cancel to zero). Disable with
         ``RUSTQIP_TPU_DEFER_SWAPS=0``."""
         from rustqip_tpu.engine import pallas_kernels, relabel
-        from rustqip_tpu.engine.real_apply import butterfly_eligible
+        from rustqip_tpu.engine.real_apply import (
+            RMIX_MAX_ROW_BITS,
+            butterfly_eligible,
+        )
+        from rustqip_tpu.engine.apply import _geometry
 
         defer = relabel.enabled()
         pos = list(range(self.n))
         segments: List = []
         run: List[MatrixOp] = []
 
-        # When execution will take the Pallas kernel path, controlled-
-        # butterfly-eligible ops (CCX/CNOT/multi-controlled 1q gates with
-        # seam-adjacent targets) are exempted from dense fusion: the
-        # window collector chains them — many per HBM sweep — while a
-        # fused joint dense op near the seam cannot kernel-window at all.
-        # RUSTQIP_TPU_KEEP_BUTTERFLY=0 reverts to plain dense fusion
-        # (A/B escape hatch, same pattern as RUSTQIP_TPU_KERNEL_PURE_MIX).
+        # When execution will take the Pallas kernel path, fusion turns
+        # window-aware:
+        # - controlled-butterfly-eligible ops (CCX/CNOT/multi-controlled
+        #   1q gates with seam-adjacent targets) are exempted from dense
+        #   fusion entirely (``keep``): the window collector chains them
+        #   — many per HBM sweep — while a fused joint dense op near the
+        #   seam cannot kernel-window at all. Hatch:
+        #   RUSTQIP_TPU_KEEP_BUTTERFLY=0.
+        # - greedy joints are capped to KERNEL-window-plannable shapes
+        #   (``joint_ok``): > 3 row bits (or > RMIX_MAX_ROW_BITS when
+        #   lane bits join) can only run as a whole-state dense pass —
+        #   the pathological gather/MXU path — so e.g. an H-broadcast
+        #   must fuse into 3-row-bit mixes (kernel sweeps at ~HBM
+        #   speed), not 5-qubit joints. Joints are also barred from
+        #   absorbing SEAM-ADJACENT row qubits (row bit < 6): a window
+        #   whose trailing segment is under 64 rows cannot form kernel
+        #   DMA blocks, while the 1q gates such a joint would swallow
+        #   ride the kernel individually as in-block rbf butterflies.
+        #   Hatch: RUSTQIP_TPU_WINDOW_FUSION=0.
         keep = None
-        if (
+        joint_ok = None
+        kernel_fusion = (
             pallas_kernels.available()
             and np.dtype(self.rdtype) == np.float32
+        )
+        if (
+            kernel_fusion
             and os.environ.get("RUSTQIP_TPU_KEEP_BUTTERFLY", "1") != "0"
         ):
             n = self.n
             keep = lambda op: butterfly_eligible(n, op)  # noqa: E731
+        _, R, _ = _geometry(self.n)
+        if (
+            kernel_fusion
+            and R >= 64  # kernel windows need >= 64-row DMA blocks
+            and os.environ.get("RUSTQIP_TPU_WINDOW_FUSION", "1") != "0"
+        ):
+            n_m = self.n - min(self.n, 7)
+
+            def joint_ok(indices):
+                row_bits = [n_m - 1 - q for q in indices if q < n_m]
+                cap = (
+                    3 if len(row_bits) == len(indices)
+                    else RMIX_MAX_ROW_BITS
+                )
+                return len(row_bits) <= cap and (
+                    not row_bits or min(row_bits) >= 6
+                )
 
         def flush():
             nonlocal run
             if run:
                 segments.append(
-                    fuse_ops(run, max_fused_qubits, keep=keep)
+                    fuse_ops(run, max_fused_qubits, keep=keep,
+                             joint_ok=joint_ok)
                     if fuse
                     else run
                 )
@@ -569,6 +607,7 @@ def _env_plan_flags() -> tuple:
         os.environ.get("RUSTQIP_TPU_DEFER_SWAPS", "1"),
         os.environ.get("RUSTQIP_TPU_KERNEL_PURE_MIX", "1"),
         os.environ.get("RUSTQIP_TPU_KEEP_BUTTERFLY", "1"),
+        os.environ.get("RUSTQIP_TPU_WINDOW_FUSION", "1"),
         os.environ.get("RUSTQIP_TPU_WINDOW_MAXH", "3,2,1"),
         os.environ.get("RUSTQIP_TPU_PALLAS", ""),
     )

@@ -112,6 +112,7 @@ def fuse_ops(
     ops: Sequence[MatrixOp],
     max_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
     keep=None,
+    joint_ok=None,
 ) -> List[MatrixOp]:
     """Merge adjacent ops: diagonal runs -> one elementwise pass; swap
     chains -> one permutation gather; everything else greedily into joint
@@ -126,7 +127,17 @@ def fuse_ops(
     produce a gate the window planner cannot kernel at all). Diagonal
     controlled ops are never exempted (the diagonal coalescer handles
     them better).
-    """
+
+    ``joint_ok`` is an optional predicate over a joint index tuple: a
+    merge that would GROW the running block to a joint it rejects is
+    split instead (flush + fresh block). The compiler uses it to keep
+    fused joints window-plannable — a joint spanning > 3 row bits can
+    only execute as a whole-state dense pass (the pathological
+    MXU/gather path, measured ~161 ms/gate at n=28 vs ~7 ms for a
+    kernel window sweep), so fusion must not build it from ops the
+    window planner could have retired at ~HBM speed. Pure composition
+    (an op whose support is already inside the block) always merges —
+    it never changes the block's shape."""
     ops = _coalesce_swaps(ops)
     ops = _coalesce_diagonals(ops, max_qubits)
     fused: List[MatrixOp] = []
@@ -150,7 +161,11 @@ def fuse_ops(
             block_indices = tuple(sorted(op_set))
             block_mat = _embed(op, block_indices)
             continue
-        if len(joint) <= max_qubits:
+        if len(joint) <= max_qubits and (
+            joint_ok is None
+            or op_set <= set(block_indices)  # pure composition: no growth
+            or joint_ok(joint)
+        ):
             joint = tuple(sorted(joint))
             grown = _embed(DenseOp(block_indices, block_mat), joint)
             block_mat = _embed(op, joint) @ grown

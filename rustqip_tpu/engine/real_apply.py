@@ -620,7 +620,7 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
         # passes) even for a single step — including a lone CONTROLLED
         # butterfly (one CCX), whose dense alternative can't window.
         or n_cbf + n_rbf >= 1
-        or (h >= 1 and n_low >= 1)
+        or (h >= 1 and n_low + n_rmix >= 1)
         or (h >= 1 and n_mix >= 1 and _pure_mix_kernel_enabled())
     )
 

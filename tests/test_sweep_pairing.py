@@ -443,3 +443,52 @@ def test_small_sparse_joins_window():
     plan = plan_sweeps(N, ops, False)
     assert len(plan) == 1, [p[0] for p in plan]
     _check(ops)
+
+
+def _compiled_plan_kinds(build, monkeypatch):
+    """Compile a circuit with the Pallas kernel path simulated on and
+    return the sweep kinds its unitary segments plan to."""
+    from rustqip_tpu.builder.builder import LocalBuilder
+    from rustqip_tpu.engine import pallas_kernels, real_apply
+
+    monkeypatch.setattr(pallas_kernels, "available", lambda: True)
+    b = LocalBuilder(dtype=np.complex64)
+    build(b)
+    cc = b.compile()
+    kinds = []
+    for seg in cc.segments:
+        if isinstance(seg, list):
+            kinds += [
+                k for k, _, _ in real_apply.plan_sweeps(cc.n, seg, True)
+            ]
+    return kinds
+
+
+def _build_grover28(b):
+    from rustqip_tpu.algos.grover import grover_iteration
+
+    r = b.register(28)
+    r = grover_iteration(b, r, 0x5A5A5A)
+    b.measure(r)
+
+
+def test_grover28_window_fusion_all_kernel(monkeypatch):
+    """Perf-regression guard (round 3 window-aware fusion): one
+    Grover-28 iteration must plan ENTIRELY to kernel sweeps — zero
+    whole-state dense passes (measured ~161 ms each at n=28) and zero
+    XLA strip fallbacks. Before ``joint_ok`` capped greedy joints to
+    kernel-plannable shapes this planned 20 pathological dense passes.
+    Host-side planning only — no device work."""
+    monkeypatch.delenv("RUSTQIP_TPU_WINDOW_FUSION", raising=False)
+    kinds = _compiled_plan_kinds(_build_grover28, monkeypatch)
+    assert kinds and set(kinds) == {"kwindow"}, kinds
+    assert len(kinds) <= 26, kinds
+
+
+def test_window_fusion_hatch_reverts_to_plain_fusion(monkeypatch):
+    """RUSTQIP_TPU_WINDOW_FUSION=0 restores plain greedy dense fusion
+    (the A/B escape hatch): the same Grover-28 iteration then builds
+    joints the window planner cannot kernel."""
+    monkeypatch.setenv("RUSTQIP_TPU_WINDOW_FUSION", "0")
+    kinds = _compiled_plan_kinds(_build_grover28, monkeypatch)
+    assert set(kinds) != {"kwindow"}, kinds

@@ -114,6 +114,21 @@ def test_rmix_window_kernel():
     ])
 
 
+def test_lone_rmix_window_kernel():
+    """A SINGLE dense op straddling the row/col seam (Grover-28's
+    diffusion corner after window-aware fusion: a joint on two row
+    qubits plus lane qubits) rides the kernel as a lone-rmix window —
+    one read+write vs ~2.5 physical passes on the XLA strip fallback
+    (same measured argument as pure-mix windows)."""
+    rng = np.random.default_rng(11)
+    _run_window_kernel([
+        make_matrix_op([0, 1, N - 1], _rand_u(rng, 3).reshape(-1)),
+    ])
+    _run_window_kernel([
+        make_matrix_op([0, 1, N - 2, N - 1], _rand_u(rng, 4).reshape(-1)),
+    ])
+
+
 def test_pure_mix_window_kernel():
     """A pure-mix window (all supports on row qubits, scalar blocks —
     e.g. the bench's one-sweep-per-gate Toffoli shape) rides the kernel:
