@@ -8,10 +8,13 @@ SAME pipeline as engine/compile._plan (swap deferral + fusion with the
 butterfly keep-predicate), and times steady-state execution of the
 planned sweeps (donated buffers, scalar-fetch sync).
 
-A/B the round-3 path with the env hatch:
+A/B the round-3 path with the env hatch (RUSTQIP_TPU_PALLAS=1 is
+REQUIRED on the axon relay host, where the kernel path defaults off —
+without it both arms silently benchmark the same dense plan):
 
-    RUSTQIP_TPU_KEEP_BUTTERFLY=0 python benches/arith_bench.py 9   # dense
-    python benches/arith_bench.py 9                                # kernel
+    RUSTQIP_TPU_PALLAS=1 RUSTQIP_TPU_KEEP_BUTTERFLY=0 \
+        python benches/arith_bench.py 9                      # dense
+    RUSTQIP_TPU_PALLAS=1 python benches/arith_bench.py 9     # kernel
 
 At k=9 (n=28) the plan goes 17 dense sweeps -> 8 sweeps (5 kernel
 windows carrying the CCX/CNOT chains as masked roll butterflies).

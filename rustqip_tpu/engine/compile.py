@@ -198,13 +198,13 @@ class CompiledCircuit:
         ):
             n = self.n
             keep = lambda op: butterfly_eligible(n, op)  # noqa: E731
-        _, R, _ = _geometry(self.n)
+        m, R, _ = _geometry(self.n)
         if (
             kernel_fusion
             and R >= 64  # kernel windows need >= 64-row DMA blocks
             and os.environ.get("RUSTQIP_TPU_WINDOW_FUSION", "1") != "0"
         ):
-            n_m = self.n - min(self.n, 7)
+            n_m = self.n - m
 
             def joint_ok(indices):
                 row_bits = [n_m - 1 - q for q in indices if q < n_m]
@@ -258,7 +258,8 @@ class CompiledCircuit:
                     body_ops = relabel.defer_swaps_ops(self.n, body_ops, bpos)
                     body_ops.extend(relabel.materialize(bpos))
                 body = (
-                    fuse_ops(body_ops, max_fused_qubits, keep=keep)
+                    fuse_ops(body_ops, max_fused_qubits, keep=keep,
+                             joint_ok=joint_ok)
                     if fuse
                     else body_ops
                 )

@@ -624,10 +624,15 @@ def window_sweep(
     (8, 128) tile per DMA block (``_window_kernel_applicable``).
 
     ``steps``: ("low", B_complex_ndarray) | ("mix", {(j, i): complex}) |
+    ("rmix", {(j, i): ("scalar", v) | ("low"/"lowr", B)}) |
     ("diag", (const, row_monos, col_monos, mixed) angle groups) |
-    ("cbf", lane_bit, (a, b, c, d)) | ("rbf", row_bit, (a, b, c, d)) —
+    ("cbf", lane_bit, (a, b, c, d)[, ctrl]) |
+    ("rbf", row_bit, (a, b, c, d)[, ctrl]) —
     single-qubit 2x2s as lane-roll / sublane-roll butterflies (no
-    operand; rbf's row bit must satisfy 2^(bit+1) <= block rows).
+    operand; rbf's row bit must satisfy 2^(bit+1) <= block rows). The
+    optional 4th cbf/rbf element ``ctrl = (("r"|"c", bit), ...)`` masks
+    the butterfly on those absolute row/col iota bits (controlled form);
+    consumers must handle len(step) > 3.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

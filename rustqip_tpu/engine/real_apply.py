@@ -305,12 +305,21 @@ def butterfly_eligible(n: int, op) -> bool:
     (``_window_kernel_applicable``), so below R = 64 rows (n < 13) an
     exempted op would just fall to a one-pass-per-op XLA plan — WORSE
     than letting dense fusion merge it. Likewise an rbf target whose
-    pair partner cannot sit inside a block is not exempted."""
+    pair partner cannot sit inside a block is not exempted. Nor is an
+    op whose ENTIRE support (controls + target) sits on lane qubits:
+    its fused-dense alternative is an all-lane C x C "low" matmul that
+    COMPOSES with neighboring lane ops (~5.1 ms once per chain at
+    HIGHEST precision) — cheaper than one ~2.5 ms roll butterfly per
+    gate — and never straddles the seam, so the keep rationale does not
+    apply."""
     m, R, _ = _geometry(n)
     if R < 64:
         return False
-    spec = _butterfly_ctrl_spec(n, n - m, op)
+    n_m = n - m
+    spec = _butterfly_ctrl_spec(n, n_m, op)
     if spec is None:
+        return False
+    if all(q >= n_m for q in op.indices):
         return False
     kind, bit = spec[0], spec[1]
     if kind == "rbf" and (1 << (bit + 1)) > min(512, R):
@@ -351,8 +360,12 @@ def _collect_window(
 
     Returns ``((H_sorted, steps), next_index)`` or ``(None, start)``;
     steps: ("low", composed numpy C x C) | ("mix", op, plan) |
-    ("diag", angle_groups) | ("cbf", lane_bit, 2x2 coeffs) |
-    ("rbf", row_bit, 2x2 coeffs) — the last two are kernel-only
+    ("rmix", op, plan) | ("diag", angle_groups) |
+    ("cbf", lane_bit, 2x2 coeffs[, ctrl]) |
+    ("rbf", row_bit, 2x2 coeffs[, ctrl]) — the optional 4th element is
+    a control spec ``(("r"|"c", bit), ...)`` making the butterfly
+    CONTROLLED (mask from absolute row/col iotas). cbf/rbf are
+    kernel-only
     (``allow_diag``): single-qubit gates on column (lane) bits and on
     LOW row (sublane) bits become in-block roll butterflies, adjacent
     same-bit ones composed. rbf needs no strips at all (the pair partner
@@ -614,21 +627,29 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
     return (
         n_diag >= 1
         or n_low + n_cbf + n_rbf + n_rmix >= 2
-        # Any butterfly-bearing window pays: a lane/sublane roll pass
-        # (~2.5 ms at n=28) beats both the HIGHEST-precision matmul
-        # (5.1 ms) and the XLA slice/concat window (~2.5 physical
-        # passes) even for a single step — including a lone CONTROLLED
-        # butterfly (one CCX), whose dense alternative can't window.
-        or n_cbf + n_rbf >= 1
+        # Any butterfly-bearing window pays at RUNTIME: a lane/sublane
+        # roll pass (~2.5 ms at n=28) beats both the HIGHEST-precision
+        # matmul (5.1 ms) and the XLA slice/concat window (~2.5
+        # physical passes) even for a single step — including a lone
+        # CONTROLLED butterfly (one CCX), whose dense alternative can't
+        # window. A LONE butterfly (no mixes to amortize the window) is
+        # hatch-gated like pure-mix windows: each distinct gate/ctrl
+        # combination bakes its coefficients into a separate Mosaic
+        # structure (~4 s relay compile each), so circuits with many
+        # distinct isolated butterflies can revert them to the XLA path
+        # with RUSTQIP_TPU_KERNEL_PURE_MIX=0.
+        or (n_cbf + n_rbf >= 1
+            and (n_mix >= 1 or _pure_mix_kernel_enabled()))
         or (h >= 1 and n_low + n_rmix >= 1)
         or (h >= 1 and n_mix >= 1 and _pure_mix_kernel_enabled())
     )
 
 
 def _pure_mix_kernel_enabled() -> bool:
-    """RUSTQIP_TPU_KERNEL_PURE_MIX=0 reverts mix-only windows to the XLA
+    """RUSTQIP_TPU_KERNEL_PURE_MIX=0 reverts mix-only windows AND lone
+    butterfly windows (single cbf/rbf step, no mixes) to the XLA
     slice/concat path — escape hatch for circuits with very many DISTINCT
-    pure-mix window structures, where each costs a separate Mosaic kernel
+    single-structure windows, where each costs a separate Mosaic kernel
     compile over the relay (~4 s each measured; the XLA path compiles
     faster but executes ~2.5 physical passes per sweep)."""
     import os

@@ -492,3 +492,60 @@ def test_window_fusion_hatch_reverts_to_plain_fusion(monkeypatch):
     monkeypatch.setenv("RUSTQIP_TPU_WINDOW_FUSION", "0")
     kinds = _compiled_plan_kinds(_build_grover28, monkeypatch)
     assert set(kinds) != {"kwindow"}, kinds
+
+
+def test_grover_search_repeat_body_window_fusion(monkeypatch):
+    """Repeat-entry bodies get the same window-aware fusion as straight
+    runs (code-review finding): ``grover_search`` routes its iteration
+    through ``b.repeat``, and before ``joint_ok`` was plumbed into the
+    repeat-body ``fuse_ops`` call the flagship circuit planned ~18
+    whole-state dense passes per iteration while the unrolled guard test
+    stayed green."""
+    import collections
+
+    from rustqip_tpu.algos.grover import grover_search
+    from rustqip_tpu.builder.builder import LocalBuilder
+    from rustqip_tpu.engine import pallas_kernels, real_apply
+
+    monkeypatch.delenv("RUSTQIP_TPU_WINDOW_FUSION", raising=False)
+    monkeypatch.setattr(pallas_kernels, "available", lambda: True)
+    b = LocalBuilder(dtype=np.complex64)
+    grover_search(b, 28, 0x5A5A5A, iterations=3)
+    cc = b.compile()
+    bodies = [
+        s for s in cc.segments if isinstance(s, tuple) and s[0] == "repeat"
+    ]
+    assert bodies, "grover_search no longer uses repeat()"
+    for _, _times, body in bodies:
+        kinds = collections.Counter(
+            k for k, _, _ in real_apply.plan_sweeps(cc.n, body, True)
+        )
+        assert set(kinds) == {"kwindow"}, dict(kinds)
+
+
+def test_all_lane_controlled_ops_not_butterfly_kept():
+    """A controlled gate whose ENTIRE support is on lane qubits must not
+    be exempted from dense fusion (code-review finding): its fused-dense
+    alternative is an all-lane C x C matmul that composes with
+    neighboring lane ops — one ~5 ms matmul per chain beats one ~2.5 ms
+    roll butterfly per gate. Seam-straddling controlled ops stay kept."""
+    from rustqip_tpu.engine.fusion import fuse_ops
+    from rustqip_tpu.engine.real_apply import butterfly_eligible
+
+    n = 28  # lane qubits 21..27
+    lane_cnot = make_control_op(
+        [26], make_matrix_op([27], gates.X.reshape(-1))
+    )
+    assert not butterfly_eligible(n, lane_cnot)
+    chain = [
+        make_matrix_op([25], gates.H.reshape(-1)),
+        lane_cnot,
+        make_matrix_op([25], gates.H.reshape(-1)),
+    ]
+    fused = fuse_ops(chain, keep=lambda o: butterfly_eligible(n, o))
+    assert len(fused) == 1, [type(o).__name__ for o in fused]
+    # row-control + lane-target straddles the seam: still butterfly-kept
+    seam_cnot = make_control_op(
+        [5], make_matrix_op([27], gates.X.reshape(-1))
+    )
+    assert butterfly_eligible(n, seam_cnot)
