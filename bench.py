@@ -209,17 +209,21 @@ def _cached_cpu_baseline(n: int) -> Optional[float]:
     return None
 
 
-def _device_subprocess(n: int) -> Optional[dict]:
-    """Run the device measurement in a timeout-guarded subprocess with the
-    Pallas kernel path enabled (production configuration). A hung relay
-    compile then costs the timeout, not the whole bench."""
+def _device_subprocess(
+    n: int, pallas: str = "1", reserve_s: float = 120.0
+) -> Optional[dict]:
+    """Run the device measurement in a timeout-guarded subprocess
+    (``pallas="1"`` = production kernel path, ``"0"`` = XLA-only). A hung
+    relay — compile OR backend discovery (observed: ``jax.devices()``
+    blocking >12 min with the tunnel down) — then costs the timeout, not
+    the whole bench. ``reserve_s`` is budget held back for later stages."""
     import subprocess
 
-    timeout = min(max(_remaining() - 120.0, 0.0), 1100.0)
+    timeout = min(max(_remaining() - reserve_s, 0.0), 1100.0)
     if timeout < 120:
-        log("no budget for a subprocess probe; falling back in-process")
+        log(f"no budget for a pallas={pallas} subprocess probe")
         return None
-    env = dict(os.environ, RUSTQIP_TPU_PALLAS="1")
+    env = dict(os.environ, RUSTQIP_TPU_PALLAS=pallas)
     try:
         out = subprocess.run(
             [sys.executable, __file__, "--device-json", str(n)],
@@ -243,10 +247,62 @@ def _device_subprocess(n: int) -> Optional[dict]:
     return None
 
 
+def _stale_result(n: int) -> dict:
+    """Last-resort JSON line when no device measurement landed this run
+    (e.g. the relay tunnel is down): replay the most recent recorded
+    headline, CLEARLY flagged ``"stale": true`` — a parseable, honestly
+    labeled artifact beats a driver timeout with no output (round 2's
+    BENCH_r02.json was rc=124/parsed=null for exactly this class of
+    failure)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_history.json"
+    )
+    try:
+        with open(path) as f:
+            hist = json.load(f)
+    except Exception:
+        hist = []
+    for entry in reversed(hist):
+        if (
+            entry.get("metric") == f"gate_applies_per_sec_{n}q_c64"
+            and entry.get("value") is not None
+            and not entry.get("tainted")
+            and not entry.get("stale")
+        ):
+            result = dict(entry)
+            result["stale"] = True
+            result["note"] = (
+                "device unreachable this run; figures replayed from "
+                + str(entry.get("timestamp", "a prior recorded run"))
+            )
+            result.pop("timestamp", None)
+            result.setdefault("unit", "applies/s")
+            if result.get("vs_baseline") is None:
+                cpu = _cached_cpu_baseline(n)
+                result["vs_baseline"] = (
+                    round(result["value"] / cpu, 2) if cpu else None
+                )
+            return result
+    return {
+        "metric": f"gate_applies_per_sec_{n}q_c64",
+        "value": None,
+        "unit": "applies/s",
+        "vs_baseline": None,
+        "stale": True,
+        "note": "device unreachable and no recorded history",
+    }
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--device-json":
-        f, u, c = bench_device_pair(int(sys.argv[2]))
-        print(json.dumps({"fused": f, "unfused": u, "compile_s": c}))
+        n = int(sys.argv[2])
+        try:
+            f, u, c = bench_device_pair(n)
+        except Exception as e:  # fall back to a smaller state if OOM
+            log(f"n={n} failed ({type(e).__name__}: {e}); retrying n=26")
+            n = 26
+            f, u, c = bench_device_pair(n)
+        print(json.dumps({"fused": f, "unfused": u, "compile_s": c, "n": n}))
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--cpu-baseline":
         n = int(sys.argv[2]) if len(sys.argv) >= 3 else 28
@@ -263,21 +319,24 @@ def main():
         return
 
     n = 28
-    probe = _device_subprocess(n)
-    if probe is not None:
-        fused, unfused = probe["fused"], probe["unfused"]
-        compile_s = probe.get("compile_s")
-        path = "pallas"
-    else:
-        # Fallback: in-process, XLA-only path (no Mosaic compile risk).
-        os.environ["RUSTQIP_TPU_PALLAS"] = "0"
-        try:
-            fused, unfused, compile_s = bench_device_pair(n)
-        except Exception as e:  # fall back to a smaller state if OOM
-            log(f"n={n} failed ({type(e).__name__}: {e}); retrying n=26")
-            n = 26
-            fused, unfused, compile_s = bench_device_pair(n)
+    # Production (Pallas) probe first, holding back budget for the XLA
+    # retry; both run as bounded subprocesses — NOTHING device-touching
+    # runs in this process, so a hung relay can never eat the whole
+    # driver budget (round 2's one red artifact).
+    probe = _device_subprocess(n, pallas="1", reserve_s=540.0)
+    path = "pallas"
+    if probe is None:
+        probe = _device_subprocess(n, pallas="0", reserve_s=120.0)
         path = "xla"
+    if probe is None:
+        result = _stale_result(n)
+        log("no device measurement landed; emitting stale-flagged line")
+        print(json.dumps(result), flush=True)
+        _append_history(result)
+        return
+    n = probe.get("n", n)
+    fused, unfused = probe["fused"], probe["unfused"]
+    compile_s = probe.get("compile_s")
 
     cpu_rate = _cached_cpu_baseline(n)
     baseline_cached = cpu_rate is not None
