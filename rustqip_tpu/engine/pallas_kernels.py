@@ -752,6 +752,11 @@ def c64_low_matmul(xr: jnp.ndarray, xi: jnp.ndarray, B: np.ndarray):
     bi = np.ascontiguousarray(np.imag(bt))
     if (
         available()
+        # Redundant with available() in production, but tests monkeypatch
+        # available() to exercise the kernel-path PLANNING on CPU; the
+        # pipelined sweep itself has no interpret mode, so it must stay
+        # gated on a real TPU backend.
+        and jax.default_backend() == "tpu"
         and xr.dtype == jnp.float32
         and rows % _BLOCK_ROWS == 0
         and xr.shape[1] == _C

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -676,6 +677,12 @@ def _window_kernel_run(n: int, window, re, im) -> Pair:
         im.reshape(R, C),
         _window_seg_sizes(n, hq),
         ksteps,
+        # Off-TPU the Mosaic path cannot compile; interpret mode runs the
+        # same kernel body semantics. Production (available() requires a
+        # TPU backend) always compiles — this branch exists for tests
+        # that monkeypatch available() to exercise the FULL kernel-path
+        # pipeline (fusion -> planning -> kernel body) on CPU.
+        interpret=jax.default_backend() != "tpu",
     )
     return out_r.reshape(-1), out_i.reshape(-1)
 

@@ -131,3 +131,81 @@ def test_serialize_replay_with_measurements():
     with pytest.raises(CircuitError):
         b2.calculate_state(seed=0, conditions={1: 0})
     b2.calculate_state(seed=0, conditions={0: 1})
+
+
+def test_compiled_kernel_path_fuzz(monkeypatch):
+    """FULL-STACK kernel-path fuzz on CPU: random circuits through
+    ``compile_pipeline`` with the Pallas path simulated on — exercising
+    window-aware fusion (keep + joint_ok), swap deferral, sweep planning
+    AND interpret-mode kernel execution (``_window_kernel_run`` auto-
+    selects interpret off-TPU) — against per-op ``apply_op_ri``
+    reference application. Guards the compile-level interactions the
+    plan-shape tests cannot see."""
+    import jax.numpy as jnp
+
+    from rustqip_tpu.engine import pallas_kernels
+    from rustqip_tpu.engine.compile import UnitaryEntry, compile_pipeline
+    from rustqip_tpu.engine.real_apply import apply_op_ri
+    from rustqip_tpu.ops import gates
+    from rustqip_tpu.ops.matrix_ops import (
+        PhaseProductOp,
+        make_control_op,
+        make_matrix_op,
+        make_swap_op,
+    )
+
+    monkeypatch.setattr(pallas_kernels, "available", lambda: True)
+    n = 16  # row qubits 0..8 (R=512), lane qubits 9..15
+    rng = np.random.default_rng(1234)
+
+    def rand_u(k):
+        m = rng.normal(size=(1 << k, 1 << k)) + 1j * rng.normal(
+            size=(1 << k, 1 << k)
+        )
+        q, _ = np.linalg.qr(m)
+        return q
+
+    def rand_op():
+        kind = rng.integers(0, 7)
+        qs = list(rng.choice(n, size=3, replace=False))
+        if kind == 0:  # 1q named gate anywhere (seam, row, lane)
+            g = [gates.H, gates.T, gates.X, gates.Y][rng.integers(0, 4)]
+            return make_matrix_op([qs[0]], g.reshape(-1))
+        if kind == 1:  # CNOT
+            return make_control_op(
+                [qs[0]], make_matrix_op([qs[1]], gates.X.reshape(-1))
+            )
+        if kind == 2:  # CCX
+            return make_control_op(
+                [qs[0], qs[1]], make_matrix_op([qs[2]], gates.X.reshape(-1))
+            )
+        if kind == 3:  # controlled phase
+            ang = float(rng.uniform(-3, 3))
+            ph = complex(np.cos(ang), np.sin(ang))
+            return PhaseProductOp(
+                (((qs[0], qs[1]), (1, 1, 1, ph)),)
+            )
+        if kind == 4:  # random 2q dense unitary
+            return make_matrix_op(qs[:2], rand_u(2).reshape(-1))
+        if kind == 5:  # random 3q dense unitary
+            return make_matrix_op(qs, rand_u(3).reshape(-1))
+        return make_swap_op([qs[0]], [qs[1]])
+
+    dim = 1 << n
+    for trial in range(3):
+        ops = [rand_op() for _ in range(14)]
+        cc = compile_pipeline(n, [UnitaryEntry(op) for op in ops],
+                              np.complex64)
+        state0 = rng.normal(size=dim) + 1j * rng.normal(size=dim)
+        state0 = (state0 / np.linalg.norm(state0)).astype(np.complex64)
+        re, im, _ = cc.run(initial_state=state0)
+        got = np.asarray(re) + 1j * np.asarray(im)
+        er = jnp.asarray(state0.real)
+        ei = jnp.asarray(state0.imag)
+        for op in ops:
+            er, ei = apply_op_ri(n, op, er, ei)
+        want = np.asarray(er) + 1j * np.asarray(ei)
+        np.testing.assert_allclose(
+            got, want, atol=2e-4,
+            err_msg=f"trial {trial}: {[type(o).__name__ for o in ops]}",
+        )
