@@ -8,7 +8,7 @@ device info. This script closes that gap (VERDICT r2 weak #2): it drives
 the kernel path against the complex XLA apply path (engine/apply.apply_op
 — the kron-oracle-tested reference implementation, cf. the reference's
 engine-vs-kron harness discipline, qip-iterators/src/matrix_ops.rs:221-375)
-on six engineered windows covering every kernel step kind — low
+on nine engineered windows covering every kernel step kind — low
 (Karatsuba complex matmul), lowr (real 2-dot matmul), mix (strip linear
 combination), diag (in-body phase evaluation), cbf (lane-roll butterfly),
 rbf (sublane-roll butterfly), rmix (non-scalar row-block strip-pair
@@ -163,6 +163,15 @@ def build_sequences(n: int):
             ),                                                   # wide MCZ
         ],
         {"cbf", "rbf"},
+    ))
+    # 9. lone rmix: ONE dense op straddling the row/col seam — the shape
+    #    window-aware fusion (joint_ok) produces for Grover's diffusion
+    #    corner; kernel-applicable as a single-step window since round 3's
+    #    review pass (one read+write vs ~2.5 XLA strip passes)
+    seqs.append((
+        "lone_rmix",
+        [make_matrix_op([0, 1, n - 1], _rand_u(3, 51).reshape(-1))],
+        {"rmix"},
     ))
     return seqs
 
