@@ -549,3 +549,20 @@ def test_all_lane_controlled_ops_not_butterfly_kept():
         [5], make_matrix_op([27], gates.X.reshape(-1))
     )
     assert butterfly_eligible(n, seam_cnot)
+
+
+def test_h_broadcast_plan_optimal_sweeps(monkeypatch):
+    """H on all 28 qubits must plan to exactly 5 kernel sweeps — the
+    plan-optimal decomposition under the h<=3 VMEM cap: the 12 high row
+    qubits need ceil(12/3)=4 mix windows, and everything else (low row
+    qubits as rbf butterflies, lane qubits as one composed low matmul)
+    chains into ONE seam window."""
+    monkeypatch.delenv("RUSTQIP_TPU_WINDOW_FUSION", raising=False)
+
+    def build(b):
+        r = b.register(28)
+        r = b.h(r)
+        b.measure(r)
+
+    kinds = _compiled_plan_kinds(build, monkeypatch)
+    assert kinds == ["kwindow"] * 5, kinds
