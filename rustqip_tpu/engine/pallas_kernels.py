@@ -363,6 +363,75 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                 nxt.append((yr, yi))
             cur = nxt
             continue
+        if step[0] == "cmix":
+            # Controlled INTER-STRIP butterfly: 2x2 [[a,b],[c,d]] on a
+            # WINDOW bit — the target row bit sits too high for an
+            # in-block rbf roll, so the pair partner is another strip,
+            # not a rolled copy. Controls mask against absolute row/col
+            # iotas exactly like cbf/rbf (any control position works).
+            # This is how wide multi-controlled 1q gates with high-row
+            # targets — the arithmetic library's carry/overflow ops,
+            # which otherwise cost a whole-state dense pass each —
+            # chain in-window. Strictly pairwise (1:1 like mix), so the
+            # large block schedule keeps.
+            bp, coeffs = step[1], step[2]
+            ctrl = step[3] if len(step) > 3 else ()
+            a, b, c, d = coeffs
+            cmask = None  # column-control part: strip-independent
+            for ck, pc in ctrl:
+                if ck == "c":
+                    m_ = ((cols >> pc) & 1) == 1
+                    cmask = m_ if cmask is None else (cmask & m_)
+
+            def _axpy(acc, sr, si, v):
+                t = _scalar_pair(sr, si, v)
+                if t is None:
+                    return acc
+                if acc is None:
+                    return t
+                return (acc[0] + t[0], acc[1] + t[1])
+
+            def _mask_for(j):
+                m_ = cmask
+                rabs = None
+                for ck, pc in ctrl:
+                    if ck == "r":
+                        if rabs is None:
+                            rabs = block_rows(j)
+                        mr = ((rabs >> pc) & 1) == 1
+                        m_ = mr if m_ is None else (m_ & mr)
+                return m_
+
+            nxt = list(cur)
+            for j0 in range(ns):
+                if j0 & (1 << bp):
+                    continue
+                j1 = j0 | (1 << bp)
+                x0r, x0i = cur[j0]
+                x1r, x1i = cur[j1]
+                y0 = _axpy(_axpy(None, x0r, x0i, a), x1r, x1i, b)
+                y1 = _axpy(_axpy(None, x0r, x0i, c), x1r, x1i, d)
+                if y0 is None:
+                    y0 = (jnp.zeros_like(x0r), jnp.zeros_like(x0i))
+                if y1 is None:
+                    y1 = (jnp.zeros_like(x1r), jnp.zeros_like(x1i))
+                # controls are disjoint from the target bit, and the two
+                # pair strips differ ONLY in the target bit, so one mask
+                # serves both
+                m0 = _mask_for(j0)
+                if m0 is not None:
+                    y0 = (
+                        jnp.where(m0, y0[0], x0r),
+                        jnp.where(m0, y0[1], x0i),
+                    )
+                    y1 = (
+                        jnp.where(m0, y1[0], x1r),
+                        jnp.where(m0, y1[1], x1i),
+                    )
+                nxt[j0] = y0
+                nxt[j1] = y1
+            cur = nxt
+            continue
         if step[0] in ("low", "lowr"):
             # Per-strip C x C matmul: real B = 2 dots, complex B =
             # Karatsuba (3 dots instead of 4).
@@ -627,12 +696,16 @@ def window_sweep(
     ("rmix", {(j, i): ("scalar", v) | ("low"/"lowr", B)}) |
     ("diag", (const, row_monos, col_monos, mixed) angle groups) |
     ("cbf", lane_bit, (a, b, c, d)[, ctrl]) |
-    ("rbf", row_bit, (a, b, c, d)[, ctrl]) —
+    ("rbf", row_bit, (a, b, c, d)[, ctrl]) |
+    ("cmix", window_bit_pos, (a, b, c, d)[, ctrl]) —
     single-qubit 2x2s as lane-roll / sublane-roll butterflies (no
-    operand; rbf's row bit must satisfy 2^(bit+1) <= block rows). The
-    optional 4th cbf/rbf element ``ctrl = (("r"|"c", bit), ...)`` masks
-    the butterfly on those absolute row/col iota bits (controlled form);
-    consumers must handle len(step) > 3.
+    operand; rbf's row bit must satisfy 2^(bit+1) <= block rows), or —
+    "cmix" — as an inter-strip butterfly on the window-index bit at
+    ``window_bit_pos`` (high-row targets whose pair partner is another
+    strip). The optional 4th cbf/rbf/cmix element
+    ``ctrl = (("r"|"c", bit), ...)`` masks the butterfly on those
+    absolute row/col iota bits (controlled form); consumers must handle
+    len(step) > 3.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -272,8 +272,18 @@ def _butterfly_ctrl_spec(n: int, n_m: int, op) -> "tuple | None":
     sit on ANY qubit. This is what lets CCX/CNOT chains — the bulk of
     the arithmetic library, whose targets hug the row/col seam where
     strip windows cannot form (trailing segment < one block) — ride the
-    kernel and chain many gates per HBM sweep. Returns
-    (kind, bit, inner_1q, ctrl) or None."""
+    kernel and chain many gates per HBM sweep.
+
+    Targets on HIGH row bits (above the rbf in-block range) become
+    "cmix" steps instead: the target joins the WINDOW bit set and the
+    butterfly runs BETWEEN strip pairs (same control-mask machinery).
+    Those ops — the arithmetic library's multi-controlled carry/
+    overflow gates, e.g. 3-4 controls onto a high target — previously
+    cost one whole-state dense pass each (they exceed the mix window
+    bit budget when every control joins H; as cmix only the TARGET
+    consumes a window bit). For cmix, ``bit`` is the target QUBIT index
+    (it must join H); for cbf/rbf it is the lane/row BIT position.
+    Returns (kind, bit, inner_1q, ctrl) or None."""
     if not (
         isinstance(op, ControlOp)
         and isinstance(op.inner, DenseOp)
@@ -287,7 +297,7 @@ def _butterfly_ctrl_spec(n: int, n_m: int, op) -> "tuple | None":
     elif n_m - 1 - tq <= WINDOW_RBF_MAX_BIT:
         kind, bit = "rbf", n_m - 1 - tq
     else:
-        return None
+        kind, bit = "cmix", tq
     ctrl = tuple(
         ("r", n_m - 1 - q) if q < n_m else ("c", n - 1 - q)
         for q in sorted(op.control_indices)
@@ -301,6 +311,11 @@ def butterfly_eligible(n: int, op) -> bool:
     kernel path is active — a chain of them retires in ONE kernel sweep,
     beating the fused-dense alternative (which usually cannot window at
     all near the row/col seam).
+
+    "cmix"-eligible ops (high-row targets) are exempted too: their
+    fused-dense alternative exceeds every window bit budget (all
+    controls would join H) and runs as a whole-state dense pass, while
+    the cmix form consumes ONE window bit and chains.
 
     Small states are excluded: the kernel needs >= 64-row DMA blocks
     (``_window_kernel_applicable``), so below R = 64 rows (n < 13) an
@@ -345,6 +360,7 @@ def _collect_window(
     start: int,
     max_h: int = WINDOW_MAX_BITS,
     allow_diag: bool = False,
+    snapshot=None,
 ):
     """Greedy maximal run of dense ops executable as ONE strip sweep.
 
@@ -359,14 +375,27 @@ def _collect_window(
     diagonals join windows too, so QFT's H+controlled-phase ladder
     chains per window.
 
+    With ``snapshot`` (a callable ``(hq, steps, next_index) -> None``),
+    the flushed window state is reported after EVERY consumed op —
+    ``plan_sweeps`` uses it to recover the longest kernel-applicable
+    PREFIX of a run whose maximal collection is inapplicable
+    (applicability is not monotone in run length: hq and block sizes
+    change as ops join). One collection pass replaces re-collecting
+    each candidate prefix from scratch.
+
     Returns ``((H_sorted, steps), next_index)`` or ``(None, start)``;
     steps: ("low", composed numpy C x C) | ("mix", op, plan) |
     ("rmix", op, plan) | ("diag", angle_groups) |
     ("cbf", lane_bit, 2x2 coeffs[, ctrl]) |
-    ("rbf", row_bit, 2x2 coeffs[, ctrl]) — the optional 4th element is
-    a control spec ``(("r"|"c", bit), ...)`` making the butterfly
-    CONTROLLED (mask from absolute row/col iotas). cbf/rbf are
-    kernel-only
+    ("rbf", row_bit, 2x2 coeffs[, ctrl]) |
+    ("cmix", target_qubit, 2x2 coeffs[, ctrl]) — the optional 4th
+    element is a control spec ``(("r"|"c", bit), ...)`` making the
+    butterfly CONTROLLED (mask from absolute row/col iotas). "cmix" is
+    the high-row-target form: the target qubit joins the window bit set
+    and the 2x2 runs between strip PAIRS, so wide multi-controlled ops
+    (3-4 controls onto a high row bit — the arithmetic library's
+    carry/overflow gates) consume ONE window bit instead of one whole-
+    state dense pass each. cbf/rbf/cmix are kernel-only
     (``allow_diag``): single-qubit gates on column (lane) bits and on
     LOW row (sublane) bits become in-block roll butterflies, adjacent
     same-bit ones composed. rbf needs no strips at all (the pair partner
@@ -410,12 +439,31 @@ def _collect_window(
     def butterfly_ctrl_spec(op) -> "tuple | None":
         return _butterfly_ctrl_spec(n, n_m, op)
 
+    def note() -> None:
+        """Report the current (flushed) prefix state to ``snapshot``.
+        Steps tuples and operand arrays are never mutated after append
+        (composition rebinds), so a shallow list copy is a valid
+        snapshot."""
+        if snapshot is None:
+            return
+        snap_steps = list(steps)
+        if pending_B is not None:
+            snap_steps.append(("low", pending_B))
+        snapshot(tuple(sorted(H)), snap_steps, j)
+
     while j < len(ops) and consumed < WINDOW_MAX_OPS:
         op = ops[j]
         if allow_diag and isinstance(op, ControlOp):
             spec = butterfly_ctrl_spec(op)
             if spec is not None:
                 kind, bit, inner1q, ctrl = spec
+                if kind == "cmix":
+                    # the TARGET qubit must be a window bit (strips pair
+                    # across it); controls stay masks, consuming nothing
+                    new_h = H | {bit}
+                    if len(new_h) > max_h:
+                        break
+                    H = new_h
                 # A pending composed C x C run must emit first: a lane
                 # butterfly with row controls cannot fold into a plain
                 # matmul, and emission order preserves semantics.
@@ -423,6 +471,7 @@ def _collect_window(
                 push_butterfly(kind, bit, inner1q, ctrl)
                 j += 1
                 consumed += 1
+                note()
                 continue
         if (
             isinstance(op, (ControlOp, SparseOp))
@@ -454,6 +503,7 @@ def _collect_window(
                     steps.append(("diag", dplan))
                     j += 1
                     consumed += 1
+                    note()
                     continue
             break
         if p[0] == "low":
@@ -474,11 +524,13 @@ def _collect_window(
                 push_butterfly("cbf", n - 1 - op.indices[0], op)
                 j += 1
                 consumed += 1
+                note()
                 continue
             B = p[1]
             pending_B = B if pending_B is None else B @ pending_B
             j += 1
             consumed += 1
+            note()
             continue
         if (
             allow_diag
@@ -494,6 +546,7 @@ def _collect_window(
             push_butterfly("rbf", n_m - 1 - op.indices[0], op)
             j += 1
             consumed += 1
+            note()
             continue
         if not _is_scalar_high(p):
             # Non-scalar row blocks ("rmix"): a dense op straddling the
@@ -515,6 +568,7 @@ def _collect_window(
                 steps.append(("rmix", op, p))
                 j += 1
                 consumed += 1
+                note()
                 continue
             break
         # Only ROW bits join the window bit set: a seam-straddling op can
@@ -530,6 +584,7 @@ def _collect_window(
         steps.append(("mix", op, p))
         j += 1
         consumed += 1
+        note()
     flush()
     if consumed == 0:
         return None, start
@@ -612,7 +667,9 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
         return False
     n_low = sum(1 for s in steps if s[0] == "low")
     n_diag = sum(1 for s in steps if s[0] == "diag")
-    n_cbf = sum(1 for s in steps if s[0] == "cbf")
+    # cmix (inter-strip controlled butterflies) count with cbf/rbf:
+    # same worth-it math — the dense alternative cannot window at all
+    n_cbf = sum(1 for s in steps if s[0] in ("cbf", "cmix"))
     n_rbf = len(rbf_bits)
     n_rmix = sum(1 for s in steps if s[0] == "rmix")
     # rmix block matrices are VMEM residents like low operands (upper
@@ -658,19 +715,33 @@ def _pure_mix_kernel_enabled() -> bool:
     return os.environ.get("RUSTQIP_TPU_KERNEL_PURE_MIX", "1") != "0"
 
 
-def _window_kernel_run(n: int, window, re, im) -> Pair:
-    """Convert a (possibly diag-bearing) window into kernel steps and run
-    it as one VMEM-resident Pallas sweep."""
-    hq, steps = window
-    _, R, C = _geometry(n)
+def window_ksteps(n: int, hq, steps) -> list:
+    """Translate COLLECTION steps into the kernel's step format: mix and
+    rmix expand their op blocks into window strip-index space; cmix maps
+    its target QUBIT to the strip-index bit position (the same ordering
+    ``_expand_blocks`` uses: hq.index -> h-1-pos); everything else passes
+    through. Shared by ``_window_kernel_run`` and the interpret-mode
+    kernel tests, so both exercise the same translation."""
     ksteps = []
     for s in steps:
         if s[0] == "mix":
             ksteps.append(("mix", _expand_mix(n, hq, s[1], s[2])))
         elif s[0] == "rmix":
             ksteps.append(("rmix", _expand_blocks(n, hq, s[1], s[2])))
+        elif s[0] == "cmix":
+            bp = len(hq) - 1 - hq.index(s[1])
+            ksteps.append(("cmix", bp) + tuple(s[2:]))
         else:
             ksteps.append(s)
+    return ksteps
+
+
+def _window_kernel_run(n: int, window, re, im) -> Pair:
+    """Convert a (possibly diag-bearing) window into kernel steps and run
+    it as one VMEM-resident Pallas sweep."""
+    hq, steps = window
+    _, R, C = _geometry(n)
+    ksteps = window_ksteps(n, hq, steps)
     out_r, out_i = pallas_kernels.window_sweep(
         n,
         re.reshape(R, C),
@@ -802,10 +873,28 @@ def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):
             # while the same run collected at h<=1 keeps 512-row blocks
             # (QFT-28's middle ladder). Retry down the h ladder before
             # surrendering the run to the XLA fallback.
+            # Prefix fallback: the maximal collection can be inapplicable
+            # ONLY because of later ops — e.g. the add carry chain's seam
+            # rbf bits force tiny blocks onto a perfectly good mix+cbf
+            # window collected just before them. ``snapshot`` reports the
+            # flushed state after every consumed op during the SAME
+            # collection pass, so the longest kernel-applicable prefix
+            # falls out for free (applicability is not monotone in prefix
+            # length — hq and block sizes change as ops join — hence
+            # every length is checked, not just the maximal one).
             placed = False
+            # next_index -> (hq, steps); collection is deterministic and
+            # max_h only changes BREAK points, so snapshots at the same
+            # index coincide across ladder widths — first seen wins.
+            cands = {}
+
+            def snap(hq, steps, jj):
+                if jj not in cands:
+                    cands[jj] = (hq, steps)
+
             for mh in ladder:
                 window, j = _collect_window(
-                    n, ops, i, max_h=mh, allow_diag=True
+                    n, ops, i, max_h=mh, allow_diag=True, snapshot=snap
                 )
                 if window is not None and _window_kernel_applicable(
                     n, window[0], window[1]
@@ -814,6 +903,16 @@ def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):
                     i = j
                     placed = True
                     break
+            if not placed:
+                # Applicability checks are deferred to here (failed runs
+                # only) and stop at the first hit, longest prefix first.
+                for jj in sorted(cands, reverse=True):
+                    hq, steps = cands[jj]
+                    if _window_kernel_applicable(n, hq, steps):
+                        plan.append(("kwindow", (hq, steps), ops[i:jj]))
+                        i = jj
+                        placed = True
+                        break
             if placed:
                 continue
         window, j = _collect_window(n, ops, i)

@@ -133,7 +133,7 @@ def pass_breakdown(builder) -> list:
 
     Returns one dict per HBM sweep (strip window), in execution order:
     which fused ops it retires, the window's row bits and step-type
-    composition (``mix``/``low``/``cbf``/``rbf``/``diag``), whether the Pallas
+    composition (``mix``/``low``/``cbf``/``rbf``/``cmix``/``diag``), whether the Pallas
     kernel takes it, and the estimated HBM bytes it moves. Host-side only
     (no device work) — the static half of the ROADMAP "per-pass timing
     breakdown" (the reference has no tracing at all, SURVEY.md §5).

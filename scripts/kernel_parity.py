@@ -8,11 +8,12 @@ device info. This script closes that gap (VERDICT r2 weak #2): it drives
 the kernel path against the complex XLA apply path (engine/apply.apply_op
 — the kron-oracle-tested reference implementation, cf. the reference's
 engine-vs-kron harness discipline, qip-iterators/src/matrix_ops.rs:221-375)
-on nine engineered windows covering every kernel step kind — low
+on ten engineered windows covering every kernel step kind — low
 (Karatsuba complex matmul), lowr (real 2-dot matmul), mix (strip linear
 combination), diag (in-body phase evaluation), cbf (lane-roll butterfly),
 rbf (sublane-roll butterfly), rmix (non-scalar row-block strip-pair
-matmuls) — at n=20, and asserts <= 1e-6 max abs amplitude disagreement.
+matmuls), cmix (inter-strip controlled butterflies for high-row targets)
+— at n=20, and asserts <= 1e-6 max abs amplitude disagreement.
 
 Everything runs in ONE jit program (one relay compile): kernel outputs and
 oracle outputs never leave the device; only per-window max-abs-diffs are
@@ -173,6 +174,24 @@ def build_sequences(n: int):
         [make_matrix_op([0, 1, n - 1], _rand_u(3, 51).reshape(-1))],
         {"rmix"},
     ))
+    # 10. cmix (round 3): multi-controlled 1q gates whose targets sit on
+    #     HIGH row bits (above the rbf in-block range) — the target joins
+    #     the window bit set and the 2x2 runs between strip PAIRS, masked
+    #     by control iotas. The arithmetic library's carry/overflow ops
+    #     (3-4 controls onto a high target) take this path: add-n28 plans
+    #     32 sweeps -> 5, times_mod-n47 1323 -> 295, all-kernel.
+    #     n=20 (n_m=13): qubits 0..3 sit on row bits 12..9.
+    seqs.append((
+        "cmix_high_targets",
+        [
+            make_control_op([6, n - 2], make_matrix_op([0], X)),
+            make_control_op(
+                [4, 9, n - 1], make_matrix_op([1], gates.H.reshape(-1))
+            ),
+            make_control_op([2, 12], make_matrix_op([0], gates.Y.reshape(-1))),
+        ],
+        {"cmix"},
+    ))
     return seqs
 
 
@@ -196,7 +215,9 @@ def check_plans(n: int, seqs) -> list:
         log(f"plan {name}: {len(plan)} kernel sweep(s), steps {sorted(kinds)}")
         all_kinds.append(sorted(kinds))
     covered = set().union(*(set(k) for k in all_kinds))
-    assert {"low", "mix", "diag", "cbf", "rbf", "rmix"} <= covered, covered
+    assert {
+        "low", "mix", "diag", "cbf", "rbf", "rmix", "cmix"
+    } <= covered, covered
     return all_kinds
 
 

@@ -155,7 +155,8 @@ def test_compiled_kernel_path_fuzz(monkeypatch):
     )
 
     monkeypatch.setattr(pallas_kernels, "available", lambda: True)
-    n = 16  # row qubits 0..8 (R=512), lane qubits 9..15
+    n = 17  # row qubits 0..9 (R=1024; qubit 0 = row bit 9, the cmix
+    # range), lane qubits 10..16
     rng = np.random.default_rng(1234)
 
     def rand_u(k):

@@ -566,3 +566,91 @@ def test_h_broadcast_plan_optimal_sweeps(monkeypatch):
 
     kinds = _compiled_plan_kinds(build, monkeypatch)
     assert kinds == ["kwindow"] * 5, kinds
+
+
+def test_prefix_salvage_low_cap_plans_two_kernel_windows():
+    """Prefix fallback in plan_sweeps: a run whose MAXIMAL collection is
+    kernel-inapplicable only because of later ops (here: alternating
+    CZ lows with a row-bit mix until the flushed low count exceeds
+    WINDOW_KERNEL_MAX_LOW) must salvage the longest applicable PREFIX
+    as a kernel window instead of surrendering the whole run to the XLA
+    fallback. Snapshots are reported during the SAME collection pass
+    (every prefix length checked — applicability is not monotone)."""
+    from rustqip_tpu.engine.real_apply import (
+        WINDOW_KERNEL_MAX_LOW,
+        plan_sweeps,
+    )
+
+    n = 28
+    cz = np.diag([1, 1, 1, -1]).astype(complex).reshape(-1)
+    ops = []
+    for _ in range(WINDOW_KERNEL_MAX_LOW + 2):
+        ops.append(make_matrix_op([n - 2, n - 1], cz))  # low (col qubits)
+        ops.append(make_matrix_op([10], gates.H.reshape(-1)))  # row-bit 10
+    plan = plan_sweeps(n, ops, True)
+    assert [k for k, _, _ in plan] == ["kwindow", "kwindow"], (
+        [k for k, _, _ in plan]
+    )
+    # first window stops exactly at the low cap (24 lows + 24 mixes)
+    assert len(plan[0][2]) == 2 * WINDOW_KERNEL_MAX_LOW
+    assert len(plan[1][2]) == 4
+
+
+@pytest.mark.heavy
+def test_prefix_salvage_execution_equivalence(monkeypatch):
+    """The salvaged-prefix plan EXECUTES correctly end to end: CZ lows
+    alternating with rbf butterflies past the low cap, run through
+    apply_ops_ri with the kernel path simulated on (interpret-mode
+    fallback off-TPU), vs per-op reference application."""
+    from rustqip_tpu.engine import pallas_kernels
+    from rustqip_tpu.engine.real_apply import (
+        WINDOW_KERNEL_MAX_LOW,
+        plan_sweeps,
+    )
+
+    monkeypatch.setattr(pallas_kernels, "available", lambda: True)
+    n = 16
+    cz = np.diag([1, 1, 1, -1]).astype(complex).reshape(-1)
+    ops = []
+    for _ in range(WINDOW_KERNEL_MAX_LOW + 2):
+        ops.append(make_matrix_op([n - 2, n - 1], cz))
+        ops.append(make_matrix_op([5], gates.H.reshape(-1)))  # rbf bit 3
+    plan = plan_sweeps(n, ops, True)
+    kinds = [k for k, _, _ in plan]
+    assert kinds.count("kwindow") == 2 and len(kinds) == 2, kinds
+
+    rng = np.random.default_rng(7)
+    state = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    state = (state / np.linalg.norm(state)).astype(np.complex64)
+    re, im = jnp.asarray(state.real), jnp.asarray(state.imag)
+    gr, gi = apply_ops_ri(n, ops, re, im)
+    er, ei = re, im
+    for op in ops:
+        er, ei = apply_op_ri(n, op, er, ei)
+    np.testing.assert_allclose(
+        np.asarray(gr) + 1j * np.asarray(gi),
+        np.asarray(er) + 1j * np.asarray(ei),
+        atol=2e-4,
+    )
+
+
+def test_add28_cmix_plans_all_kernel(monkeypatch):
+    """Perf-regression guard (round 3 "cmix"): the 28-qubit ripple
+    adder's multi-controlled carry ops (3-4 controls onto HIGH row-bit
+    targets — exactly the ops that used to cost one whole-state dense
+    pass each) now ride kernel windows as inter-strip controlled
+    butterflies. The full adder must plan to <= 8 kernel sweeps with
+    ZERO dense/solo passes (was 32 sweeps: 16 XLA windows + 16
+    kwindows)."""
+
+    def build(b):
+        from rustqip_tpu.algos.arithmetic import add
+
+        rc = b.register(9)
+        ra = b.register(9)
+        rb = b.register(10)
+        add(b, rc, ra, rb)
+
+    kinds = _compiled_plan_kinds(build, monkeypatch)
+    assert kinds and set(kinds) == {"kwindow"}, kinds
+    assert len(kinds) <= 8, kinds

@@ -9,11 +9,10 @@ import pytest
 from rustqip_tpu.engine.pallas_kernels import _BLOCK_ROWS, window_sweep
 from rustqip_tpu.engine.real_apply import (
     _collect_window,
-    _expand_blocks,
-    _expand_mix,
     _window_kernel_applicable,
     _window_seg_sizes,
     apply_op_ri,
+    window_ksteps,
 )
 from rustqip_tpu.ops import gates
 from rustqip_tpu.ops.matrix_ops import make_matrix_op
@@ -30,14 +29,7 @@ def _run_window_kernel(ops, n=N, allow_diag=False):
     assert j == len(ops)
     hq, steps = window
     assert _window_kernel_applicable(n, hq, steps)
-    ksteps = []
-    for s in steps:
-        if s[0] == "mix":
-            ksteps.append(("mix", _expand_mix(n, hq, s[1], s[2])))
-        elif s[0] == "rmix":
-            ksteps.append(("rmix", _expand_blocks(n, hq, s[1], s[2])))
-        else:
-            ksteps.append(s)
+    ksteps = window_ksteps(n, hq, steps)
     re, im = jnp.asarray(sr), jnp.asarray(si)
     out_r, out_i = window_sweep(
         n,
@@ -285,16 +277,7 @@ def test_arithmetic_adder_via_keep_fusion_and_kernel_plan():
     for kind, payload, _run in plan:
         if kind == "kwindow":
             hq, steps = payload
-            ksteps = []
-            for s in steps:
-                if s[0] == "mix":
-                    ksteps.append(("mix", _expand_mix(n, hq, s[1], s[2])))
-                elif s[0] == "rmix":
-                    ksteps.append(
-                        ("rmix", _expand_blocks(n, hq, s[1], s[2]))
-                    )
-                else:
-                    ksteps.append(s)
+            ksteps = window_ksteps(n, hq, steps)
             out_r, out_i = window_sweep(
                 n,
                 gr.reshape(R, C),
@@ -630,9 +613,7 @@ def test_window_kernel_randomized_fuzz():
     tests above."""
     from rustqip_tpu.engine.real_apply import (
         _collect_window,
-        _expand_mix,
         _window_kernel_applicable,
-        _window_seg_sizes,
     )
     from rustqip_tpu.ops.matrix_ops import PhaseProductOp
 
@@ -662,10 +643,11 @@ def test_window_kernel_randomized_fuzz():
         for _ in range(rng.integers(3, 9)):
             kind = rng.integers(0, 6)
             if kind == 5:
-                # Controlled butterfly (round 3): 1q dense inner on a
-                # butterfly-eligible target (row bit <= 8 -> qubit >= 3,
-                # or a lane qubit), controls at ANY other position.
-                tq = int(rng.integers(3, N))
+                # Controlled butterfly / cmix (round 3): 1q dense inner
+                # on ANY target — lane (cbf), low row bit (rbf), or high
+                # row bit (cmix, qubits 0..2 here) — controls at ANY
+                # other position.
+                tq = int(rng.integers(0, N))
                 nc = int(rng.integers(1, 4))
                 pool = [q for q in range(N) if q != tq]
                 ctrls = [
@@ -714,3 +696,63 @@ def test_window_kernel_randomized_fuzz():
             continue
         ops = ops[:j]
         _run_window_kernel(ops, allow_diag=True)
+
+
+@pytest.mark.heavy
+def test_cmix_high_row_targets_window_kernel():
+    """Multi-controlled 1q gates with HIGH row-bit targets (above the
+    rbf in-block range) window as "cmix" steps — the target joins the
+    window bit set, controls become absolute-iota masks — instead of
+    one whole-state dense pass each (the arithmetic library's
+    carry/overflow ops; cf. reference apply loops
+    qip-iterators/src/matrix_ops.rs:158-219). At N=19 (n_m=12) qubits
+    0..2 sit on row bits 11..9."""
+    from rustqip_tpu.ops.matrix_ops import make_control_op
+
+    _run_window_kernel(
+        [
+            make_control_op([5, 15], make_matrix_op([0], gates.X.reshape(-1))),
+            make_control_op(
+                [3, 8, 17], make_matrix_op([1], gates.H.reshape(-1))
+            ),
+            make_matrix_op([N - 1], gates.T.reshape(-1)),
+            make_control_op([12, 4], make_matrix_op([0], gates.Y.reshape(-1))),
+            make_matrix_op([7], gates.H.reshape(-1)),
+        ],
+        allow_diag=True,
+    )
+
+
+def test_cmix_composition_same_target():
+    """Adjacent cmix steps with the same target and control set compose
+    host-side into one inter-strip butterfly (C(U)C(V) = C(UV))."""
+    from rustqip_tpu.engine.real_apply import _collect_window
+    from rustqip_tpu.ops.matrix_ops import make_control_op
+
+    ops = [
+        make_control_op([5, 15], make_matrix_op([0], gates.H.reshape(-1))),
+        make_control_op([5, 15], make_matrix_op([0], gates.T.reshape(-1))),
+        make_control_op([15, 5], make_matrix_op([0], gates.H.reshape(-1))),
+    ]
+    window, j = _collect_window(N, ops, 0, allow_diag=True)
+    assert j == 3
+    hq, steps = window
+    assert hq == (0,)
+    assert [s[0] for s in steps] == ["cmix"]
+
+
+def test_cmix_distinct_targets_respect_window_bit_budget():
+    """cmix targets consume window bits: four ops on four distinct high
+    row-bit targets cannot share one h<=3 window — the collection must
+    break after three distinct targets."""
+    from rustqip_tpu.engine.real_apply import _collect_window
+    from rustqip_tpu.ops.matrix_ops import make_control_op
+
+    n = 23  # n_m = 16: qubits 0..6 sit on row bits 15..9 (cmix range)
+    ops = [
+        make_control_op([10 + t], make_matrix_op([t], gates.X.reshape(-1)))
+        for t in range(4)
+    ]
+    window, j = _collect_window(n, ops, 0, allow_diag=True)
+    assert j == 3
+    assert window[0] == (0, 1, 2)
