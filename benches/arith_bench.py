@@ -18,6 +18,9 @@ without it both arms silently benchmark the same dense plan):
 
 At k=9 (n=28) the plan goes 17 dense sweeps -> 8 sweeps (5 kernel
 windows carrying the CCX/CNOT chains as masked roll butterflies).
+With round 3's "cmix" steps (multi-controlled gates with HIGH row-bit
+targets become inter-strip controlled butterflies) and window-aware
+fusion, the same adder plans to 5 kernel sweeps, zero fallbacks.
 """
 
 import functools
@@ -59,7 +62,29 @@ def main():
         and os.environ.get("RUSTQIP_TPU_KEEP_BUTTERFLY", "1") != "0"
     )
     keep = (lambda op: butterfly_eligible(n, op)) if keep_on else None
-    qops = fuse_ops(raw, keep=keep)
+    # Mirror engine/compile's window-aware fusion (joint_ok): greedy
+    # joints capped to kernel-plannable shapes, same hatch.
+    from rustqip_tpu.engine.apply import _geometry
+    from rustqip_tpu.engine.real_apply import RMIX_MAX_ROW_BITS
+
+    m, R, _ = _geometry(n)
+    n_m = n - m
+    joint_ok = None
+    if (
+        keep_on
+        and R >= 64
+        and os.environ.get("RUSTQIP_TPU_WINDOW_FUSION", "1") != "0"
+    ):
+        def joint_ok(indices):
+            row_bits = [n_m - 1 - q for q in indices if q < n_m]
+            cap = (
+                3 if len(row_bits) == len(indices) else RMIX_MAX_ROW_BITS
+            )
+            return len(row_bits) <= cap and (
+                not row_bits or min(row_bits) >= 6
+            )
+
+    qops = fuse_ops(raw, keep=keep, joint_ok=joint_ok)
     kernel_ok = pallas_kernels.available()
     plan = plan_sweeps(n, qops, kernel_ok)
     nk = sum(1 for kind, _, _ in plan if kind == "kwindow")
