@@ -139,11 +139,31 @@ class CompiledCircuit:
         self.num_measurements = sum(
             1 for e in self.entries if isinstance(e, MeasureEntry)
         )
+        #: Whether execution takes the Pallas window-kernel path — fixed
+        #: at compile so fusion shape, sweep planning and the profilers
+        #: all agree (sharded circuits override the policy to False).
+        self._kernel_ok = (
+            self._kernel_policy() and np.dtype(self.rdtype) == np.float32
+        )
         self.segments = self._plan(fuse, max_fused_qubits)
         self._fn = jax.jit(self._trace_from_index)
         self._fn_state = jax.jit(self._trace_from_state)
         self._fn_forced = None  # lazily jitted: MeasuredCondition forcing
         self._fn_forced_state = None  # forcing + explicit initial state
+
+    def _kernel_policy(self) -> bool:
+        """Whether this circuit's execution may take the Pallas
+        window-kernel path. Single-chip: the backend's availability.
+        SHARDED circuits override to False — the kernel operates on one
+        chip's full canonical (rows, 128) HBM view; under GSPMD the
+        state is partitioned across devices and a ``pallas_call`` cannot
+        be auto-sharded, and the explicit executor lowers ops itself.
+        Window-aware fusion (keep/joint_ok) keys off the same policy:
+        exempting butterfly-eligible ops from dense fusion only pays
+        when kernel sweeps actually retire them."""
+        from rustqip_tpu.engine import pallas_kernels
+
+        return pallas_kernels.available()
 
     # -- planning ----------------------------------------------------------
     def _plan(self, fuse: bool, max_fused_qubits: int):
@@ -155,7 +175,7 @@ class CompiledCircuit:
         residual permutation materializes as <= 2 physical SwapOps at
         the end (QFT + inverse-QFT pairs cancel to zero). Disable with
         ``RUSTQIP_TPU_DEFER_SWAPS=0``."""
-        from rustqip_tpu.engine import pallas_kernels, relabel
+        from rustqip_tpu.engine import relabel
         from rustqip_tpu.engine.real_apply import (
             RMIX_MAX_ROW_BITS,
             butterfly_eligible,
@@ -188,10 +208,7 @@ class CompiledCircuit:
         #   Hatch: RUSTQIP_TPU_WINDOW_FUSION=0.
         keep = None
         joint_ok = None
-        kernel_fusion = (
-            pallas_kernels.available()
-            and np.dtype(self.rdtype) == np.float32
-        )
+        kernel_fusion = self._kernel_ok
         if (
             kernel_fusion
             and os.environ.get("RUSTQIP_TPU_KEEP_BUTTERFLY", "1") != "0"
@@ -376,11 +393,15 @@ class CompiledCircuit:
                 re, im = jax.lax.fori_loop(
                     0,
                     times,
-                    lambda _, s: apply_ops_ri(self.n, body, s[0], s[1]),
+                    lambda _, s: apply_ops_ri(
+                        self.n, body, s[0], s[1], kernel_ok=self._kernel_ok
+                    ),
                     (re, im),
                 )
             else:
-                re, im = apply_ops_ri(self.n, seg, re, im)
+                re, im = apply_ops_ri(
+                    self.n, seg, re, im, kernel_ok=self._kernel_ok
+                )
             if self._check_norm:
                 jax.debug.callback(
                     _norm_check_cb,

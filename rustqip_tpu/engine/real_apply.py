@@ -926,7 +926,11 @@ def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):
 
 
 def apply_ops_ri(
-    n: int, ops: Sequence[MatrixOp], re: jnp.ndarray, im: jnp.ndarray
+    n: int,
+    ops: Sequence[MatrixOp],
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    kernel_ok: "bool | None" = None,
 ) -> Pair:
     """Apply ops in sequence with strip-window sweeps: maximal runs of
     dense ops whose supports stay within (column qubits) + (<= 3 row-qubit
@@ -936,7 +940,13 @@ def apply_ops_ri(
     window. Measured at n=28 (v5e): the alternating H(0)/H(27) pattern
     collapses from 30 passes to 1 (905 applies/s via the Pallas window
     kernel; the XLA fallback uses the same windows without diagonals)."""
-    kernel_ok = pallas_kernels.available() and re.dtype == jnp.float32
+    if kernel_ok is None:
+        # Standalone calls: follow backend availability. Compiled
+        # circuits pass their fixed policy instead (sharded circuits
+        # force False — the kernel cannot run on a GSPMD-partitioned
+        # state; see CompiledCircuit._kernel_policy).
+        kernel_ok = pallas_kernels.available()
+    kernel_ok = kernel_ok and re.dtype == jnp.float32
     for kind, payload, _run in plan_sweeps(n, ops, kernel_ok):
         if kind == "kwindow":
             re, im = _window_kernel_run(n, payload, re, im)

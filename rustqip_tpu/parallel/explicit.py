@@ -170,6 +170,13 @@ class ExplicitShardedCircuit(CompiledCircuit):
     def _use_real_pairs(self) -> bool:  # type: ignore[override]
         return True
 
+    def _kernel_policy(self) -> bool:  # type: ignore[override]
+        """The explicit executor lowers every op through shard_ops'
+        hand schedules — the single-chip Pallas window kernel never
+        runs, so fusion must stay plain greedy (see
+        ShardedCircuit._kernel_policy)."""
+        return False
+
     def _one_hot(self, initial_row, initial_col):
         re, im = super()._one_hot(initial_row, initial_col)
         re = jax.lax.with_sharding_constraint(re, self._state_sharding)

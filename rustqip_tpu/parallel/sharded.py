@@ -75,6 +75,15 @@ class ShardedCircuit(CompiledCircuit):
         self._state_sharding = state_sharding
         self._replicated = replicated
 
+    def _kernel_policy(self) -> bool:
+        """Sharded execution never takes the Pallas window-kernel path:
+        the kernel operates on one chip's full canonical (rows, 128)
+        HBM view, and a ``pallas_call`` cannot be auto-sharded by GSPMD
+        over the partitioned state. Forcing False here also reverts
+        fusion to plain greedy joints (keep/joint_ok exemptions only pay
+        when kernel sweeps retire the exempted ops)."""
+        return False
+
     def _make_forced_fn(self):
         import jax as _jax
 

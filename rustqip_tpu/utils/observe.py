@@ -120,12 +120,11 @@ def profile_circuit(
 
 def _kernel_ok(builder) -> bool:
     """Whether ``apply_ops_ri`` will take the Pallas window-kernel path
-    for this builder's circuit (Pallas available + f32 planes) — keeps
-    the profilers' sweep decomposition identical to execution."""
-    from rustqip_tpu.engine import pallas_kernels
-
-    cc = builder.compile()
-    return pallas_kernels.available() and np.dtype(cc.rdtype) == np.float32
+    for this builder's circuit — read from the compiled circuit's own
+    fixed policy (Pallas available + f32 planes; sharded circuits force
+    False), so the profilers' sweep decomposition is identical to
+    execution by construction."""
+    return builder.compile()._kernel_ok
 
 
 def pass_breakdown(builder) -> list:

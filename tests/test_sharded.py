@@ -170,3 +170,54 @@ def test_explicit_path_rejects_multiaxis_mesh():
     mesh = make_multislice_mesh(2, 4)
     with pytest.raises(CircuitError):
         make_sharded_pair(mesh, 7)
+
+
+def test_sharded_circuits_never_take_kernel_path(monkeypatch):
+    """On real multi-chip TPU the backend reports Pallas available, but
+    a GSPMD-partitioned state cannot feed the single-chip window kernel
+    (a pallas_call is not auto-shardable) — sharded circuits must force
+    the kernel policy off: plain greedy fusion (no keep/joint_ok
+    exemptions) and zero kwindow sweeps in their plans, while the
+    single-chip compile of the SAME pipeline keeps the kernel path."""
+    from rustqip_tpu.algos.arithmetic import add
+    from rustqip_tpu.builder.builder import LocalBuilder, _lower_item
+    from rustqip_tpu.engine import pallas_kernels
+    from rustqip_tpu.engine.compile import compile_pipeline
+    from rustqip_tpu.engine.real_apply import plan_sweeps
+    from rustqip_tpu.parallel.explicit import compile_sharded_explicit
+    from rustqip_tpu.parallel.sharded import compile_sharded
+
+    require_8_devices()
+    monkeypatch.setattr(pallas_kernels, "available", lambda: True)
+    b = LocalBuilder(dtype=np.complex64)
+    add(b, b.register(5), b.register(5), b.register(6))  # n=16 CCX chains
+    entries = []
+    for item in b.pipeline:
+        entries.extend(_lower_item(item))
+
+    mesh = make_shard_mesh(8)
+    single = compile_pipeline(16, entries, np.complex64)
+    assert single._kernel_ok
+    for cc in (
+        compile_sharded(16, entries, np.complex64, mesh),
+        compile_sharded_explicit(16, entries, np.complex64, mesh),
+    ):
+        assert not cc._kernel_ok
+        for seg in cc.segments:
+            if isinstance(seg, list):
+                kinds = {
+                    k for k, _, _ in plan_sweeps(cc.n, seg, cc._kernel_ok)
+                }
+                assert "kwindow" not in kinds, kinds
+
+    # End-to-end: GSPMD execution with availability patched on must not
+    # route through the kernel (it would crash or corrupt under GSPMD)
+    # and must match the single-chip amplitudes.
+    re1, im1, _ = single.run()
+    re2, im2, _ = compile_sharded(16, entries, np.complex64, mesh).run()
+    np.testing.assert_allclose(
+        np.asarray(re1), np.asarray(re2), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(im1), np.asarray(im2), atol=1e-5
+    )
