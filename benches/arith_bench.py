@@ -62,27 +62,18 @@ def main():
         and os.environ.get("RUSTQIP_TPU_KEEP_BUTTERFLY", "1") != "0"
     )
     keep = (lambda op: butterfly_eligible(n, op)) if keep_on else None
-    # Mirror engine/compile's window-aware fusion (joint_ok): greedy
-    # joints capped to kernel-plannable shapes, same hatch.
-    from rustqip_tpu.engine.apply import _geometry
-    from rustqip_tpu.engine.real_apply import RMIX_MAX_ROW_BITS
+    # Window-aware fusion, THE SAME predicate and gating engine/compile
+    # uses (shared helper — the arms cannot drift): joint_ok keys on
+    # kernel availability + RUSTQIP_TPU_WINDOW_FUSION, independent of
+    # the KEEP_BUTTERFLY hatch.
+    from rustqip_tpu.engine.real_apply import window_joint_ok
 
-    m, R, _ = _geometry(n)
-    n_m = n - m
     joint_ok = None
     if (
-        keep_on
-        and R >= 64
+        pallas_kernels.available()
         and os.environ.get("RUSTQIP_TPU_WINDOW_FUSION", "1") != "0"
     ):
-        def joint_ok(indices):
-            row_bits = [n_m - 1 - q for q in indices if q < n_m]
-            cap = (
-                3 if len(row_bits) == len(indices) else RMIX_MAX_ROW_BITS
-            )
-            return len(row_bits) <= cap and (
-                not row_bits or min(row_bits) >= 6
-            )
+        joint_ok = window_joint_ok(n)
 
     qops = fuse_ops(raw, keep=keep, joint_ok=joint_ok)
     kernel_ok = pallas_kernels.available()

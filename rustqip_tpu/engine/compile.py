@@ -177,10 +177,9 @@ class CompiledCircuit:
         ``RUSTQIP_TPU_DEFER_SWAPS=0``."""
         from rustqip_tpu.engine import relabel
         from rustqip_tpu.engine.real_apply import (
-            RMIX_MAX_ROW_BITS,
             butterfly_eligible,
+            window_joint_ok,
         )
-        from rustqip_tpu.engine.apply import _geometry
 
         defer = relabel.enabled()
         pos = list(range(self.n))
@@ -215,23 +214,12 @@ class CompiledCircuit:
         ):
             n = self.n
             keep = lambda op: butterfly_eligible(n, op)  # noqa: E731
-        m, R, _ = _geometry(self.n)
         if (
             kernel_fusion
-            and R >= 64  # kernel windows need >= 64-row DMA blocks
             and os.environ.get("RUSTQIP_TPU_WINDOW_FUSION", "1") != "0"
         ):
-            n_m = self.n - m
-
-            def joint_ok(indices):
-                row_bits = [n_m - 1 - q for q in indices if q < n_m]
-                cap = (
-                    3 if len(row_bits) == len(indices)
-                    else RMIX_MAX_ROW_BITS
-                )
-                return len(row_bits) <= cap and (
-                    not row_bits or min(row_bits) >= 6
-                )
+            # None below R = 64 rows (kernel windows cannot form)
+            joint_ok = window_joint_ok(self.n)
 
         def flush():
             nonlocal run
@@ -625,13 +613,20 @@ def _env_plan_flags() -> tuple:
     the cache fingerprint, or flipping one (e.g. the documented
     RUSTQIP_TPU_DEFER_SWAPS=0 kill switch) would be silently ignored on a
     cache hit and return a CompiledCircuit built under the old setting."""
+    from rustqip_tpu.engine import pallas_kernels
+
     return (
         os.environ.get("RUSTQIP_TPU_DEFER_SWAPS", "1"),
         os.environ.get("RUSTQIP_TPU_KERNEL_PURE_MIX", "1"),
         os.environ.get("RUSTQIP_TPU_KEEP_BUTTERFLY", "1"),
         os.environ.get("RUSTQIP_TPU_WINDOW_FUSION", "1"),
         os.environ.get("RUSTQIP_TPU_WINDOW_MAXH", "3,2,1"),
-        os.environ.get("RUSTQIP_TPU_PALLAS", ""),
+        # The RESOLVED kernel availability, not just the env var that
+        # feeds it: available() also reads PALLAS_AXON_TPU_GEN and the
+        # backend, and tests monkeypatch it — a cache hit must never
+        # return a circuit whose _kernel_ok (and fusion shape) was built
+        # under a different policy.
+        pallas_kernels.available(),
     )
 
 

@@ -116,6 +116,32 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
 
+    def ctrl_col_mask(ctrl):
+        """Column-control conjunction of a ("r"|"c", bit) spec —
+        strip-independent, computed once per step. None when the spec
+        has no column bits. ONE definition shared by every controlled
+        step kind (cbf/rbf/cmix) so their mask semantics cannot
+        diverge."""
+        cmask = None
+        for ck, pc in ctrl:
+            if ck == "c":
+                m_ = ((cols >> pc) & 1) == 1
+                cmask = m_ if cmask is None else (cmask & m_)
+        return cmask
+
+    def ctrl_mask_for(ctrl, cmask, i):
+        """Full control mask for strip ``i``: the precomputed column
+        part AND the row bits read from the strip's absolute row iota."""
+        m_ = cmask
+        rabs = None
+        for ck, pc in ctrl:
+            if ck == "r":
+                if rabs is None:
+                    rabs = block_rows(i)
+                mr = ((rabs >> pc) & 1) == 1
+                m_ = mr if m_ is None else (m_ & mr)
+        return m_
+
     # Window qubit ids from the segment layout: window bit j sits above
     # seg_sizes[j+1..h] and the h-1-j lower window bits.
     _wq = []
@@ -327,11 +353,7 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
             if not real_only:
                 u_i = jnp.where(bit, np.float32(d.imag), np.float32(a.imag))
                 v_i = jnp.where(bit, np.float32(c.imag), np.float32(b.imag))
-            cmask = None  # column-control part: strip-independent
-            for ck, pc in ctrl:
-                if ck == "c":
-                    m = ((cols >> pc) & 1) == 1
-                    cmask = m if cmask is None else (cmask & m)
+            cmask = ctrl_col_mask(ctrl)
             nxt = []
             for i, (xr, xi) in enumerate(cur):
                 pr = jnp.where(
@@ -350,14 +372,7 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                     yr = u_r * xr - u_i * xi + v_r * pr - v_i * pi
                     yi = u_r * xi + u_i * xr + v_r * pi + v_i * pr
                 if ctrl:
-                    m = cmask
-                    rabs = None
-                    for ck, pc in ctrl:
-                        if ck == "r":
-                            if rabs is None:
-                                rabs = block_rows(i)
-                            mr = ((rabs >> pc) & 1) == 1
-                            m = mr if m is None else (m & mr)
+                    m = ctrl_mask_for(ctrl, cmask, i)
                     yr = jnp.where(m, yr, xr)
                     yi = jnp.where(m, yi, xi)
                 nxt.append((yr, yi))
@@ -377,11 +392,7 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
             bp, coeffs = step[1], step[2]
             ctrl = step[3] if len(step) > 3 else ()
             a, b, c, d = coeffs
-            cmask = None  # column-control part: strip-independent
-            for ck, pc in ctrl:
-                if ck == "c":
-                    m_ = ((cols >> pc) & 1) == 1
-                    cmask = m_ if cmask is None else (cmask & m_)
+            cmask = ctrl_col_mask(ctrl)
 
             def _axpy(acc, sr, si, v):
                 t = _scalar_pair(sr, si, v)
@@ -390,17 +401,6 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                 if acc is None:
                     return t
                 return (acc[0] + t[0], acc[1] + t[1])
-
-            def _mask_for(j):
-                m_ = cmask
-                rabs = None
-                for ck, pc in ctrl:
-                    if ck == "r":
-                        if rabs is None:
-                            rabs = block_rows(j)
-                        mr = ((rabs >> pc) & 1) == 1
-                        m_ = mr if m_ is None else (m_ & mr)
-                return m_
 
             nxt = list(cur)
             for j0 in range(ns):
@@ -418,7 +418,7 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                 # controls are disjoint from the target bit, and the two
                 # pair strips differ ONLY in the target bit, so one mask
                 # serves both
-                m0 = _mask_for(j0)
+                m0 = ctrl_mask_for(ctrl, cmask, j0)
                 if m0 is not None:
                     y0 = (
                         jnp.where(m0, y0[0], x0r),

@@ -343,6 +343,30 @@ def butterfly_eligible(n: int, op) -> bool:
     return True
 
 
+def window_joint_ok(n: int):
+    """The fusion joint predicate used when the kernel path is active:
+    greedy dense joints are capped to KERNEL-window-plannable shapes —
+    <= 3 row bits pure-row (one h<=3 mix window), <= RMIX_MAX_ROW_BITS
+    row bits when lane bits join (an rmix step), and no seam-adjacent
+    row bit (< 6: a window whose trailing segment is under 64 rows
+    cannot form kernel DMA blocks). Returns None below R = 64 rows,
+    where windows cannot form at all. ONE definition shared by
+    engine/compile and the benches so their A/B arms cannot drift."""
+    m, R, _ = _geometry(n)
+    if R < 64:
+        return None
+    n_m = n - m
+
+    def joint_ok(indices):
+        row_bits = [n_m - 1 - q for q in indices if q < n_m]
+        cap = 3 if len(row_bits) == len(indices) else RMIX_MAX_ROW_BITS
+        return len(row_bits) <= cap and (
+            not row_bits or min(row_bits) >= 6
+        )
+
+    return joint_ok
+
+
 def _window_diag_plan(n: int, op) -> "tuple | None":
     """The angle group set of a PhaseProductOp eligible for in-window
     (kernel) evaluation: unit modulus, few mixed monomials."""

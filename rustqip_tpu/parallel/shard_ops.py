@@ -327,7 +327,11 @@ def apply_sharded_ops(
         if rest_local:
             lop = DenseOp(rest_local, np.ascontiguousarray(b))
             return apply_ops_ri(
-                local_n if sub_n is None else sub_n, [lop], re_s, im_s
+                local_n if sub_n is None else sub_n,
+                [lop],
+                re_s,
+                im_s,
+                kernel_ok=False,
             )
         val = complex(b[0, 0])
         return (
@@ -346,13 +350,22 @@ def apply_sharded_ops(
         for entry in sched:
             kind = entry[0]
             if kind == "local":
-                re_s, im_s = apply_ops_ri(local_n, entry[1], re_s, im_s)
+                # kernel_ok=False: inside shard_map the per-shard state is
+                # not the canonical single-chip (rows, 128) HBM view the
+                # Pallas window kernel assumes, and the sharded compile
+                # planned fusion under _kernel_policy() = False — the
+                # XLA paths here must match that plan.
+                re_s, im_s = apply_ops_ri(
+                    local_n, entry[1], re_s, im_s, kernel_ok=False
+                )
             elif kind == "ctrl":
                 _, gctrl, inner = entry
                 active = jnp.bool_(True)
                 for q in gctrl:
                     active = active & (((my >> (g - 1 - q)) & 1) == 1)
-                nr, ni = apply_ops_ri(local_n, [inner], re_s, im_s)
+                nr, ni = apply_ops_ri(
+                    local_n, [inner], re_s, im_s, kernel_ok=False
+                )
                 re_s = jnp.where(active, nr, re_s)
                 im_s = jnp.where(active, ni, im_s)
             elif kind == "exchange_multi":

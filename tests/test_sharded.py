@@ -210,11 +210,22 @@ def test_sharded_circuits_never_take_kernel_path(monkeypatch):
                 }
                 assert "kwindow" not in kinds, kinds
 
-    # End-to-end: GSPMD execution with availability patched on must not
-    # route through the kernel (it would crash or corrupt under GSPMD)
-    # and must match the single-chip amplitudes.
-    re1, im1, _ = single.run()
-    re2, im2, _ = compile_sharded(16, entries, np.complex64, mesh).run()
+    # End-to-end: drive the EXPLICIT executor (the path that calls
+    # apply_ops_ri inside shard_map) with a sentinel on the kernel
+    # runner — any kernel invocation under sharding is a bug, on CPU
+    # (where interpret mode would silently "work") as much as on real
+    # multi-chip TPU (where a pallas_call cannot be auto-sharded).
+    from rustqip_tpu.engine import real_apply
+
+    re1, im1, _ = single.run()  # single-chip baseline (kernel allowed:
+    # its plan legitimately uses interpret-mode kwindows on CPU)
+    def _boom(*a, **k):
+        raise AssertionError("window kernel invoked under sharding")
+
+    monkeypatch.setattr(real_apply, "_window_kernel_run", _boom)
+    re2, im2, _ = compile_sharded_explicit(
+        16, entries, np.complex64, mesh
+    ).run()
     np.testing.assert_allclose(
         np.asarray(re1), np.asarray(re2), atol=1e-5
     )
