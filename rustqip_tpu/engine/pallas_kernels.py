@@ -494,6 +494,44 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
         outs[2 * i + 1][:] = cur[i][1]
 
 
+#: Largest scoped-VMEM request a window sweep may make (bytes). v5e has
+#: 128 MiB of VMEM; leaving ~28 MiB for XLA's own scratch is safe. The
+#: planner (`real_apply._window_kernel_applicable`) rejects windows whose
+#: estimated request exceeds this, so prefix salvage splits over-long op
+#: chains into multiple sweeps instead of failing at compile time.
+WINDOW_VMEM_CEIL = 100 * 1024 * 1024
+
+#: XLA's default scoped-VMEM limit; requests below this pass it through.
+_VMEM_DEFAULT = 16 * 1024 * 1024
+
+
+def window_vmem_request(h: int, steps, br: int, n_mats: int = None) -> int:
+    """Estimated scoped-VMEM need (bytes) of one window sweep, used both
+    as the kernel's ``vmem_limit_bytes`` request and as the planner's
+    admission cap.
+
+    Measured behavior behind the model (v5e, relay AOT): Mosaic's stack
+    allocation grows ~one (br, 128) f32 block per kernel step — a 65-step
+    h=1 br=512 butterfly chain hit 17.77 MiB against the 16 MiB default
+    (~0.85 block/step + 4 MiB pipeline buffers), while the 21-step QFT
+    seam window (10 of them diag) fit. Components:
+
+    - pipeline buffers: 2^h strips x 2 planes x (in+out) x double-buffer
+    - body stack: ~1 block per step; diag steps carry transcendental
+      temporaries (x2), and wider windows scale with live strips (x ns/2)
+    - matrix operands: (C, C) f32 pairs resident in VMEM
+    """
+    ns = 1 << h
+    blk = br * _C * 4
+    buffers = 8 * ns * blk
+    has_diag = any(s[0] == "diag" for s in steps)
+    stack = len(steps) * blk * (2 if has_diag else 1) * max(1, ns // 2)
+    if n_mats is None:
+        n_mats = 2 * _n_matmul_steps(steps)
+    mats = n_mats * _C * _C * 4
+    return max(_VMEM_DEFAULT, buffers + stack + mats)
+
+
 def window_block_rows(h: int, steps) -> int:
     """Rows per grid step for a window kernel: 2^h strips live at once
     (x2 planes, in+out, double-buffered by the pipeline). Windows without
@@ -656,6 +694,14 @@ def _window_sweep_pipelined(n, xr, xi, seg_sizes, steps, br):
             flops=8 * rows * _C * _C * _n_matmul_steps(steps),
             bytes_accessed=2 * rows * _C * 4 * 2,
             transcendentals=0,
+        ),
+        # Long step chains outgrow XLA's 16 MiB scoped-VMEM default (the
+        # body stack grows ~1 block/step): request what the window needs.
+        # The planner guarantees the request <= WINDOW_VMEM_CEIL.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                window_vmem_request(h, steps, br, n_mats=n_mats)
+            )
         ),
     )(xr, xi, *[jnp.asarray(m) for m in mats])
     return out_r, out_i

@@ -705,6 +705,18 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
     )
     if n_low + n_rmix_mats > WINDOW_KERNEL_MAX_LOW:
         return False
+    # Scoped-VMEM admission: Mosaic's kernel stack grows ~one block per
+    # step, so very long chains (e.g. 65 butterflies in one window from
+    # an adder's carry ladder) outgrow even a raised vmem_limit_bytes.
+    # Rejecting here makes prefix salvage split the chain into multiple
+    # sweeps instead of failing at compile time with a VMEM OOM.
+    if (
+        pallas_kernels.window_vmem_request(
+            h, steps, br, n_mats=2 * (n_low + n_rmix_mats)
+        )
+        > pallas_kernels.WINDOW_VMEM_CEIL
+    ):
+        return False
     n_mix = sum(1 for s in steps if s[0] == "mix")
     return (
         n_diag >= 1

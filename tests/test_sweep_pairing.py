@@ -654,3 +654,31 @@ def test_add28_cmix_plans_all_kernel(monkeypatch):
     kinds = _compiled_plan_kinds(build, monkeypatch)
     assert kinds and set(kinds) == {"kwindow"}, kinds
     assert len(kinds) <= 8, kinds
+
+
+def test_window_vmem_admission():
+    """Scoped-VMEM admission (round 3): Mosaic's kernel stack grows ~one
+    (br, 128) block per step — a 65-step butterfly window (the k=9
+    adder's carry ladder) OOMed XLA's 16 MiB scoped-VMEM default on v5e
+    ("Scoped allocation with size 17.77M ... exceeded scoped vmem limit").
+    window_sweep now REQUESTS its estimated need via CompilerParams
+    (vmem_limit_bytes) and the planner rejects windows whose estimate
+    exceeds WINDOW_VMEM_CEIL, so prefix salvage splits over-long chains
+    into multiple sweeps instead of failing at compile time."""
+    from rustqip_tpu.engine import pallas_kernels as pk
+    from rustqip_tpu.engine.real_apply import _window_kernel_applicable
+
+    steps = [("cbf", 0, (0j, 1 + 0j, 1 + 0j, 0j), (("r", 12),))] * 63
+    # the measured failing shape: h=1, br=512, 63 butterfly steps — the
+    # request must exceed the 16 MiB default (the actual OOM was 17.77M)
+    req = pk.window_vmem_request(1, steps, 512)
+    assert req > 16 * 2**20
+    assert req <= pk.WINDOW_VMEM_CEIL
+    # ...and the adder's real window is admitted by the planner
+    assert _window_kernel_applicable(28, (11,), steps)
+    # a chain long enough to exceed the ceiling is rejected outright
+    long_steps = steps * 7
+    assert (
+        pk.window_vmem_request(2, long_steps, 512) > pk.WINDOW_VMEM_CEIL
+    )
+    assert not _window_kernel_applicable(28, (9, 10), long_steps)
