@@ -347,10 +347,23 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                 axis, size = 0, br
                 rows_io = jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
                 bit = ((rows_io >> p) & 1) == 1
-            u_r = jnp.where(bit, np.float32(d.real), np.float32(a.real))
-            v_r = jnp.where(bit, np.float32(c.real), np.float32(b.real))
+            # Symmetric coefficients (a == d, b == c) need no per-lane
+            # coefficient vectors at all: y = a*x + b*partner with SCALAR
+            # factors, and _scalar_pair folds the 0/1/±i cases away. This
+            # is the hot path for the arithmetic library — X-type CCX/
+            # CNOT carry ladders (a=d=0, b=c=1) reduce to a masked
+            # partner select, skipping 4 multiplies + 2 adds per plane
+            # per step (the adder's 63-step window is VPU-bound).
+            scalar_fold = a == d and b == c
+            if not scalar_fold:
+                u_r = jnp.where(
+                    bit, np.float32(d.real), np.float32(a.real)
+                )
+                v_r = jnp.where(
+                    bit, np.float32(c.real), np.float32(b.real)
+                )
             real_only = all(v.imag == 0 for v in coeffs)
-            if not real_only:
+            if not scalar_fold and not real_only:
                 u_i = jnp.where(bit, np.float32(d.imag), np.float32(a.imag))
                 v_i = jnp.where(bit, np.float32(c.imag), np.float32(b.imag))
             cmask = ctrl_col_mask(ctrl)
@@ -366,7 +379,19 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                     pltpu.roll(xi, s, axis),
                     pltpu.roll(xi, size - s, axis),
                 )
-                if real_only:
+                if scalar_fold:
+                    tx = _scalar_pair(xr, xi, a)
+                    tp = _scalar_pair(pr, pi, b)
+                    if tx is None and tp is None:
+                        yr = jnp.zeros_like(xr)
+                        yi = jnp.zeros_like(xi)
+                    elif tx is None:
+                        yr, yi = tp
+                    elif tp is None:
+                        yr, yi = tx
+                    else:
+                        yr, yi = tx[0] + tp[0], tx[1] + tp[1]
+                elif real_only:
                     yr, yi = u_r * xr + v_r * pr, u_r * xi + v_r * pi
                 else:
                     yr = u_r * xr - u_i * xi + v_r * pr - v_i * pi
