@@ -552,7 +552,9 @@ def window_vmem_request(h: int, steps, br: int, n_mats: int = None) -> int:
     has_diag = any(s[0] == "diag" for s in steps)
     stack = len(steps) * blk * (2 if has_diag else 1) * max(1, ns // 2)
     if n_mats is None:
-        n_mats = 2 * _n_matmul_steps(steps)
+        # worst case 3 operand arrays per matmul step (Karatsuba
+        # re/im/re+im for complex matrices, pre-dedup)
+        n_mats = 3 * _n_matmul_steps(steps)
     mats = n_mats * _C * _C * 4
     return max(_VMEM_DEFAULT, buffers + stack + mats)
 

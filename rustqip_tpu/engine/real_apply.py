@@ -710,9 +710,12 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
     # an adder's carry ladder) outgrow even a raised vmem_limit_bytes.
     # Rejecting here makes prefix salvage split the chain into multiple
     # sweeps instead of failing at compile time with a VMEM OOM.
+    # 3 operand arrays per matmul step (Karatsuba re/im/re+im for complex
+    # matrices — the worst case; _window_matrix_operands dedups), so the
+    # admission estimate upper-bounds the kernel's actual request.
     if (
         pallas_kernels.window_vmem_request(
-            h, steps, br, n_mats=2 * (n_low + n_rmix_mats)
+            h, steps, br, n_mats=3 * (n_low + n_rmix_mats)
         )
         > pallas_kernels.WINDOW_VMEM_CEIL
     ):
