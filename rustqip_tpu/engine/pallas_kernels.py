@@ -661,13 +661,35 @@ def _window_matrix_operands(steps):
     return tuple(body_steps), mats
 
 
+def _inplace_policy(rows: int) -> bool:
+    """Alias kernel outputs onto the input state buffers?
+
+    In-place measured 5.5 ms SLOWER per sweep at n=28 (same-buffer DMA
+    serializes), so fresh outputs are the default — but fresh outputs
+    DOUBLE the HBM footprint, capping the single chip at n=29 (and the
+    near-capacity allocation at n=29 measured ~4x per-sweep bandwidth
+    loss). Above ~8 GiB of live state traffic the trade flips: aliasing
+    lifts the ceiling to n=30 (8.6 GB state in 16 GB HBM). Aliasing is
+    CORRECT at any size — each block is read (grid step r) strictly
+    before its identical address is written (same step; the pipeline's
+    prefetch of step r+1 touches different block offsets) — the policy
+    is purely a speed/capacity trade. RUSTQIP_TPU_KERNEL_INPLACE=0/1
+    forces either way; default 'auto' = in-place when in+out fresh
+    buffers would exceed 8 GiB."""
+    import os
+
+    env = os.environ.get("RUSTQIP_TPU_KERNEL_INPLACE", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    return 2 * 2 * rows * _C * 4 >= 8 * 1024**3
+
+
 def _window_sweep_pipelined(n, xr, xi, seg_sizes, steps, br):
     """One VMEM-resident window sweep with an inner ``emit_pipeline``:
     strided input AND output block index maps, so the kernel writes the
     canonical (rows, C) layout directly — one state read + one write,
-    nothing else. (An in-place ``input_output_aliases`` variant measured
-    5.5 ms SLOWER at n=28 — same-buffer DMA serializes — so outputs are
-    fresh buffers.)"""
+    nothing else. Outputs are fresh buffers below ~8 GiB of state
+    traffic and alias the inputs above it (``_inplace_policy``)."""
     import functools as _ft
 
     from jax.experimental import pallas as pl
@@ -681,6 +703,7 @@ def _window_sweep_pipelined(n, xr, xi, seg_sizes, steps, br):
     sl = seg_sizes[-1] // br
     body_steps, mats = _window_matrix_operands(steps)
     n_mats = len(mats)
+    in_place = _inplace_policy(rows)
 
     def outer(*refs):
         xr_h, xi_h = refs[0], refs[1]
@@ -724,12 +747,13 @@ def _window_sweep_pipelined(n, xr, xi, seg_sizes, steps, br):
         ),
         # Long step chains outgrow XLA's 16 MiB scoped-VMEM default (the
         # body stack grows ~1 block/step): request what the window needs.
-        # The planner guarantees the request <= WINDOW_VMEM_CEIL.
+        # The planner's admission estimate upper-bounds this request.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(
                 window_vmem_request(h, steps, br, n_mats=n_mats)
             )
         ),
+        input_output_aliases={0: 0, 1: 1} if in_place else {},
     )(xr, xi, *[jnp.asarray(m) for m in mats])
     return out_r, out_i
 

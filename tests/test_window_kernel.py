@@ -756,3 +756,21 @@ def test_cmix_distinct_targets_respect_window_bit_budget():
     window, j = _collect_window(n, ops, 0, allow_diag=True)
     assert j == 3
     assert window[0] == (0, 1, 2)
+
+
+def test_inplace_policy_thresholds(monkeypatch):
+    """In-place output aliasing engages exactly when fresh in+out buffers
+    would reach 8 GiB (n=29 at the (rows, 128) geometry): fresh outputs
+    measured 5.5 ms/sweep FASTER at n=28, but at n=29 the near-capacity
+    allocation cost ~4x per-sweep bandwidth, and n=30 cannot fit at all
+    without aliasing. Env forces either way."""
+    from rustqip_tpu.engine import pallas_kernels as pk
+
+    monkeypatch.delenv("RUSTQIP_TPU_KERNEL_INPLACE", raising=False)
+    assert not pk._inplace_policy(1 << 21)  # n=28: fresh outputs
+    assert pk._inplace_policy(1 << 22)  # n=29: in-place
+    assert pk._inplace_policy(1 << 23)  # n=30: in-place (mandatory)
+    monkeypatch.setenv("RUSTQIP_TPU_KERNEL_INPLACE", "0")
+    assert not pk._inplace_policy(1 << 23)
+    monkeypatch.setenv("RUSTQIP_TPU_KERNEL_INPLACE", "1")
+    assert pk._inplace_policy(1 << 10)
