@@ -165,6 +165,21 @@ class CompiledCircuit:
 
         return pallas_kernels.available()
 
+    def _fusion_keep(self):
+        """The butterfly keep-predicate window-aware fusion uses when the
+        kernel path is active. Sharded executors override: eligibility is
+        judged in the SHARD-LOCAL qubit space the kernel actually sees."""
+        from rustqip_tpu.engine.real_apply import butterfly_eligible
+
+        n = self.n
+        return lambda op: butterfly_eligible(n, op)
+
+    def _fusion_joint_ok(self):
+        """The greedy-joint cap predicate (see ``_fusion_keep``)."""
+        from rustqip_tpu.engine.real_apply import window_joint_ok
+
+        return window_joint_ok(self.n)
+
     # -- planning ----------------------------------------------------------
     def _plan(self, fuse: bool, max_fused_qubits: int):
         """Split the pipeline into unitary runs (fused) and measurements.
@@ -176,10 +191,6 @@ class CompiledCircuit:
         the end (QFT + inverse-QFT pairs cancel to zero). Disable with
         ``RUSTQIP_TPU_DEFER_SWAPS=0``."""
         from rustqip_tpu.engine import relabel
-        from rustqip_tpu.engine.real_apply import (
-            butterfly_eligible,
-            window_joint_ok,
-        )
 
         defer = relabel.enabled()
         pos = list(range(self.n))
@@ -212,14 +223,13 @@ class CompiledCircuit:
             kernel_fusion
             and os.environ.get("RUSTQIP_TPU_KEEP_BUTTERFLY", "1") != "0"
         ):
-            n = self.n
-            keep = lambda op: butterfly_eligible(n, op)  # noqa: E731
+            keep = self._fusion_keep()
         if (
             kernel_fusion
             and os.environ.get("RUSTQIP_TPU_WINDOW_FUSION", "1") != "0"
         ):
             # None below R = 64 rows (kernel windows cannot form)
-            joint_ok = window_joint_ok(self.n)
+            joint_ok = self._fusion_joint_ok()
 
         def flush():
             nonlocal run

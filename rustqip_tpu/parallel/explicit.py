@@ -29,7 +29,11 @@ from rustqip_tpu.engine.compile import (
 )
 from rustqip_tpu.engine.fusion import DEFAULT_MAX_FUSED_QUBITS
 from rustqip_tpu.ops.measurement_ops import measure_probs_ri, measure_state_ri
-from rustqip_tpu.parallel.shard_ops import _mesh_geometry, apply_sharded_ops
+from rustqip_tpu.parallel.shard_ops import (
+    _local_op,
+    _mesh_geometry,
+    apply_sharded_ops,
+)
 
 
 def _split_measured(g: int, indices):
@@ -171,11 +175,50 @@ class ExplicitShardedCircuit(CompiledCircuit):
         return True
 
     def _kernel_policy(self) -> bool:  # type: ignore[override]
-        """The explicit executor lowers every op through shard_ops'
-        hand schedules — the single-chip Pallas window kernel never
-        runs, so fusion must stay plain greedy (see
-        ShardedCircuit._kernel_policy)."""
-        return False
+        """Unlike the GSPMD executor (where a ``pallas_call`` cannot be
+        auto-sharded, so the policy is forced off), the explicit executor
+        runs inside ``shard_map``: every device holds its shard as a plain
+        local array, and shard-LOCAL runs sweep it through the Pallas
+        window kernel exactly as a single chip would — the standard
+        manual-sharding + per-device-kernel pattern. Ops touching global
+        (device-index) qubits still lower through the hand-scheduled
+        collective paths."""
+        from rustqip_tpu.engine import pallas_kernels
+
+        return pallas_kernels.available()
+
+    def _fusion_keep(self):  # type: ignore[override]
+        """Butterfly keep-predicate in the SHARD-LOCAL qubit space: only
+        fully-local ops can ride the per-shard kernel, and eligibility
+        (block sizes, seam position) is judged against the shard's own
+        (rows, 128) view. Bit positions are invariant under dropping the
+        top ``g`` device bits, but the local row count R = 2^(local_n-7)
+        is smaller, which tightens the rbf block cap."""
+        from rustqip_tpu.engine.real_apply import butterfly_eligible
+
+        g, local_n = self._g, self.n - self._g
+        return lambda op: (
+            min(op.indices) >= g
+            and butterfly_eligible(local_n, _local_op(op, g))
+        )
+
+    def _fusion_joint_ok(self):  # type: ignore[override]
+        """Greedy-joint cap in the shard-local space. Joints touching
+        global qubits lower through exchange/relocation schedules where
+        window shapes are irrelevant — those keep plain greedy fusion."""
+        from rustqip_tpu.engine.real_apply import window_joint_ok
+
+        g = self._g
+        local_ok = window_joint_ok(self.n - g)
+        if local_ok is None:
+            return None
+
+        def joint_ok(indices):
+            if min(indices) < g:
+                return True
+            return local_ok(tuple(q - g for q in indices))
+
+        return joint_ok
 
     def _one_hot(self, initial_row, initial_col):
         re, im = super()._one_hot(initial_row, initial_col)
@@ -244,10 +287,14 @@ class ExplicitShardedCircuit(CompiledCircuit):
                 # time static so this costs compile time only.
                 for _ in range(times):
                     re, im = apply_sharded_ops(
-                        self.mesh, self.n, body, re, im
+                        self.mesh, self.n, body, re, im,
+                        kernel_ok=self._kernel_ok,
                     )
             else:
-                re, im = apply_sharded_ops(self.mesh, self.n, seg, re, im)
+                re, im = apply_sharded_ops(
+                    self.mesh, self.n, seg, re, im,
+                    kernel_ok=self._kernel_ok,
+                )
             if self._check_norm:
                 from rustqip_tpu.engine.compile import _norm_check_cb
 
@@ -277,12 +324,17 @@ def compile_sharded_explicit(
         mesh.axis_names,
         mesh.devices.shape,
     )
+    from rustqip_tpu.engine.compile import _env_plan_flags
+
     fp = (
         n,
         dtype.str,
         fuse,
         max_fused_qubits,
         mesh_key,
+        # Includes the RESOLVED kernel availability: the explicit
+        # executor's kernel policy (and so its fusion shape) follows it.
+        _env_plan_flags(),
         tuple(e.fingerprint() for e in entries),
     )
     cached = _CACHE.get(fp)

@@ -301,6 +301,7 @@ def apply_sharded_ops(
     re: jnp.ndarray,
     im: jnp.ndarray,
     chunks: int = 0,
+    kernel_ok: "bool | None" = None,
 ) -> Pair:
     """Apply a gate-op sequence to a mesh-sharded (re, im) state pair as
     ONE shard_map program with a hand-pinned collective schedule.
@@ -313,10 +314,23 @@ def apply_sharded_ops(
     asynchronously on real hardware). Falls back to the whole-shard
     exchange when the op's local support touches the chunking qubits.
     Needs real multi-chip hardware to show a win; equivalence is tested
-    on the virtual mesh."""
+    on the virtual mesh.
+
+    ``kernel_ok`` (None = derive from backend availability + f32 planes,
+    like ``apply_ops_ri``) lets shard-LOCAL runs and the global-control
+    inner applies ride the Pallas window kernel: inside ``shard_map``
+    every device holds its shard as a plain local array, so a per-device
+    ``pallas_call`` is the standard manual-sharding pattern — the kernel
+    sweeps the shard's own (rows, 128) canonical view. Exchange-path
+    block recombinations stay on XLA (they are ppermute-bound)."""
+    from rustqip_tpu.engine import pallas_kernels
+
     axis, d, g = _mesh_geometry(mesh)
     local_n = n - g
     sched = _lower_schedule(n, g, list(ops))
+    if kernel_ok is None:
+        kernel_ok = pallas_kernels.available()
+    kernel_ok = kernel_ok and jnp.asarray(re).dtype == jnp.float32
     if chunks == 0:
         chunks = _exchange_chunks()
     kbits = max(chunks.bit_length() - 1, 0)
@@ -344,19 +358,23 @@ def apply_sharded_ops(
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(axis), P(axis)),
+        # pallas_call results carry no varying-mesh-axes annotation, so
+        # the per-shard kernel path needs vma checking off (as do the
+        # measurement shard_maps).
+        check_vma=False,
     )
     def run(re_s, im_s):
         my = jax.lax.axis_index(axis)
         for entry in sched:
             kind = entry[0]
             if kind == "local":
-                # kernel_ok=False: inside shard_map the per-shard state is
-                # not the canonical single-chip (rows, 128) HBM view the
-                # Pallas window kernel assumes, and the sharded compile
-                # planned fusion under _kernel_policy() = False — the
-                # XLA paths here must match that plan.
+                # The shard-local run sweeps this device's own (rows, 128)
+                # canonical view — with kernel_ok, plan_sweeps windows it
+                # onto the Pallas kernel exactly as on a single chip (the
+                # compile-time fusion planned for the LOCAL qubit space;
+                # see ExplicitShardedCircuit._fusion_joint_ok).
                 re_s, im_s = apply_ops_ri(
-                    local_n, entry[1], re_s, im_s, kernel_ok=False
+                    local_n, entry[1], re_s, im_s, kernel_ok=kernel_ok
                 )
             elif kind == "ctrl":
                 _, gctrl, inner = entry
@@ -364,7 +382,7 @@ def apply_sharded_ops(
                 for q in gctrl:
                     active = active & (((my >> (g - 1 - q)) & 1) == 1)
                 nr, ni = apply_ops_ri(
-                    local_n, [inner], re_s, im_s, kernel_ok=False
+                    local_n, [inner], re_s, im_s, kernel_ok=kernel_ok
                 )
                 re_s = jnp.where(active, nr, re_s)
                 im_s = jnp.where(active, ni, im_s)

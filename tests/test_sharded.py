@@ -172,19 +172,18 @@ def test_explicit_path_rejects_multiaxis_mesh():
         make_sharded_pair(mesh, 7)
 
 
-def test_sharded_circuits_never_take_kernel_path(monkeypatch):
+def test_gspmd_sharded_never_takes_kernel_path(monkeypatch):
     """On real multi-chip TPU the backend reports Pallas available, but
     a GSPMD-partitioned state cannot feed the single-chip window kernel
-    (a pallas_call is not auto-shardable) — sharded circuits must force
+    (a pallas_call is not auto-shardable) — the GSPMD executor must force
     the kernel policy off: plain greedy fusion (no keep/joint_ok
-    exemptions) and zero kwindow sweeps in their plans, while the
+    exemptions) and zero kwindow sweeps in its plan, while the
     single-chip compile of the SAME pipeline keeps the kernel path."""
     from rustqip_tpu.algos.arithmetic import add
     from rustqip_tpu.builder.builder import LocalBuilder, _lower_item
     from rustqip_tpu.engine import pallas_kernels
     from rustqip_tpu.engine.compile import compile_pipeline
     from rustqip_tpu.engine.real_apply import plan_sweeps
-    from rustqip_tpu.parallel.explicit import compile_sharded_explicit
     from rustqip_tpu.parallel.sharded import compile_sharded
 
     require_8_devices()
@@ -198,34 +197,55 @@ def test_sharded_circuits_never_take_kernel_path(monkeypatch):
     mesh = make_shard_mesh(8)
     single = compile_pipeline(16, entries, np.complex64)
     assert single._kernel_ok
-    for cc in (
-        compile_sharded(16, entries, np.complex64, mesh),
-        compile_sharded_explicit(16, entries, np.complex64, mesh),
-    ):
-        assert not cc._kernel_ok
-        for seg in cc.segments:
-            if isinstance(seg, list):
-                kinds = {
-                    k for k, _, _ in plan_sweeps(cc.n, seg, cc._kernel_ok)
-                }
-                assert "kwindow" not in kinds, kinds
+    cc = compile_sharded(16, entries, np.complex64, mesh)
+    assert not cc._kernel_ok
+    for seg in cc.segments:
+        if isinstance(seg, list):
+            kinds = {
+                k for k, _, _ in plan_sweeps(cc.n, seg, cc._kernel_ok)
+            }
+            assert "kwindow" not in kinds, kinds
 
-    # End-to-end: drive the EXPLICIT executor (the path that calls
-    # apply_ops_ri inside shard_map) with a sentinel on the kernel
-    # runner — any kernel invocation under sharding is a bug, on CPU
-    # (where interpret mode would silently "work") as much as on real
-    # multi-chip TPU (where a pallas_call cannot be auto-sharded).
-    from rustqip_tpu.engine import real_apply
 
-    re1, im1, _ = single.run()  # single-chip baseline (kernel allowed:
-    # its plan legitimately uses interpret-mode kwindows on CPU)
-    def _boom(*a, **k):
-        raise AssertionError("window kernel invoked under sharding")
+def test_explicit_sharded_rides_kernel_on_local_ops(monkeypatch):
+    """The EXPLICIT executor runs inside shard_map, where each device
+    holds its shard as a plain local array — shard-local runs must ride
+    the Pallas window kernel (per-device pallas_call, the standard
+    manual-sharding pattern) instead of the XLA fallback. Checks the
+    policy is on, the kernel runner is actually invoked during tracing,
+    and the sharded result matches the single-chip baseline (CPU
+    interpret mode executes the same kernel body)."""
+    from rustqip_tpu.algos.arithmetic import add
+    from rustqip_tpu.builder.builder import LocalBuilder, _lower_item
+    from rustqip_tpu.engine import pallas_kernels, real_apply
+    from rustqip_tpu.engine.compile import compile_pipeline
+    from rustqip_tpu.parallel.explicit import compile_sharded_explicit
 
-    monkeypatch.setattr(real_apply, "_window_kernel_run", _boom)
-    re2, im2, _ = compile_sharded_explicit(
-        16, entries, np.complex64, mesh
-    ).run()
+    require_8_devices()
+    monkeypatch.setattr(pallas_kernels, "available", lambda: True)
+    b = LocalBuilder(dtype=np.complex64)
+    add(b, b.register(5), b.register(5), b.register(6))  # n=16 CCX chains
+    entries = []
+    for item in b.pipeline:
+        entries.extend(_lower_item(item))
+
+    mesh = make_shard_mesh(8)
+    single = compile_pipeline(16, entries, np.complex64)
+    re1, im1, _ = single.run()
+
+    cc = compile_sharded_explicit(16, entries, np.complex64, mesh)
+    assert cc._kernel_ok
+
+    calls = []
+    orig = real_apply._window_kernel_run
+
+    def _spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(real_apply, "_window_kernel_run", _spy)
+    re2, im2, _ = cc.run()
+    assert calls, "explicit sharded run never reached the window kernel"
     np.testing.assert_allclose(
         np.asarray(re1), np.asarray(re2), atol=1e-5
     )
