@@ -519,6 +519,62 @@ def _sparse_apply_planes(n: int, op, re2d: jnp.ndarray, im2d: jnp.ndarray):
     return out_r, out_i
 
 
+def _fn_apply_planes(n: int, op, re2d: jnp.ndarray, im2d: jnp.ndarray):
+    """Traced-function oracle apply on (R, C) float planes: ONE gather
+    pass whose source coordinates and values are computed IN-TRACE from
+    iota bit arithmetic — nothing embeds, any width (the asymptotic
+    parity with the reference's lazy FunctionOpIterator,
+    qubit_iterators.rs:223; cf. the table-embedding sparse path above)."""
+    k = op.num_indices
+    m, R, C = _geometry(n)
+    n_m = n - m
+    rows = jnp.arange(R, dtype=jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
+    rowpat = jnp.zeros((R,), jnp.int32)
+    colpat = jnp.zeros((C,), jnp.int32)
+    row_mask = col_mask = 0
+    for j, q in enumerate(op.indices):
+        sh = k - 1 - j
+        if q < n_m:
+            rowpat = rowpat | (((rows >> (n_m - 1 - q)) & 1) << sh)
+            row_mask |= 1 << (n_m - 1 - q)
+        else:
+            colpat = colpat | (((cols >> (n - 1 - q)) & 1) << sh)
+            col_mask |= 1 << (n - 1 - q)
+    pat = rowpat[:, None] | colpat[None, :]  # local ROW index per position
+    sc, val = op.fn(pat)  # traced: column index + value, elementwise
+    row_off = jnp.zeros((), jnp.int32)
+    col_off = jnp.zeros((), jnp.int32)
+    for j, q in enumerate(op.indices):
+        bit = (sc >> (k - 1 - j)) & 1
+        if q < n_m:
+            row_off = row_off | (bit << (n_m - 1 - q))
+        else:
+            col_off = col_off | (bit << (n - 1 - q))
+    src_row = (rows & np.int32(~row_mask))[:, None] | row_off
+    src_col = (cols & np.int32(~col_mask))[None, :] | col_off
+    gr = re2d[src_row, src_col]
+    gi = im2d[src_row, src_col]
+    rdtype = re2d.dtype
+    val = jnp.asarray(val)
+    if jnp.iscomplexobj(val):
+        vr = jnp.real(val).astype(rdtype)
+        vi = jnp.imag(val).astype(rdtype)
+        if op.conjugated:
+            vi = -vi
+        return gr * vr - gi * vi, gi * vr + gr * vi
+    vr = val.astype(rdtype)
+    return gr * vr, gi * vr
+
+
+def _apply_fn_wide(n: int, op, state: jnp.ndarray) -> jnp.ndarray:
+    """Complex-path wrapper over the traced-function gather apply."""
+    _, R, C = _geometry(n)
+    s2d = state.reshape(R, C)
+    out_r, out_i = _fn_apply_planes(n, op, jnp.real(s2d), jnp.imag(s2d))
+    return jax.lax.complex(out_r, out_i).astype(state.dtype).reshape(-1)
+
+
 def _apply_sparse_wide(n: int, op, state: jnp.ndarray) -> jnp.ndarray:
     """Complex-path wrapper over the gather sparse apply."""
     _, R, C = _geometry(n)

@@ -177,7 +177,54 @@ class PhaseProductOp:
         return hash(("PhaseProductOp", self.terms))
 
 
-MatrixOp = Union[DenseOp, SparseOp, SwapOp, ControlOp, PhaseProductOp]
+@dataclass(frozen=True)
+class FnOp:
+    """Traced-function oracle op: a generalized permutation whose single
+    nonzero per row is COMPUTED IN-TRACE — ``fn(row) -> (col, val)`` with
+    ``row`` an int32 jax array (any shape, elementwise), giving matrix
+    entries ``M[row, col] = val``. The TPU-native answer to the
+    reference's lazy ``FunctionOpIterator`` (qip-iterators/src/iterators/
+    qubit_iterators.rs:223): where ``SparseOp`` embeds 2^k-entry tables
+    as program constants (capped at ``MAX_SPARSE_BITS``), an ``FnOp``
+    embeds NOTHING — the column indices and values come from iota bit
+    arithmetic inside the compiled program, O(1) program size at any
+    width, exactly the reference's O(1)-memory streaming asymptotics.
+
+    ``fn`` must be jax-traceable, elementwise over int32 arrays, and
+    define a unitary (column map bijective, |val| = 1) — like the
+    reference, this is trusted, not validated. ``tag`` is the op's
+    structural identity for compile caching: two FnOps with equal tags
+    (and flags) are assumed identical. ``self_transpose`` marks
+    XOR-oracle structure (|x>|y> -> theta(x) |x>|y ^ f(x)>), for which
+    transpose == self and the inverse is the elementwise conjugate."""
+
+    indices: Tuple[int, ...]
+    fn: Callable
+    tag: str
+    conjugated: bool = False
+    self_transpose: bool = False
+
+    @property
+    def num_indices(self) -> int:
+        return len(self.indices)
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, FnOp)
+            and self.indices == other.indices
+            and self.tag == other.tag
+            and self.conjugated == other.conjugated
+            and self.self_transpose == other.self_transpose
+        )
+
+    def __hash__(self) -> int:
+        return hash(
+            ("FnOp", self.indices, self.tag, self.conjugated,
+             self.self_transpose)
+        )
+
+
+MatrixOp = Union[DenseOp, SparseOp, SwapOp, ControlOp, PhaseProductOp, FnOp]
 
 #: Largest diagonal materialized per term (2^16 complex values).
 DIAG_CAP = 16
@@ -302,6 +349,90 @@ def make_sparse_matrix_from_function(
     return out
 
 
+def flip_bits_traced(k: int, v):
+    """Traced k-bit reversal (the jax-array analog of ``flip_bits``):
+    works elementwise on int arrays inside jit; ``k`` is static."""
+    out = v - v  # zeros of v's dtype/shape (works for tracers and ints)
+    for j in range(k):
+        out = out | (((v >> j) & 1) << (k - 1 - j))
+    return out
+
+
+def make_fn_op(
+    indices: Sequence[int],
+    fn: Callable,
+    tag: "str | None" = None,
+    self_transpose: bool = False,
+) -> FnOp:
+    """Validated traced-function op constructor (general form).
+
+    ``fn(row) -> (col, val)``: elementwise over int32 jax arrays, defining
+    matrix entries ``M[row, col] = val`` in the op's big-endian index
+    space — the same row -> single-entry orientation as
+    ``make_sparse_matrix_from_function`` (ref matrix_ops.rs:128), but
+    evaluated INSIDE the compiled program, so width is unbounded
+    (no 2^k table embeds; see ``FnOp``). ``val`` may be a complex or
+    real array. ``self_transpose=True`` asserts M^T == M (XOR-oracle
+    structure), enabling ``transpose_op``/``invert_op``; prefer
+    ``make_function_op`` which sets it for you."""
+    indices = tuple(int(i) for i in indices)
+    if not indices:
+        raise CircuitError("Must supply at least one op index")
+    if len(indices) > 31:
+        raise CircuitError(
+            "FnOp width is capped at 31 qubits (int32 index arithmetic)"
+        )
+    if tag is None:
+        tag = (
+            f"{getattr(fn, '__module__', '?')}."
+            f"{getattr(fn, '__qualname__', '?')}@{id(fn):x}"
+        )
+    return FnOp(indices, fn, str(tag), False, bool(self_transpose))
+
+
+def make_function_op(
+    x_indices: Sequence[int],
+    y_indices: Sequence[int],
+    f: Callable,
+    tag: "str | None" = None,
+) -> FnOp:
+    """Classical-function oracle |x>|y> -> theta(x) |x>|y XOR f(x)> as a
+    traced op (ref ``FunctionOpIterator::new``, qubit_iterators.rs:232-253:
+    x = row >> output_n, (fx, theta) = f(flip_bits(input_n, x)),
+    col = (x << output_n) | (y ^ flip_bits(output_n, fx))).
+
+    ``f(x) -> (fx, theta)`` is jax-traceable and elementwise over int32
+    arrays; ``x`` and ``fx`` are register VALUES in the little-endian
+    across-the-qubit-list convention (matching init values and
+    measurement outcomes), exactly as the reference's bit flips arrange.
+    ``theta`` may be complex (a phase) or 1. XOR structure makes the op
+    its own transpose, so ``invert_op`` works (elementwise conjugate)."""
+    kx = len(tuple(x_indices))
+    ky = len(tuple(y_indices))
+    if kx == 0 or ky == 0:
+        raise CircuitError("Function op needs non-empty input and output")
+
+    def fn(row):
+        x_be = row >> ky
+        y = row & ((1 << ky) - 1)
+        fx, theta = f(flip_bits_traced(kx, x_be))
+        col = (x_be << ky) | (y ^ flip_bits_traced(ky, fx))
+        return col, theta
+
+    if tag is None:
+        tag = (
+            f"xor:{getattr(f, '__module__', '?')}."
+            f"{getattr(f, '__qualname__', '?')}@{id(f):x}:{kx}:{ky}"
+        )
+    return FnOp(
+        tuple(int(i) for i in x_indices) + tuple(int(i) for i in y_indices),
+        fn,
+        str(tag),
+        False,
+        True,
+    )
+
+
 def make_swap_op(a_indices: Sequence[int], b_indices: Sequence[int]) -> SwapOp:
     """Validated swap-op constructor (ref matrix_ops.rs:84)."""
     a = tuple(int(i) for i in a_indices)
@@ -355,6 +486,8 @@ def op_fingerprint(op: MatrixOp) -> tuple:
         return ("C", op.n_ctrl, op.indices, op_fingerprint(op.inner))
     if isinstance(op, PhaseProductOp):
         return ("P", op.terms)
+    if isinstance(op, FnOp):
+        return ("F", op.indices, op.tag, op.conjugated, op.self_transpose)
     raise TypeError(f"Unknown op {op!r}")
 
 
@@ -378,6 +511,10 @@ def conj_op(op: MatrixOp) -> MatrixOp:
         return op
     if isinstance(op, ControlOp):
         return ControlOp(op.n_ctrl, op.indices, conj_op(op.inner))
+    if isinstance(op, FnOp):
+        return FnOp(
+            op.indices, op.fn, op.tag, not op.conjugated, op.self_transpose
+        )
     raise TypeError(f"Unknown op {op!r}")
 
 
@@ -396,6 +533,14 @@ def transpose_op(op: MatrixOp) -> MatrixOp:
         return op
     if isinstance(op, ControlOp):
         return ControlOp(op.n_ctrl, op.indices, transpose_op(op.inner))
+    if isinstance(op, FnOp):
+        if op.self_transpose:
+            return op
+        raise CircuitError(
+            "Cannot transpose a general traced-function op (the inverse "
+            "column map is not derivable from fn). Use make_function_op "
+            "(XOR oracles are their own transpose) or a SparseOp."
+        )
     raise TypeError(f"Unknown op {op!r}")
 
 
@@ -449,6 +594,30 @@ def op_to_dense(op: MatrixOp) -> np.ndarray:
                 t |= bit << (kt - 1 - j)
             diag = diag * np.asarray(tdiag)[t]
         return np.diag(diag)
+    if isinstance(op, FnOp):
+        if k > _max_sparse_bits():
+            raise CircuitError(
+                f"Cannot materialize a {k}-qubit traced-function op "
+                f"(cap {_max_sparse_bits()}); the APPLY path needs no "
+                "materialization at any width — only dense-requiring "
+                "features (fusion into joints, QASM synthesis) do."
+            )
+        import jax.numpy as jnp
+
+        rows = np.arange(dim, dtype=np.int32)
+        cols, vals = op.fn(rows)  # traced fns execute eagerly on numpy
+        cols = np.asarray(cols, dtype=np.int64)
+        # Fetch value planes separately: complex arrays cannot cross the
+        # host<->device boundary on this TPU (CLAUDE.md), and eager jnp
+        # results land on the default device.
+        vr = np.asarray(jnp.real(jnp.asarray(vals)), dtype=np.float64)
+        vi = np.asarray(jnp.imag(jnp.asarray(vals)), dtype=np.float64)
+        vals_np = np.broadcast_to(vr + 1j * vi, (dim,))
+        if op.conjugated:
+            vals_np = np.conj(vals_np)
+        mat = np.zeros((dim, dim), dtype=np.complex128)
+        mat[rows, cols] = vals_np
+        return mat
     raise TypeError(f"Unknown op {op!r}")
 
 

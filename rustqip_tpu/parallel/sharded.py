@@ -76,12 +76,14 @@ class ShardedCircuit(CompiledCircuit):
         self._replicated = replicated
 
     def _kernel_policy(self) -> bool:
-        """Sharded execution never takes the Pallas window-kernel path:
-        the kernel operates on one chip's full canonical (rows, 128)
-        HBM view, and a ``pallas_call`` cannot be auto-sharded by GSPMD
-        over the partitioned state. Forcing False here also reverts
-        fusion to plain greedy joints (keep/joint_ok exemptions only pay
-        when kernel sweeps retire the exempted ops)."""
+        """GSPMD execution never takes the Pallas window-kernel path: a
+        ``pallas_call`` cannot be auto-sharded by GSPMD over the
+        partitioned state. Forcing False here also reverts fusion to
+        plain greedy joints (keep/joint_ok exemptions only pay when
+        kernel sweeps retire the exempted ops). The EXPLICIT executor,
+        whose shard_map body sees each device's shard as a plain local
+        array, does ride the kernel on shard-local runs — see
+        ``ExplicitShardedCircuit._kernel_policy``."""
         return False
 
     def _make_forced_fn(self):
