@@ -23,6 +23,7 @@ from rustqip_tpu.builder.circuit_objects import (
     NamedGate,
     PipelineItem,
     RepeatBlock,
+    FnGate,
     RzGate,
     SparseMatGate,
     flatten_pipeline,
@@ -152,6 +153,17 @@ def _lower_item(item: PipelineItem) -> List[PipelineEntry]:
         return [UnitaryEntry(make_matrix_op(list(indices), obj.data.reshape(-1)))]
     if isinstance(obj, SparseMatGate):
         return [UnitaryEntry(make_sparse_matrix_op(list(indices), obj.rows))]
+    if isinstance(obj, FnGate):
+        from rustqip_tpu.ops.matrix_ops import FnOp
+
+        return [
+            UnitaryEntry(
+                FnOp(
+                    tuple(indices), obj.fn, obj.tag, obj.conjugated,
+                    obj.self_transpose,
+                )
+            )
+        ]
     if isinstance(obj, ControlledMatGate):
         if isinstance(obj.mat, SparseMatGate):
             inner = make_sparse_matrix_op(
@@ -298,6 +310,58 @@ class LocalBuilder(
             order = Representation.BigEndian
         rows = make_sparse_matrix_from_function(r.n, f, order)
         return self.apply_sparse_matrix(r, rows)
+
+    def apply_fn_matrix(
+        self, r: Register, fn, tag=None, self_transpose: bool = False
+    ) -> Register:
+        """Apply a TRACED-function unitary: ``fn(row) -> (col, val)``
+        elementwise over int32 jax arrays, entries in the register's
+        big-endian index space. Nothing materializes — the column map and
+        values are computed inside the compiled program, so width is
+        unbounded (the lazy-streaming analog of the reference's
+        FunctionOpIterator, qubit_iterators.rs:223; contrast
+        ``apply_sparse_matrix_from_function``, which embeds 2^n tables).
+        ``fn`` must define a unitary (bijective columns, |val| = 1) —
+        trusted, not validated, exactly like the reference."""
+        from rustqip_tpu.ops.matrix_ops import make_fn_op
+
+        op = make_fn_op(list(range(r.n)), fn, tag, self_transpose)
+        return self.apply_circuit_object(
+            r,
+            CircuitObject(
+                r.n,
+                FnGate(r.n, op.fn, op.tag, False, op.self_transpose),
+            ),
+        )
+
+    def apply_function_op(self, rx: Register, ry: Register, f, tag=None):
+        """Classical-function oracle |x>|y> -> theta(x) |x>|y XOR f(x)>
+        as ONE traced op (ref ``FunctionOpIterator::new``,
+        qubit_iterators.rs:232-253). ``f(x) -> (fx, theta)`` is
+        jax-traceable and elementwise over int32 arrays; ``x``/``fx`` are
+        register VALUES in the little-endian across-the-qubit-list
+        convention (matching init values and measurement outcomes).
+        XOR structure makes the op self-transpose, so the built circuit
+        inverts. Returns fresh ``(rx, ry)`` handles."""
+        from rustqip_tpu.ops.matrix_ops import make_function_op
+
+        kx, ky = rx.n, ry.n
+        # Build in local op space [0..kx+ky) — recording uses absolute
+        # wire indices; the op's fn only depends on (kx, ky).
+        op = make_function_op(list(range(kx)), list(range(kx, kx + ky)), f, tag)
+        ix = consume(rx, "gate application")
+        iy = consume(ry, "gate application")
+        indices = ix + iy
+        self.pipeline.append(
+            (
+                indices,
+                CircuitObject(
+                    len(indices),
+                    FnGate(len(indices), op.fn, op.tag, False, True),
+                ),
+            )
+        )
+        return Register(ix), Register(iy)
 
     # -- rotations primitive -------------------------------------------------
     def rz(self, r: Register, theta: Angle) -> Register:

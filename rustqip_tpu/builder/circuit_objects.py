@@ -143,6 +143,50 @@ class SparseMatGate:
         return f"SparseMatGate(n={self.n})"
 
 
+class FnGate:
+    """Traced-function oracle gate: entries computed IN-TRACE by
+    ``fn(row) -> (col, val)`` over int32 jax arrays — the builder-level
+    face of ``ops.matrix_ops.FnOp`` (the TPU-native analog of the
+    reference's lazy ``FunctionOpIterator``, qip-iterators/src/iterators/
+    qubit_iterators.rs:223). Unlike ``SparseMatGate``, NOTHING embeds:
+    O(1) program size at any width. ``tag`` is the structural identity
+    (compile caching / fingerprints); ``self_transpose`` marks XOR-oracle
+    structure, making the gate invertible via elementwise conjugation.
+    """
+
+    __slots__ = ("n_qubits", "fn", "tag", "conjugated", "self_transpose")
+
+    def __init__(self, n_qubits, fn, tag, conjugated=False,
+                 self_transpose=False):
+        if n_qubits < 1:
+            raise CircuitError("FnGate needs at least one qubit")
+        self.n_qubits = int(n_qubits)
+        self.fn = fn
+        self.tag = str(tag)
+        self.conjugated = bool(conjugated)
+        self.self_transpose = bool(self_transpose)
+
+    @property
+    def n(self) -> int:
+        return self.n_qubits
+
+    def fingerprint(self):
+        return ("fn", self.n_qubits, self.tag, self.conjugated,
+                self.self_transpose)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, FnGate)
+            and self.fingerprint() == other.fingerprint()
+        )
+
+    def __hash__(self):
+        return hash(self.fingerprint())
+
+    def __repr__(self):
+        return f"FnGate(n={self.n_qubits}, tag={self.tag!r})"
+
+
 class ControlledMatGate:
     """n_ctrl-controlled arbitrary unitary — native controlled-MAT (the
     reference's missing case, builder.rs:808)."""
@@ -207,7 +251,7 @@ class RepeatBlock:
 
 UnitaryObject = Union[
     NamedGate, RzGate, GlobalPhaseGate, MatGate, SparseMatGate,
-    ControlledMatGate, RepeatBlock,
+    FnGate, ControlledMatGate, RepeatBlock,
 ]
 
 
@@ -289,6 +333,17 @@ def invert_circuit_object(co: CircuitObject) -> List[CircuitObject]:
             SparseMatGate(
                 [[(c, complex(v).conjugate()) for c, v in r] for r in rows]
             )
+        ]
+    elif isinstance(obj, FnGate):
+        if not obj.self_transpose:
+            raise CircuitError(
+                "Cannot invert a general traced-function gate (its inverse "
+                "needs the transposed column map); XOR-structured oracles "
+                "(apply_function_op / self_transpose=True) invert via "
+                "elementwise conjugation."
+            )
+        seq = [
+            FnGate(obj.n_qubits, obj.fn, obj.tag, not obj.conjugated, True)
         ]
     elif isinstance(obj, ControlledMatGate):
         if isinstance(obj.mat, SparseMatGate):

@@ -46,6 +46,7 @@ from rustqip_tpu.errors import CircuitError
 from rustqip_tpu.ops.matrix_ops import (
     ControlOp,
     DenseOp,
+    FnOp,
     MatrixOp,
     PhaseProductOp,
     SparseOp,
@@ -861,6 +862,10 @@ def _apply_to_state(n: int, op: MatrixOp, state: jnp.ndarray) -> jnp.ndarray:
         return _apply_swap(n, op, state)
     if isinstance(op, ControlOp):
         return _apply_control(n, op, state)
+    if isinstance(op, FnOp):
+        # Traced-function oracle: one gather pass, nothing embeds
+        # (the reference's lazy FunctionOpIterator, qubit_iterators.rs:223).
+        return _apply_fn_wide(n, op, state)
     raise TypeError(f"Unknown op {op!r}")
 
 
@@ -924,6 +929,9 @@ def _t_apply(n: int, op: MatrixOp, tensor: jnp.ndarray) -> jnp.ndarray:
         inner = _reindex_op(op.inner, inner_axes)
         new_slab = _t_apply(n - op.n_ctrl, inner, slab)
         return tensor.at[idx].set(new_slab)
+    if isinstance(op, FnOp):
+        flat = _apply_fn_wide(n, op, tensor.reshape(-1))
+        return flat.reshape(tensor.shape)
     raise TypeError(f"Unknown op {op!r}")
 
 
@@ -946,6 +954,14 @@ def _reindex_op(op: MatrixOp, new_indices: Tuple[int, ...]) -> MatrixOp:
         n_inner = op.inner.num_indices
         inner = _reindex_op(op.inner, new_indices[op.n_ctrl :][:n_inner])
         return ControlOp(op.n_ctrl, new_indices, inner)
+    if isinstance(op, FnOp):
+        # ``fn`` operates in the op's own k-bit index space, keyed by the
+        # POSITION of each qubit in ``indices`` — a positional reindex
+        # preserves semantics exactly.
+        return FnOp(
+            tuple(new_indices), op.fn, op.tag, op.conjugated,
+            op.self_transpose,
+        )
     raise TypeError(f"Unknown op {op!r}")
 
 

@@ -17,6 +17,7 @@ import numpy as np
 
 from rustqip_tpu.ops.matrix_ops import (
     DenseOp,
+    FnOp,
     MatrixOp,
     PhaseProductOp,
     SwapOp,
@@ -153,7 +154,11 @@ def fuse_ops(
     for op in ops:
         op_set = set(op.indices)
         joint = block_indices + tuple(i for i in op.indices if i not in block_indices)
-        if op.num_indices > max_qubits or (keep is not None and keep(op)):
+        if (
+            op.num_indices > max_qubits
+            or isinstance(op, FnOp)  # traced fns stay lazy — never densify
+            or (keep is not None and keep(op))
+        ):
             flush()
             fused.append(op)
             continue

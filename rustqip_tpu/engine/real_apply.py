@@ -29,6 +29,7 @@ from rustqip_tpu.engine.apply import (
 from rustqip_tpu.ops.matrix_ops import (
     ControlOp,
     DenseOp,
+    FnOp,
     MatrixOp,
     PhaseProductOp,
     SparseOp,
@@ -206,6 +207,14 @@ def apply_op_ri(n: int, op: MatrixOp, re: jnp.ndarray, im: jnp.ndarray) -> Pair:
         return re, im
     if isinstance(op, ControlOp):
         return _control_ri(n, op, re, im)
+    if isinstance(op, FnOp):
+        from rustqip_tpu.engine.apply import _fn_apply_planes
+
+        _, R, C = _geometry(n)
+        out_r, out_i = _fn_apply_planes(
+            n, op, re.reshape(R, C), im.reshape(R, C)
+        )
+        return out_r.reshape(-1), out_i.reshape(-1)
     raise TypeError(f"Unknown op {op!r}")
 
 

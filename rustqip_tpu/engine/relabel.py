@@ -33,6 +33,7 @@ from typing import List, Sequence, Tuple
 from rustqip_tpu.ops.matrix_ops import (
     ControlOp,
     DenseOp,
+    FnOp,
     MatrixOp,
     PhaseProductOp,
     SparseOp,
@@ -65,6 +66,13 @@ def remap_op(op: MatrixOp, pos: Sequence[int]) -> MatrixOp:
         )
     if isinstance(op, SwapOp):
         return SwapOp(tuple(pos[q] for q in op.indices))
+    if isinstance(op, FnOp):
+        # fn is keyed by POSITION within ``indices`` — a positional remap
+        # is exact (see engine.apply._reindex_op).
+        return FnOp(
+            tuple(pos[q] for q in op.indices), op.fn, op.tag,
+            op.conjugated, op.self_transpose,
+        )
     raise TypeError(f"Unknown op {op!r}")
 
 

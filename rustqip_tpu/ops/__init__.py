@@ -10,9 +10,12 @@ from rustqip_tpu.ops.matrix_ops import (
     SparseOp,
     SwapOp,
     ControlOp,
+    FnOp,
     make_matrix_op,
     make_sparse_matrix_op,
     make_sparse_matrix_from_function,
+    make_fn_op,
+    make_function_op,
     make_swap_op,
     make_control_op,
     invert_op,
@@ -39,9 +42,12 @@ __all__ = [
     "SparseOp",
     "SwapOp",
     "ControlOp",
+    "FnOp",
     "make_matrix_op",
     "make_sparse_matrix_op",
     "make_sparse_matrix_from_function",
+    "make_fn_op",
+    "make_function_op",
     "make_swap_op",
     "make_control_op",
     "invert_op",

@@ -602,16 +602,22 @@ def op_to_dense(op: MatrixOp) -> np.ndarray:
                 "materialization at any width — only dense-requiring "
                 "features (fusion into joints, QASM synthesis) do."
             )
+        import jax
         import jax.numpy as jnp
 
         rows = np.arange(dim, dtype=np.int32)
-        cols, vals = op.fn(rows)  # traced fns execute eagerly on numpy
-        cols = np.asarray(cols, dtype=np.int64)
-        # Fetch value planes separately: complex arrays cannot cross the
-        # host<->device boundary on this TPU (CLAUDE.md), and eager jnp
-        # results land on the default device.
-        vr = np.asarray(jnp.real(jnp.asarray(vals)), dtype=np.float64)
-        vi = np.asarray(jnp.imag(jnp.asarray(vals)), dtype=np.float64)
+        # ensure_compile_time_eval: materialization can be reached from
+        # host code running DURING a jit trace (e.g. the sharded
+        # schedule lowering) — without it, omnistaging turns the fn's
+        # jnp ops into tracers that cannot convert back to numpy.
+        with jax.ensure_compile_time_eval():
+            cols, vals = op.fn(rows)
+            cols = np.asarray(cols, dtype=np.int64)
+            # Fetch value planes separately: complex arrays cannot cross
+            # the host<->device boundary on this TPU (CLAUDE.md), and
+            # eager jnp results land on the default device.
+            vr = np.asarray(jnp.real(jnp.asarray(vals)), dtype=np.float64)
+            vi = np.asarray(jnp.imag(jnp.asarray(vals)), dtype=np.float64)
         vals_np = np.broadcast_to(vr + 1j * vi, (dim,))
         if op.conjugated:
             vals_np = np.conj(vals_np)

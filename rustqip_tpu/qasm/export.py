@@ -30,6 +30,7 @@ import numpy as np
 
 from rustqip_tpu.builder.circuit_objects import (
     ControlledMatGate,
+    FnGate,
     GlobalPhaseGate,
     MatGate,
     MeasurementObject,
@@ -225,6 +226,26 @@ def _emit_unitary(obj, indices, out: List[str]) -> None:
             out.append(
                 f"// sparse unitary on {list(indices)} exceeds synthesis "
                 f"cap ({QSD_CAP} qubits)"
+            )
+    elif isinstance(obj, FnGate):
+        # OpenQASM needs explicit gates: materialize the traced fn over
+        # its 2^n rows (fine at synthesis widths) and synthesize like any
+        # dense unitary; wide oracles have no QASM 2.0 form.
+        if obj.n <= QSD_CAP:
+            from rustqip_tpu.ops.matrix_ops import FnOp, op_to_dense
+
+            data = op_to_dense(
+                FnOp(tuple(range(obj.n)), obj.fn, obj.tag,
+                     obj.conjugated, obj.self_transpose)
+            )
+            _emit_ir(
+                synthesize_unitary(data, list(indices), exact_phase=False),
+                out,
+            )
+        else:
+            out.append(
+                f"// traced-function unitary {obj.tag!r} on "
+                f"{list(indices)} exceeds synthesis cap ({QSD_CAP} qubits)"
             )
     elif isinstance(obj, ControlledMatGate):  # pragma: no cover
         # to_openqasm intercepts ControlledMatGate with the real n_main

@@ -17,6 +17,7 @@ import numpy as np
 from rustqip_tpu.builder.circuit_objects import (
     CircuitObject,
     ControlledMatGate,
+    FnGate,
     GlobalPhaseGate,
     MatGate,
     MeasurementObject,
@@ -103,6 +104,13 @@ def _obj_to_json(co: CircuitObject):
             "times": obj.times,
             "body": [_item_to_json(item) for item in obj.body],
         }
+    elif isinstance(obj, FnGate):
+        raise CircuitError(
+            f"Cannot serialize traced-function gate {obj.tag!r}: its "
+            "entries are a Python callable evaluated in-trace, not data. "
+            "For a serializable oracle use apply_sparse_matrix_from_"
+            "function (table-based) or re-register the callable on load."
+        )
     else:  # pragma: no cover
         raise CircuitError(f"Cannot serialize {obj!r}")
     body["n"] = co.n

@@ -1,0 +1,292 @@
+"""Traced-function ops (FnOp / FnGate): the lazy-streaming oracle path.
+
+The reference streams function-op entries lazily at any width with O(1)
+memory (``FunctionOpIterator``, qip-iterators/src/iterators/
+qubit_iterators.rs:223-269). The TPU-native analog computes ``(col, val)``
+IN-TRACE from iota bit arithmetic — nothing embeds in the program — and
+these tests pin its semantics against the table-based paths at small
+widths, plus a wide case no table could reasonably embed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rustqip_tpu.builder.builder import _lower_item
+from rustqip_tpu.builder.circuit_objects import (
+    CircuitObject,
+    FnGate,
+    invert_circuit_object,
+)
+from rustqip_tpu.engine.apply import apply_op
+from rustqip_tpu.engine.real_apply import apply_ops_ri, plan_sweeps
+from rustqip_tpu.errors import CircuitError
+from rustqip_tpu.ops import gates
+from rustqip_tpu.ops.matrix_ops import (
+    DenseOp,
+    FnOp,
+    invert_op,
+    make_fn_op,
+    make_function_op,
+    make_matrix_op,
+    op_to_dense,
+)
+from rustqip_tpu.prelude import LocalBuilder
+
+
+def _phase_perm(row):
+    """An order-respecting affine permutation with a nontrivial phase."""
+    return (row * 5 + 3) % 32, jnp.exp(1j * 0.7 * row)
+
+
+def test_fn_op_matches_dense_embedding():
+    """FnOp on mixed row/col qubits (unsorted indices) == its dense form."""
+    n = 12
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    v /= np.linalg.norm(v)
+    op = make_fn_op([0, 7, 3, 10, 11], _phase_perm)
+    U = op_to_dense(op)
+    assert np.abs(U @ U.conj().T - np.eye(32)).max() < 1e-12
+
+    got = np.asarray(apply_op(n, op, jnp.asarray(v)))
+    want = np.asarray(
+        apply_op(n, DenseOp(tuple(op.indices), U), jnp.asarray(v))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_fn_op_ri_path_with_neighbors():
+    """(re, im) plane path: FnOp between window-eligible gates; the
+    planner must treat it as a solo pass, not crash or fuse it."""
+    n = 12
+    ops = [
+        make_matrix_op([1], gates.H.reshape(-1)),
+        make_fn_op([0, 7, 3, 10, 11], _phase_perm),
+        make_matrix_op([11], gates.H.reshape(-1)),
+    ]
+    kinds = [k for k, _, _ in plan_sweeps(n, ops, False)]
+    assert kinds[1] == "op"  # the FnOp is its own pass
+
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    v /= np.linalg.norm(v)
+    re, im = apply_ops_ri(
+        n, ops, jnp.asarray(v.real), jnp.asarray(v.imag)
+    )
+    got = np.asarray(re) + 1j * np.asarray(im)
+    want = v
+    for op in ops:
+        if isinstance(op, FnOp):
+            op = DenseOp(tuple(op.indices), op_to_dense(op))
+        want = np.asarray(apply_op(n, op, jnp.asarray(want)))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_wide_fn_oracle_single_pass():
+    """18-qubit XOR permutation inside n=20 — far beyond any table cap;
+    a basis state maps to the XOR-shifted basis state exactly."""
+    n, k = 20, 18
+
+    def wide(row):
+        return row ^ 0x2A5A5, jnp.ones(row.shape, jnp.float64)
+
+    op = make_fn_op(list(range(k)), wide)
+    s = np.zeros(1 << n, np.float64)
+    s[12345] = 1.0
+    re, im = apply_ops_ri(n, [op], jnp.asarray(s), jnp.zeros(1 << n))
+    nz = np.nonzero(np.asarray(re))[0]
+    # qubits 0..17 sit above the two low qubits in the big-endian index.
+    assert list(nz) == [12345 ^ (0x2A5A5 << 2)]
+    assert float(np.asarray(re)[nz[0]]) == 1.0
+
+
+def test_function_op_xor_semantics_and_invert():
+    """|x>|y> -> theta(x)|x>|y ^ f(x)> matches the reference construction
+    (qubit_iterators.rs:232-253) and inverts via elementwise conjugate."""
+
+    def f(x):
+        return (3 * x + 1) % 8, jnp.exp(1j * 0.3 * x)
+
+    op = make_function_op([0, 1, 2], [3, 4, 5], f)
+    U = op_to_dense(op)
+    assert np.abs(U @ U.conj().T - np.eye(64)).max() < 1e-12
+    Uinv = op_to_dense(invert_op(op))
+    assert np.abs(Uinv @ U - np.eye(64)).max() < 1e-12
+
+
+def test_builder_apply_function_op_matches_table_path():
+    def f(x):
+        return (3 * x + 1) % 8, 1
+
+    b = LocalBuilder(dtype="c128")
+    rx, ry = b.register(3), b.register(3)
+    rx = b.h(rx)
+    rx, ry = b.apply_function_op(rx, ry, f)
+    b.merge_registers([rx, ry])
+    state = np.asarray(b.calculate_state()[0])
+
+    U = op_to_dense(make_function_op([0, 1, 2], [3, 4, 5], f))
+    b2 = LocalBuilder(dtype="c128")
+    rx2, ry2 = b2.register(3), b2.register(3)
+    rx2 = b2.h(rx2)
+    r2 = b2.merge_registers([rx2, ry2])
+    b2.apply_matrix(r2, U)
+    want = np.asarray(b2.calculate_state()[0])
+    np.testing.assert_allclose(state, want, atol=1e-12)
+
+
+def test_builder_apply_fn_matrix_f32_planes():
+    """The f32 (re, im) production dtype end-to-end."""
+
+    def g(row):
+        return (row + 5) % 16, jnp.exp(1j * 0.25 * row)
+
+    b = LocalBuilder(dtype="f32")
+    r = b.h(b.register(4))
+    b.apply_fn_matrix(r, g)
+    state = b.calculate_state()[0]
+    got = np.asarray(state).astype(np.complex128)
+
+    U = op_to_dense(make_fn_op([0, 1, 2, 3], g))
+    b2 = LocalBuilder(dtype="c128")
+    r2 = b2.h(b2.register(4))
+    b2.apply_matrix(r2, U)
+    want = np.asarray(b2.calculate_state()[0])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_fn_gate_survives_swap_deferral():
+    """Lazy relabeling remaps FnOp indices positionally: swaps recorded
+    before the oracle must commute through it exactly."""
+
+    def g(row):
+        return (row * 3 + 1) % 8, jnp.exp(1j * 0.4 * row)
+
+    def build(b):
+        r = b.register(5)
+        qs = b.split_all_register(r)
+        qs[0], qs[3] = b.swap(qs[0], qs[3])
+        qs[1] = b.h(qs[1])
+        tgt = b.merge_registers([qs[0], qs[2], qs[4]])
+        b.apply_fn_matrix(tgt, g)
+
+    b1 = LocalBuilder(dtype="c128")
+    build(b1)
+    got = np.asarray(b1.calculate_state()[0])
+
+    # Reference: same circuit with the oracle densified up front.
+    U = op_to_dense(make_fn_op([0, 1, 2], g))
+    b2 = LocalBuilder(dtype="c128")
+    r = b2.register(5)
+    qs = b2.split_all_register(r)
+    qs[0], qs[3] = b2.swap(qs[0], qs[3])
+    qs[1] = b2.h(qs[1])
+    tgt = b2.merge_registers([qs[0], qs[2], qs[4]])
+    b2.apply_matrix(tgt, U)
+    want = np.asarray(b2.calculate_state()[0])
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_fn_op_not_fused():
+    """Fusion must pass FnOps through instead of densifying them."""
+    from rustqip_tpu.engine.fusion import fuse_ops
+
+    ops = [
+        make_matrix_op([0], gates.H.reshape(-1)),
+        make_fn_op([0, 1], lambda r: (r ^ 3, 1)),
+        make_matrix_op([0], gates.H.reshape(-1)),
+    ]
+    fused = fuse_ops(ops)
+    assert any(isinstance(op, FnOp) for op in fused)
+
+
+def test_fn_gate_inversion_rules():
+    def f(x):
+        return x ^ 5, jnp.exp(1j * 0.3 * x)
+
+    op = make_function_op([0, 1, 2], [3, 4, 5], f)
+    co = CircuitObject(6, FnGate(6, op.fn, op.tag, False, True))
+    (inv,) = invert_circuit_object(co)
+    assert inv.obj.conjugated and inv.obj.self_transpose
+
+    general = CircuitObject(
+        2, FnGate(2, lambda r: ((r + 1) % 4, 1), "rot4")
+    )
+    with pytest.raises(CircuitError):
+        invert_circuit_object(general)
+
+
+def test_fn_gate_serialize_raises_clearly():
+    from rustqip_tpu.utils.serialize import circuit_to_json
+
+    b = LocalBuilder(dtype="c128")
+    r = b.h(b.register(2))
+    b.apply_fn_matrix(r, lambda row: ((row + 1) % 4, 1), tag="rot4")
+    with pytest.raises(CircuitError, match="rot4"):
+        circuit_to_json(b)
+
+
+def test_fn_gate_qasm_export_materializes_small():
+    from rustqip_tpu.qasm.export import to_openqasm
+
+    def g(row):
+        return (row + 1) % 4, jnp.ones(row.shape, jnp.float64)
+
+    b = LocalBuilder(dtype="c128")
+    r = b.h(b.register(2))
+    b.apply_fn_matrix(r, g)
+    qasm = to_openqasm(b)
+    assert "OPENQASM 2.0" in qasm
+    # The traced op synthesized to real gates, not a placeholder comment.
+    assert "traced-function" not in qasm
+
+
+def test_fn_op_sharded_gspmd_and_explicit():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from rustqip_tpu.parallel import make_shard_mesh, sharded_calculate_state
+    from rustqip_tpu.parallel.explicit import compile_sharded_explicit
+
+    def f(x):
+        return (3 * x + 1) % 8, jnp.exp(1j * 0.5 * x)
+
+    def build(b):
+        rx, ry = b.register(5), b.register(3)
+        rx = b.h(rx)
+        rx, ry = b.apply_function_op(rx, ry, f)
+        b.merge_registers([rx, ry])
+
+    b1 = LocalBuilder(dtype="f64")
+    build(b1)
+    expected = np.asarray(b1.calculate_state(seed=0)[0])
+
+    mesh = make_shard_mesh(8)
+    b2 = LocalBuilder(dtype="f64")
+    build(b2)
+    re, im, _ = sharded_calculate_state(b2, mesh=mesh, seed=0)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=1e-10)
+
+    b3 = LocalBuilder(dtype="f64")
+    build(b3)
+    entries = [e for item in b3.pipeline for e in _lower_item(item)]
+    cc = compile_sharded_explicit(8, entries, np.complex128, mesh)
+    re3, im3, _ = cc.run(initial_index=0, key=jax.random.PRNGKey(0))
+    got3 = np.asarray(re3) + 1j * np.asarray(im3)
+    np.testing.assert_allclose(got3, expected, atol=1e-10)
+
+
+def test_fn_op_shard_local_stays_lazy():
+    """An oracle entirely on shard-local qubits lowers into the 'local'
+    schedule (no densification) under the explicit executor."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from rustqip_tpu.parallel.shard_ops import _lower_schedule
+
+    op = make_fn_op([4, 5, 6, 7, 8], _phase_perm)
+    sched = _lower_schedule(9, 3, [op])
+    assert [kind for kind, *_ in sched] == ["local"]
+    (lop,) = sched[0][1]
+    assert isinstance(lop, FnOp) and lop.indices == (1, 2, 3, 4, 5)
