@@ -49,7 +49,7 @@ def random_ops(rng):
         return q
 
     def rand_op():
-        kind = rng.integers(0, 8)
+        kind = rng.integers(0, 9)
         qs = list(rng.choice(N, size=4, replace=False))
         if kind == 0:
             g = [gates.H, gates.T, gates.X, gates.Y][rng.integers(0, 4)]
@@ -78,6 +78,24 @@ def random_ops(rng):
             return make_control_op(
                 [int(qs[0]), int(qs[1]), int(qs[2])],
                 make_matrix_op([int(qs[3])], rand_u(1).reshape(-1)),
+            )
+        if kind == 7:  # traced-function op: affine permutation + phase
+            import jax.numpy as jnp
+
+            from rustqip_tpu.ops.matrix_ops import make_fn_op
+
+            k = 5
+            fqs = [int(q) for q in rng.choice(N, size=k, replace=False)]
+            a = int(rng.integers(0, 1 << (k - 1))) * 2 + 1  # odd: bijective
+            c = int(rng.integers(0, 1 << k))
+            t = float(rng.uniform(-3, 3))
+            return make_fn_op(
+                fqs,
+                lambda row: (
+                    (a * row + c) % (1 << k),
+                    jnp.exp(1j * t * row),
+                ),
+                tag=f"affine:{a}:{c}:{t}",
             )
         return make_swap_op([int(qs[0])], [int(qs[1])])
 
