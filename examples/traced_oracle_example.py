@@ -34,7 +34,7 @@ def phase_oracle(row):
     solution row — a diagonal traced op (row is the op-local big-endian
     index; the register is applied whole, so row == register index)."""
     hit = ((A * row + C) % (1 << N)) == TARGET
-    return row, jnp.where(hit, -1.0, 1.0)
+    return row, jnp.where(hit, -1.0, 1.0)  # diagonal=True: no gather
 
 
 def diffusion(b, r):
@@ -43,7 +43,7 @@ def diffusion(b, r):
         r,
         lambda row: (row, jnp.where(row == 0, 1.0, -1.0)),
         tag="flip-all-but-zero",
-        self_transpose=True,
+        diagonal=True,
     )
     return b.h(r)
 
@@ -53,7 +53,7 @@ def main():
     r = b.h(b.register(N))
     for _ in range(3):
         r = b.apply_fn_matrix(
-            r, phase_oracle, tag="affine-hit", self_transpose=True
+            r, phase_oracle, tag="affine-hit", diagonal=True
         )
         r = diffusion(b, r)
     state, _ = b.calculate_state(seed=0)

@@ -160,7 +160,7 @@ def _lower_item(item: PipelineItem) -> List[PipelineEntry]:
             UnitaryEntry(
                 FnOp(
                     tuple(indices), obj.fn, obj.tag, obj.conjugated,
-                    obj.self_transpose,
+                    obj.self_transpose, obj.diagonal,
                 )
             )
         ]
@@ -312,7 +312,8 @@ class LocalBuilder(
         return self.apply_sparse_matrix(r, rows)
 
     def apply_fn_matrix(
-        self, r: Register, fn, tag=None, self_transpose: bool = False
+        self, r: Register, fn, tag=None, self_transpose: bool = False,
+        diagonal: bool = False,
     ) -> Register:
         """Apply a TRACED-function unitary: ``fn(row) -> (col, val)``
         elementwise over int32 jax arrays, entries in the register's
@@ -325,12 +326,13 @@ class LocalBuilder(
         trusted, not validated, exactly like the reference."""
         from rustqip_tpu.ops.matrix_ops import make_fn_op
 
-        op = make_fn_op(list(range(r.n)), fn, tag, self_transpose)
+        op = make_fn_op(list(range(r.n)), fn, tag, self_transpose, diagonal)
         return self.apply_circuit_object(
             r,
             CircuitObject(
                 r.n,
-                FnGate(r.n, op.fn, op.tag, False, op.self_transpose),
+                FnGate(r.n, op.fn, op.tag, False, op.self_transpose,
+                       op.diagonal),
             ),
         )
 

@@ -154,17 +154,19 @@ class FnGate:
     structure, making the gate invertible via elementwise conjugation.
     """
 
-    __slots__ = ("n_qubits", "fn", "tag", "conjugated", "self_transpose")
+    __slots__ = ("n_qubits", "fn", "tag", "conjugated", "self_transpose",
+                 "diagonal")
 
     def __init__(self, n_qubits, fn, tag, conjugated=False,
-                 self_transpose=False):
+                 self_transpose=False, diagonal=False):
         if n_qubits < 1:
             raise CircuitError("FnGate needs at least one qubit")
         self.n_qubits = int(n_qubits)
         self.fn = fn
         self.tag = str(tag)
         self.conjugated = bool(conjugated)
-        self.self_transpose = bool(self_transpose)
+        self.self_transpose = bool(self_transpose) or bool(diagonal)
+        self.diagonal = bool(diagonal)
 
     @property
     def n(self) -> int:
@@ -172,7 +174,7 @@ class FnGate:
 
     def fingerprint(self):
         return ("fn", self.n_qubits, self.tag, self.conjugated,
-                self.self_transpose)
+                self.self_transpose, self.diagonal)
 
     def __eq__(self, other):
         return (
@@ -343,7 +345,8 @@ def invert_circuit_object(co: CircuitObject) -> List[CircuitObject]:
                 "elementwise conjugation."
             )
         seq = [
-            FnGate(obj.n_qubits, obj.fn, obj.tag, not obj.conjugated, True)
+            FnGate(obj.n_qubits, obj.fn, obj.tag, not obj.conjugated,
+                   True, obj.diagonal)
         ]
     elif isinstance(obj, ControlledMatGate):
         if isinstance(obj.mat, SparseMatGate):

@@ -544,6 +544,19 @@ def _fn_apply_planes(n: int, op, re2d: jnp.ndarray, im2d: jnp.ndarray):
             col_mask |= 1 << (n - 1 - q)
     pat = rowpat[:, None] | colpat[None, :]  # local ROW index per position
     sc, val = op.fn(pat)  # traced: column index + value, elementwise
+    if op.diagonal:
+        # Declared phase oracle (col == row): no gather at all — one
+        # elementwise multiply, fused by XLA into neighboring passes.
+        rdtype = re2d.dtype
+        val = jnp.asarray(val)
+        if jnp.iscomplexobj(val):
+            vr = jnp.real(val).astype(rdtype)
+            vi = jnp.imag(val).astype(rdtype)
+            if op.conjugated:
+                vi = -vi
+            return re2d * vr - im2d * vi, im2d * vr + re2d * vi
+        vr = val.astype(rdtype)
+        return re2d * vr, im2d * vr
     row_off = jnp.zeros((), jnp.int32)
     col_off = jnp.zeros((), jnp.int32)
     for j, q in enumerate(op.indices):
@@ -960,7 +973,7 @@ def _reindex_op(op: MatrixOp, new_indices: Tuple[int, ...]) -> MatrixOp:
         # preserves semantics exactly.
         return FnOp(
             tuple(new_indices), op.fn, op.tag, op.conjugated,
-            op.self_transpose,
+            op.self_transpose, op.diagonal,
         )
     raise TypeError(f"Unknown op {op!r}")
 

@@ -71,7 +71,7 @@ def remap_op(op: MatrixOp, pos: Sequence[int]) -> MatrixOp:
         # is exact (see engine.apply._reindex_op).
         return FnOp(
             tuple(pos[q] for q in op.indices), op.fn, op.tag,
-            op.conjugated, op.self_transpose,
+            op.conjugated, op.self_transpose, op.diagonal,
         )
     raise TypeError(f"Unknown op {op!r}")
 

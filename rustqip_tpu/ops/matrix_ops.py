@@ -196,13 +196,18 @@ class FnOp:
     structural identity for compile caching: two FnOps with equal tags
     (and flags) are assumed identical. ``self_transpose`` marks
     XOR-oracle structure (|x>|y> -> theta(x) |x>|y ^ f(x)>), for which
-    transpose == self and the inverse is the elementwise conjugate."""
+    transpose == self and the inverse is the elementwise conjugate.
+    ``diagonal`` asserts ``fn(row) == (row, val)`` for every row (a
+    traced phase oracle): the engine then skips the gather entirely —
+    one elementwise multiply per pass, and the op is trivially
+    self-transpose."""
 
     indices: Tuple[int, ...]
     fn: Callable
     tag: str
     conjugated: bool = False
     self_transpose: bool = False
+    diagonal: bool = False
 
     @property
     def num_indices(self) -> int:
@@ -215,12 +220,13 @@ class FnOp:
             and self.tag == other.tag
             and self.conjugated == other.conjugated
             and self.self_transpose == other.self_transpose
+            and self.diagonal == other.diagonal
         )
 
     def __hash__(self) -> int:
         return hash(
             ("FnOp", self.indices, self.tag, self.conjugated,
-             self.self_transpose)
+             self.self_transpose, self.diagonal)
         )
 
 
@@ -363,6 +369,7 @@ def make_fn_op(
     fn: Callable,
     tag: "str | None" = None,
     self_transpose: bool = False,
+    diagonal: bool = False,
 ) -> FnOp:
     """Validated traced-function op constructor (general form).
 
@@ -374,7 +381,9 @@ def make_fn_op(
     (no 2^k table embeds; see ``FnOp``). ``val`` may be a complex or
     real array. ``self_transpose=True`` asserts M^T == M (XOR-oracle
     structure), enabling ``transpose_op``/``invert_op``; prefer
-    ``make_function_op`` which sets it for you."""
+    ``make_function_op`` which sets it for you. ``diagonal=True``
+    asserts ``fn`` is a traced PHASE oracle (``col == row`` always):
+    the engine applies it as one elementwise multiply, no gather."""
     indices = tuple(int(i) for i in indices)
     if not indices:
         raise CircuitError("Must supply at least one op index")
@@ -387,7 +396,10 @@ def make_fn_op(
             f"{getattr(fn, '__module__', '?')}."
             f"{getattr(fn, '__qualname__', '?')}@{id(fn):x}"
         )
-    return FnOp(indices, fn, str(tag), False, bool(self_transpose))
+    return FnOp(
+        indices, fn, str(tag), False,
+        bool(self_transpose) or bool(diagonal), bool(diagonal),
+    )
 
 
 def make_function_op(
@@ -487,7 +499,8 @@ def op_fingerprint(op: MatrixOp) -> tuple:
     if isinstance(op, PhaseProductOp):
         return ("P", op.terms)
     if isinstance(op, FnOp):
-        return ("F", op.indices, op.tag, op.conjugated, op.self_transpose)
+        return ("F", op.indices, op.tag, op.conjugated,
+                op.self_transpose, op.diagonal)
     raise TypeError(f"Unknown op {op!r}")
 
 
@@ -513,7 +526,8 @@ def conj_op(op: MatrixOp) -> MatrixOp:
         return ControlOp(op.n_ctrl, op.indices, conj_op(op.inner))
     if isinstance(op, FnOp):
         return FnOp(
-            op.indices, op.fn, op.tag, not op.conjugated, op.self_transpose
+            op.indices, op.fn, op.tag, not op.conjugated,
+            op.self_transpose, op.diagonal,
         )
     raise TypeError(f"Unknown op {op!r}")
 
@@ -534,7 +548,7 @@ def transpose_op(op: MatrixOp) -> MatrixOp:
     if isinstance(op, ControlOp):
         return ControlOp(op.n_ctrl, op.indices, transpose_op(op.inner))
     if isinstance(op, FnOp):
-        if op.self_transpose:
+        if op.self_transpose or op.diagonal:
             return op
         raise CircuitError(
             "Cannot transpose a general traced-function op (the inverse "

@@ -45,6 +45,7 @@ from rustqip_tpu.errors import CircuitError
 from rustqip_tpu.ops.matrix_ops import (
     ControlOp,
     DenseOp,
+    FnOp,
     MatrixOp,
     PhaseProductOp,
     SwapOp,
@@ -110,6 +111,15 @@ def _lower_op(n: int, g: int, op: MatrixOp, sched: List) -> None:
             arr = np.asarray(tdiag, dtype=np.complex128)
             terms.append((tuple(tidx), np.real(arr), np.imag(arr)))
         sched.append(("diag", tuple(terms)))
+        return
+
+    if isinstance(op, FnOp) and op.diagonal and globals_:
+        # Declared traced phase oracle: zero comms at ANY width — each
+        # shard evaluates fn on its own op-local indices, with global
+        # qubit bits read from the device index (cf. the "diag" entry).
+        # This is how a 33q+ sharded Grover marks states without a single
+        # collective.
+        sched.append(("fndiag", op))
         return
 
     if not globals_:
@@ -462,6 +472,35 @@ def apply_sharded_ops(
                     re_s, im_s = one_exchange(
                         re_s, im_s, rest_local, local_n
                     )
+            elif kind == "fndiag":
+                _, fop = entry
+                flat = jnp.arange(re_s.size, dtype=jnp.int32)
+                k = fop.num_indices
+                idx = jnp.zeros_like(flat)
+                pat = jnp.zeros((), jnp.int32)
+                for t, q in enumerate(fop.indices):
+                    shift = k - 1 - t
+                    if q < g:
+                        pat = pat | (((my >> (g - 1 - q)) & 1) << shift)
+                    else:
+                        idx = idx | (
+                            ((flat >> (local_n - 1 - (q - g))) & 1)
+                            << shift
+                        )
+                _, val = fop.fn(idx | pat)
+                val = jnp.asarray(val)
+                rr, ii = re_s.reshape(-1), im_s.reshape(-1)
+                if jnp.iscomplexobj(val):
+                    fr = jnp.real(val).astype(rr.dtype)
+                    fi = jnp.imag(val).astype(rr.dtype)
+                    if fop.conjugated:
+                        fi = -fi
+                    rr, ii = rr * fr - ii * fi, rr * fi + ii * fr
+                else:
+                    fr = val.astype(rr.dtype)
+                    rr, ii = rr * fr, ii * fr
+                re_s = rr.reshape(re_s.shape)
+                im_s = ii.reshape(im_s.shape)
             else:  # diag
                 _, terms = entry
                 flat = jnp.arange(re_s.size, dtype=jnp.int32)

@@ -290,3 +290,71 @@ def test_fn_op_shard_local_stays_lazy():
     assert [kind for kind, *_ in sched] == ["local"]
     (lop,) = sched[0][1]
     assert isinstance(lop, FnOp) and lop.indices == (1, 2, 3, 4, 5)
+
+
+def test_diagonal_fn_op_matches_gather_form():
+    """diagonal=True (no gather) must agree with the same fn applied as a
+    general FnOp and with its dense form, including conjugation."""
+
+    def phases(row):
+        return row, jnp.exp(1j * 0.37 * row)
+
+    n = 10
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    v /= np.linalg.norm(v)
+    diag = make_fn_op([1, 4, 8], phases, diagonal=True)
+    assert diag.diagonal and diag.self_transpose
+    general = make_fn_op([1, 4, 8], phases)
+    got = np.asarray(apply_op(n, diag, jnp.asarray(v)))
+    want = np.asarray(apply_op(n, general, jnp.asarray(v)))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+    from rustqip_tpu.ops.matrix_ops import conj_op
+
+    gotc = np.asarray(apply_op(n, conj_op(diag), jnp.asarray(v)))
+    wantc = np.asarray(
+        apply_op(
+            n,
+            DenseOp(tuple(diag.indices), op_to_dense(diag).conj()),
+            jnp.asarray(v),
+        )
+    )
+    np.testing.assert_allclose(gotc, wantc, atol=1e-10)
+
+
+def test_diagonal_fn_op_sharded_zero_comm():
+    """A wide diagonal FnOp spanning global + local qubits lowers to the
+    zero-communication 'fndiag' schedule and matches the dense result."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from rustqip_tpu.parallel import make_shard_mesh
+    from rustqip_tpu.parallel.shard_ops import (
+        _lower_schedule,
+        apply_sharded_ops,
+        make_sharded_pair,
+    )
+
+    n, g = 10, 3
+
+    def phases(row):
+        return row, jnp.exp(1j * 0.21 * row)
+
+    # Spans ALL qubits — the relocation path would have no free slots;
+    # the fndiag schedule needs none.
+    op = make_fn_op(list(range(n)), phases, diagonal=True)
+    sched = _lower_schedule(n, g, [op])
+    assert [kind for kind, *_ in sched] == ["fndiag"]
+
+    mesh = make_shard_mesh(8)
+    re, im = make_sharded_pair(mesh, n, initial_index=0, dtype=np.float64)
+    # Spread amplitude first so every shard is nontrivial.
+    from rustqip_tpu.ops.matrix_ops import make_matrix_op as _mk
+
+    hs = [_mk([q], gates.H.reshape(-1)) for q in range(n)]
+    re, im = apply_sharded_ops(mesh, n, hs + [op], re, im)
+    got = np.asarray(re) + 1j * np.asarray(im)
+
+    v = np.full(1 << n, (1 / np.sqrt(2)) ** n, dtype=np.complex128)
+    want = v * np.exp(1j * 0.21 * np.arange(1 << n))
+    np.testing.assert_allclose(got, want, atol=1e-10)
