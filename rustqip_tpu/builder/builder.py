@@ -169,6 +169,14 @@ def _lower_item(item: PipelineItem) -> List[PipelineEntry]:
             inner = make_sparse_matrix_op(
                 list(indices[obj.n_ctrl :]), obj.mat.rows
             )
+        elif isinstance(obj.mat, FnGate):
+            from rustqip_tpu.ops.matrix_ops import FnOp
+
+            m = obj.mat
+            inner = FnOp(
+                tuple(indices[obj.n_ctrl :]), m.fn, m.tag, m.conjugated,
+                m.self_transpose, m.diagonal,
+            )
         else:
             inner = make_matrix_op(
                 list(indices[obj.n_ctrl :]), obj.mat.data.reshape(-1)
@@ -310,31 +318,6 @@ class LocalBuilder(
             order = Representation.BigEndian
         rows = make_sparse_matrix_from_function(r.n, f, order)
         return self.apply_sparse_matrix(r, rows)
-
-    def apply_fn_matrix(
-        self, r: Register, fn, tag=None, self_transpose: bool = False,
-        diagonal: bool = False,
-    ) -> Register:
-        """Apply a TRACED-function unitary: ``fn(row) -> (col, val)``
-        elementwise over int32 jax arrays, entries in the register's
-        big-endian index space. Nothing materializes — the column map and
-        values are computed inside the compiled program, so width is
-        unbounded (the lazy-streaming analog of the reference's
-        FunctionOpIterator, qubit_iterators.rs:223; contrast
-        ``apply_sparse_matrix_from_function``, which embeds 2^n tables).
-        ``fn`` must define a unitary (bijective columns, |val| = 1) —
-        trusted, not validated, exactly like the reference."""
-        from rustqip_tpu.ops.matrix_ops import make_fn_op
-
-        op = make_fn_op(list(range(r.n)), fn, tag, self_transpose, diagonal)
-        return self.apply_circuit_object(
-            r,
-            CircuitObject(
-                r.n,
-                FnGate(r.n, op.fn, op.tag, False, op.self_transpose,
-                       op.diagonal),
-            ),
-        )
 
     def apply_function_op(self, rx: Register, ry: Register, f, tag=None):
         """Classical-function oracle |x>|y> -> theta(x) |x>|y XOR f(x)>
@@ -619,8 +602,11 @@ class LocalBuilder(
             cr, r = self.toffoli(cr, r)
             r = self.rz(r, half)
             return cr, r
-        if isinstance(obj, (MatGate, SparseMatGate)):
+        if isinstance(obj, (MatGate, SparseMatGate, FnGate)):
             # Native controlled arbitrary unitary (reference todo!()).
+            # FnGate included: a traced op has no reference-style gate
+            # decomposition without materializing, so both conditioning
+            # strategies use the engine Control op for it.
             n_ctrl = cr.n
             merged = self.merge_two_registers(cr, r)
             indices = consume(merged, "controlled gate")
@@ -720,7 +706,7 @@ class LocalBuilder(
             )
             out = first if rest is None else self.merge_two_registers(first, rest)
             return cr, out
-        if isinstance(obj, (MatGate, SparseMatGate)):
+        if isinstance(obj, (MatGate, SparseMatGate, FnGate)):
             return self._push_controlled_mat(cr, r, obj)
         if isinstance(obj, ControlledMatGate):
             n_ctrl_new = cr.n + obj.n_ctrl

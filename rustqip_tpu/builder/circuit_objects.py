@@ -195,7 +195,7 @@ class ControlledMatGate:
 
     __slots__ = ("n_ctrl", "mat")
 
-    def __init__(self, n_ctrl: int, mat: MatGate):
+    def __init__(self, n_ctrl: int, mat):
         if n_ctrl < 1:
             raise CircuitError("ControlledMatGate needs at least one control")
         self.n_ctrl = n_ctrl
@@ -349,7 +349,7 @@ def invert_circuit_object(co: CircuitObject) -> List[CircuitObject]:
                    True, obj.diagonal)
         ]
     elif isinstance(obj, ControlledMatGate):
-        if isinstance(obj.mat, SparseMatGate):
+        if isinstance(obj.mat, (SparseMatGate, FnGate)):
             (inner,) = invert_circuit_object(
                 CircuitObject(obj.mat.n, obj.mat)
             )

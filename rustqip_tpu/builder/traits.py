@@ -131,6 +131,38 @@ class UnitaryBuilderMixin:
         """Apply a single-qubit matrix to every qubit of ``r`` (ref :265)."""
         return self.apply_circuit_object(r, self.matrix_to_circuitobject(1, data))
 
+    def apply_fn_matrix(
+        self, r: Register, fn, tag=None, self_transpose: bool = False,
+        diagonal: bool = False,
+    ) -> Register:
+        """Apply a TRACED-function unitary: ``fn(row) -> (col, val)``
+        elementwise over int32 jax arrays, entries in the register's
+        big-endian index space. Nothing materializes — the column map and
+        values are computed inside the compiled program, so width is
+        unbounded (the lazy-streaming analog of the reference's
+        FunctionOpIterator, qubit_iterators.rs:223; contrast
+        ``apply_sparse_matrix_from_function``, which embeds 2^n tables).
+        ``fn`` must define a unitary (bijective columns, |val| = 1) —
+        trusted, not validated, exactly like the reference.
+        ``diagonal=True`` declares a traced phase oracle (col == row):
+        applied as one elementwise multiply, no gather. Defined on the
+        mixin so ``Conditioned`` routes it through
+        ``try_apply_with_condition`` — conditioned traced oracles are the
+        controlled modular arithmetic at the heart of Shor-style
+        circuits."""
+        from rustqip_tpu.builder.circuit_objects import FnGate
+        from rustqip_tpu.ops.matrix_ops import make_fn_op
+
+        op = make_fn_op(list(range(r.n)), fn, tag, self_transpose, diagonal)
+        return self.apply_circuit_object(
+            r,
+            CircuitObject(
+                r.n,
+                FnGate(r.n, op.fn, op.tag, False, op.self_transpose,
+                       op.diagonal),
+            ),
+        )
+
 
 class CliffordTMixin:
     """Named Clifford+T gates (ref CliffordTBuilder, :290-483)."""

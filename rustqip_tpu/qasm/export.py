@@ -124,6 +124,19 @@ def _emit_controlled_mat(
             )
             return
         data = op_to_dense(SparseOp(tuple(range(mat.n)), mat.rows))
+    elif isinstance(mat, FnGate):
+        from rustqip_tpu.ops.matrix_ops import FnOp, op_to_dense
+
+        if mat.n + nc > QSD_CAP and not ladder:
+            out.append(
+                f"// controlled traced-function unitary {mat.tag!r} on "
+                f"{list(indices)} exceeds synthesis cap ({QSD_CAP} qubits)"
+            )
+            return
+        data = op_to_dense(
+            FnOp(tuple(range(mat.n)), mat.fn, mat.tag, mat.conjugated,
+                 mat.self_transpose, mat.diagonal)
+        )
     else:
         data = mat.data
     if k == 1:

@@ -84,6 +84,12 @@ def _obj_to_json(co: CircuitObject):
     elif isinstance(obj, SparseMatGate):
         body = {"kind": "smat", "rows": _sparse_to_json(obj.rows)}
     elif isinstance(obj, ControlledMatGate):
+        if isinstance(obj.mat, FnGate):
+            raise CircuitError(
+                f"Cannot serialize controlled traced-function gate "
+                f"{obj.mat.tag!r}: its entries are a Python callable "
+                "evaluated in-trace, not data."
+            )
         if isinstance(obj.mat, SparseMatGate):
             body = {
                 "kind": "csmat",

@@ -358,3 +358,62 @@ def test_diagonal_fn_op_sharded_zero_comm():
     v = np.full(1 << n, (1 / np.sqrt(2)) ** n, dtype=np.complex128)
     want = v * np.exp(1j * 0.21 * np.arange(1 << n))
     np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_conditioned_fn_matrix():
+    """cb.apply_fn_matrix — conditioned traced ops (Shor-style controlled
+    modular arithmetic) match the conditioned dense reference, export to
+    QASM, and invert."""
+    A, MOD = 7, 15
+
+    def mulmod(row):
+        return (
+            jnp.where(row < MOD, (A * row) % MOD, row),
+            jnp.ones(row.shape, jnp.float64),
+        )
+
+    def build(b, traced):
+        c = b.h(b.qubit())
+        y = b.register(4)
+        qs = b.split_all_register(y)
+        qs[0] = b.x(qs[0])  # |y=1>
+        y = b.merge_registers(qs)
+        cb = b.condition_with(c)
+        if traced:
+            y = cb.apply_fn_matrix(y, mulmod, tag="mul7mod15")
+        else:
+            y = cb.apply_matrix(
+                y, op_to_dense(make_fn_op([0, 1, 2, 3], mulmod))
+            )
+        cb.dissolve()
+        return b
+
+    s1 = np.asarray(build(LocalBuilder(dtype="c128"), True).calculate_state()[0])
+    s2 = np.asarray(build(LocalBuilder(dtype="c128"), False).calculate_state()[0])
+    np.testing.assert_allclose(s1, s2, atol=1e-12)
+
+    qasm = build(LocalBuilder(dtype="c128"), True).to_openqasm()
+    assert "OPENQASM" in qasm and "traced-function" not in qasm
+
+
+def test_controlled_fn_gate_invert_and_serialize():
+    from rustqip_tpu.builder.circuit_objects import ControlledMatGate
+    from rustqip_tpu.utils.serialize import circuit_to_json
+
+    def f(x):
+        return x ^ 2, 1
+
+    op = make_function_op([0], [1, 2], f)
+    g = FnGate(3, op.fn, op.tag, False, True)
+    (inv,) = invert_circuit_object(CircuitObject(4, ControlledMatGate(1, g)))
+    assert inv.obj.mat.conjugated and inv.obj.mat.self_transpose
+
+    b = LocalBuilder(dtype="c128")
+    c = b.qubit()
+    y = b.register(3)
+    cb = b.condition_with(c)
+    y = cb.apply_fn_matrix(y, lambda r: (r ^ 1, 1), tag="xor1",
+                           self_transpose=True)
+    cb.dissolve()
+    with pytest.raises(CircuitError, match="xor1"):
+        circuit_to_json(b)
