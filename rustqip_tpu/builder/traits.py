@@ -149,7 +149,14 @@ class UnitaryBuilderMixin:
         mixin so ``Conditioned`` routes it through
         ``try_apply_with_condition`` — conditioned traced oracles are the
         controlled modular arithmetic at the heart of Shor-style
-        circuits."""
+        circuits.
+
+        ``tag`` is the op's STRUCTURAL IDENTITY: equality, fingerprints,
+        and compile caching key on (tag, flags), not the callable. Two
+        DIFFERENT fns given the same explicit tag compare equal and can be
+        deduped into silently wrong results — give distinct oracles
+        distinct tags (or pass ``tag=None`` for a session-unique auto
+        tag)."""
         from rustqip_tpu.builder.circuit_objects import FnGate
         from rustqip_tpu.ops.matrix_ops import make_fn_op
 

@@ -19,6 +19,8 @@ Conventions (identical to the reference):
 
 from __future__ import annotations
 
+import itertools
+import weakref
 from dataclasses import dataclass
 from typing import Callable, List, Sequence, Tuple, Union
 
@@ -364,6 +366,30 @@ def flip_bits_traced(k: int, v):
     return out
 
 
+# Session-stable serials for auto-generated FnOp tags. id(fn) alone is a
+# collision hazard: CPython reuses addresses after GC, and FnOp equality /
+# compile-cache fingerprints key on the TAG, not the callable — an id-reused
+# fn would silently alias a dead one's cached circuit. A WeakValueDictionary
+# keyed by serial keeps each live callable's serial unique and stable for
+# the callable's lifetime without pinning it.
+_AUTO_TAG_SERIALS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_AUTO_TAG_COUNTER = itertools.count()
+
+
+def _auto_tag_serial(fn) -> str:
+    """A per-callable token unique across the session (never reused)."""
+    try:
+        serial = _AUTO_TAG_SERIALS.get(fn)
+        if serial is None:
+            serial = next(_AUTO_TAG_COUNTER)
+            _AUTO_TAG_SERIALS[fn] = serial
+        return f"s{serial}"
+    except TypeError:  # not weakref-able: fall back to id + code hash
+        code = getattr(fn, "__code__", None)
+        salt = hash(code.co_code) & 0xFFFFFFFF if code is not None else 0
+        return f"i{id(fn):x}.{salt:x}"
+
+
 def make_fn_op(
     indices: Sequence[int],
     fn: Callable,
@@ -394,7 +420,7 @@ def make_fn_op(
     if tag is None:
         tag = (
             f"{getattr(fn, '__module__', '?')}."
-            f"{getattr(fn, '__qualname__', '?')}@{id(fn):x}"
+            f"{getattr(fn, '__qualname__', '?')}@{_auto_tag_serial(fn)}"
         )
     return FnOp(
         indices, fn, str(tag), False,
@@ -434,7 +460,7 @@ def make_function_op(
     if tag is None:
         tag = (
             f"xor:{getattr(f, '__module__', '?')}."
-            f"{getattr(f, '__qualname__', '?')}@{id(f):x}:{kx}:{ky}"
+            f"{getattr(f, '__qualname__', '?')}@{_auto_tag_serial(f)}:{kx}:{ky}"
         )
     return FnOp(
         tuple(int(i) for i in x_indices) + tuple(int(i) for i in y_indices),

@@ -146,6 +146,7 @@ class ExplicitShardedCircuit(CompiledCircuit):
         mesh: jax.sharding.Mesh,
         fuse: bool = True,
         max_fused_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
+        check_norm: "bool | None" = None,
     ):
         self.mesh = mesh
         axis, d, g = _mesh_geometry(mesh)
@@ -154,7 +155,9 @@ class ExplicitShardedCircuit(CompiledCircuit):
             raise ValueError(
                 f"Need at least {g} qubits to shard over {d} devices"
             )
-        super().__init__(n, entries, dtype, fuse, max_fused_qubits)
+        super().__init__(
+            n, entries, dtype, fuse, max_fused_qubits, check_norm=check_norm
+        )
         state_sharding = NamedSharding(mesh, P(axis))
         replicated = NamedSharding(mesh, P())
         self._state_sharding = state_sharding
@@ -317,6 +320,7 @@ def compile_sharded_explicit(
     mesh: jax.sharding.Mesh,
     fuse: bool = True,
     max_fused_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
+    check_norm: "bool | None" = None,
 ) -> ExplicitShardedCircuit:
     dtype = np.dtype(dtype)
     mesh_key = (
@@ -324,13 +328,15 @@ def compile_sharded_explicit(
         mesh.axis_names,
         mesh.devices.shape,
     )
-    from rustqip_tpu.engine.compile import _env_plan_flags
+    from rustqip_tpu.engine.compile import _check_norm_enabled, _env_plan_flags
 
+    norm_flag = _check_norm_enabled() if check_norm is None else bool(check_norm)
     fp = (
         n,
         dtype.str,
         fuse,
         max_fused_qubits,
+        norm_flag,
         mesh_key,
         # Includes the RESOLVED kernel availability: the explicit
         # executor's kernel policy (and so its fusion shape) follows it.
@@ -340,7 +346,8 @@ def compile_sharded_explicit(
     cached = _CACHE.get(fp)
     if cached is None:
         cached = ExplicitShardedCircuit(
-            n, entries, dtype, mesh, fuse, max_fused_qubits
+            n, entries, dtype, mesh, fuse, max_fused_qubits,
+            check_norm=norm_flag,
         )
         _CACHE[fp] = cached
     return cached

@@ -203,7 +203,7 @@ def _lower_op(n: int, g: int, op: MatrixOp, sched: List) -> None:
     if not move:  # pragma: no cover - guarded by the branches above
         raise CircuitError(
             f"Cannot lower {type(op).__name__} on globals {globals_} "
-            f"(n={n}, mesh={d})"
+            f"(n={n}, mesh={1 << g})"
         )
     # Highest-index free slots: column qubits on the engine's (R, C)
     # layout, so the post-swap local apply rides the MXU fast path.

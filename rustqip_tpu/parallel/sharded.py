@@ -44,6 +44,7 @@ class ShardedCircuit(CompiledCircuit):
         mesh: jax.sharding.Mesh,
         fuse: bool = True,
         max_fused_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
+        check_norm: "bool | None" = None,
     ):
         self.mesh = mesh
         d = mesh.devices.size
@@ -54,7 +55,9 @@ class ShardedCircuit(CompiledCircuit):
             raise CircuitError(
                 f"Need at least {self.n_global} qubits to shard over {d} devices"
             )
-        super().__init__(n, entries, dtype, fuse, max_fused_qubits)
+        super().__init__(
+            n, entries, dtype, fuse, max_fused_qubits, check_norm=check_norm
+        )
         # Multi-axis meshes (e.g. ('dcn', 'shard') for multi-slice pods)
         # shard the flat amplitude index over the axis product: the MOST
         # significant qubits land on the outermost (DCN) axis, so the
@@ -116,8 +119,12 @@ def compile_sharded(
     mesh: jax.sharding.Mesh,
     fuse: bool = True,
     max_fused_qubits: int = DEFAULT_MAX_FUSED_QUBITS,
+    check_norm: "bool | None" = None,
 ) -> ShardedCircuit:
     dtype = np.dtype(dtype)
+    from rustqip_tpu.engine.compile import _check_norm_enabled, _env_plan_flags
+
+    norm_flag = _check_norm_enabled() if check_norm is None else bool(check_norm)
     # Key the mesh by its device ids + axis names, NOT id(mesh): a GC'd mesh
     # can alias a new object at the same address and hand back a circuit
     # bound to dead devices.
@@ -131,12 +138,20 @@ def compile_sharded(
         dtype.str,
         fuse,
         max_fused_qubits,
+        norm_flag,
         mesh_key,
+        # Trace-time plan knobs (same rationale as compile_pipeline /
+        # compile_sharded_explicit): a cache hit must never return a
+        # circuit whose plan was built under a different env setting.
+        _env_plan_flags(),
         tuple(e.fingerprint() for e in entries),
     )
     cached = _CACHE.get(fp)
     if cached is None:
-        cached = ShardedCircuit(n, entries, dtype, mesh, fuse, max_fused_qubits)
+        cached = ShardedCircuit(
+            n, entries, dtype, mesh, fuse, max_fused_qubits,
+            check_norm=norm_flag,
+        )
         _CACHE[fp] = cached
     return cached
 

@@ -249,7 +249,7 @@ def _emit_unitary(obj, indices, out: List[str]) -> None:
 
             data = op_to_dense(
                 FnOp(tuple(range(obj.n)), obj.fn, obj.tag,
-                     obj.conjugated, obj.self_transpose)
+                     obj.conjugated, obj.self_transpose, obj.diagonal)
             )
             _emit_ir(
                 synthesize_unitary(data, list(indices), exact_phase=False),
