@@ -285,14 +285,16 @@ class ExplicitShardedCircuit(CompiledCircuit):
                 m_i += 1
             elif isinstance(seg, tuple) and seg[0] == "repeat":
                 _, times, body = seg
-                # Unrolled: shard_map inside fori_loop trips GSPMD's
-                # manual-sharding propagation; repeat bodies are compile-
-                # time static so this costs compile time only.
-                for _ in range(times):
-                    re, im = apply_sharded_ops(
-                        self.mesh, self.n, body, re, im,
-                        kernel_ok=self._kernel_ok,
-                    )
+                # One shard_map whose body runs the schedule under a
+                # lax.fori_loop — compile time is O(body), not O(times)
+                # (a shard_map INSIDE a fori_loop trips GSPMD's
+                # manual-sharding propagation; the loop-in-manual-region
+                # direction is fine). Sharded Grover at realistic n has
+                # ~2^(n/2) rounds — unrolling is uncompilable there.
+                re, im = apply_sharded_ops(
+                    self.mesh, self.n, body, re, im,
+                    kernel_ok=self._kernel_ok, times=times,
+                )
             else:
                 re, im = apply_sharded_ops(
                     self.mesh, self.n, seg, re, im,

@@ -312,9 +312,18 @@ def apply_sharded_ops(
     im: jnp.ndarray,
     chunks: int = 0,
     kernel_ok: "bool | None" = None,
+    times: int = 1,
 ) -> Pair:
     """Apply a gate-op sequence to a mesh-sharded (re, im) state pair as
     ONE shard_map program with a hand-pinned collective schedule.
+
+    ``times`` repeats the WHOLE schedule via a ``lax.fori_loop`` placed
+    INSIDE the shard_map body (loop-in-manual-region, the scalable
+    direction: a shard_map inside a fori_loop trips GSPMD's
+    manual-sharding propagation, and unrolling makes compile time
+    O(times)). This is how sharded repeat blocks (Grover rounds, Trotter
+    steps) compile in O(body) — the distributed analog of the single-chip
+    repeat fold (ref qip/src/builder.rs:423).
 
     ``chunks`` (0 = read ``RUSTQIP_TPU_EXCHANGE_CHUNKS``, default 1)
     splits each single-global exchange into that many independent
@@ -337,6 +346,9 @@ def apply_sharded_ops(
 
     axis, d, g = _mesh_geometry(mesh)
     local_n = n - g
+    times = int(times)
+    if times < 1:
+        raise CircuitError("apply_sharded_ops needs times >= 1")
     sched = _lower_schedule(n, g, list(ops))
     if kernel_ok is None:
         kernel_ok = pallas_kernels.available()
@@ -363,18 +375,7 @@ def apply_sharded_ops(
             re_s * val.imag + im_s * val.real,
         )
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis), P(axis)),
-        # pallas_call results carry no varying-mesh-axes annotation, so
-        # the per-shard kernel path needs vma checking off (as do the
-        # measurement shard_maps).
-        check_vma=False,
-    )
-    def run(re_s, im_s):
-        my = jax.lax.axis_index(axis)
+    def step(my, re_s, im_s):
         for entry in sched:
             kind = entry[0]
             if kind == "local":
@@ -525,6 +526,24 @@ def apply_sharded_ops(
                 re_s = rr.reshape(re_s.shape)
                 im_s = ii.reshape(im_s.shape)
         return re_s, im_s
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        # pallas_call results carry no varying-mesh-axes annotation, so
+        # the per-shard kernel path needs vma checking off (as do the
+        # measurement shard_maps).
+        check_vma=False,
+    )
+    def run(re_s, im_s):
+        my = jax.lax.axis_index(axis)
+        if times == 1:
+            return step(my, re_s, im_s)
+        return jax.lax.fori_loop(
+            0, times, lambda _, c: step(my, c[0], c[1]), (re_s, im_s)
+        )
 
     return run(re, im)
 
