@@ -628,6 +628,8 @@ def _env_plan_flags() -> tuple:
     return (
         os.environ.get("RUSTQIP_TPU_DEFER_SWAPS", "1"),
         os.environ.get("RUSTQIP_TPU_KERNEL_PURE_MIX", "1"),
+        os.environ.get("RUSTQIP_TPU_KERNEL_SKIP_STRIPS", "1"),
+        os.environ.get("RUSTQIP_TPU_KERNEL_INPLACE", "auto"),
         os.environ.get("RUSTQIP_TPU_KEEP_BUTTERFLY", "1"),
         os.environ.get("RUSTQIP_TPU_WINDOW_FUSION", "1"),
         os.environ.get("RUSTQIP_TPU_WINDOW_MAXH", "3,2,1"),

@@ -70,17 +70,210 @@ def _scalar_pair(sr, si, v):
     return sr * v.real - si * v.imag, sr * v.imag + si * v.real
 
 
-def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
+def _window_qubits(n: int, seg_sizes) -> list:
+    """Qubit ids of the window bits, from the segment layout: window bit
+    j sits above seg_sizes[j+1..h] and the h-1-j lower window bits."""
+    h = len(seg_sizes) - 1
+    m = min(n, MINOR_QUBITS)
+    n_m = n - m
+    wq = []
+    for j in range(h):
+        pos = sum(
+            int(seg_sizes[k]).bit_length() - 1 for k in range(j + 1, h + 1)
+        ) + (h - 1 - j)
+        wq.append(n_m - 1 - pos)
+    return wq
+
+
+def _window_row_positions(seg_sizes) -> list:
+    """Absolute ROW-iota bit position of each window bit (the positions
+    butterfly ctrl specs ("r", pos) test against)."""
+    h = len(seg_sizes) - 1
+    return [
+        sum(int(seg_sizes[k]).bit_length() - 1 for k in range(j + 1, h + 1))
+        + (h - 1 - j)
+        for j in range(h)
+    ]
+
+
+def _specialize_groups(groups, wvals):
+    """Partially evaluate diag angle groups for one strip: ``wvals`` maps
+    window QUBIT ids to their 0/1 value in the strip (free qubits absent).
+    Monomials touching a 0-valued window bit DROP, fully-window monomials
+    fold into the constant, and mixed monomials whose row part was all
+    window bits demote to (cheaper) col monomials. QFT ladders lose half
+    their transcendental work this way (the controlled-phase diag of a
+    window qubit is the identity on every bit=0 strip). Shared by the
+    kernel body and ``window_strip_activity`` so the trace-time identity
+    decision and the planner's strip-skip decision cannot diverge."""
+    const, row_monos, col_monos, mixed = groups
+    const2 = float(const)
+    rm2 = []
+    for rq, c in row_monos:
+        keep, dead = [], False
+        for q in rq:
+            v = wvals.get(q)
+            if v == 0:
+                dead = True
+                break
+            if v is None:
+                keep.append(q)
+        if dead:
+            continue
+        if keep:
+            rm2.append((tuple(keep), c))
+        else:
+            const2 += c
+    cm2 = list(col_monos)
+    mx2 = []
+    for rq, cq, c in mixed:
+        keep, dead = [], False
+        for q in rq:
+            v = wvals.get(q)
+            if v == 0:
+                dead = True
+                break
+            if v is None:
+                keep.append(q)
+        if dead:
+            continue
+        if keep:
+            mx2.append((tuple(keep), cq, c))
+        else:
+            cm2.append((cq, c))
+    return const2, tuple(rm2), tuple(cm2), tuple(mx2)
+
+
+def _strip_skip_enabled() -> bool:
+    """RUSTQIP_TPU_KERNEL_SKIP_STRIPS=0 disables identity-strip skipping
+    (the sparse-window traffic optimization); default on. Joins the
+    compile-cache fingerprint via ``compile._env_plan_flags``."""
+    import os
+
+    return os.environ.get("RUSTQIP_TPU_KERNEL_SKIP_STRIPS", "1") != "0"
+
+
+def window_strip_activity(n: int, seg_sizes, steps):
+    """Which window strips must a sweep READ from / WRITE back to HBM?
+
+    Returns ``(in_ids, out_ids)`` sorted strip-index tuples. Controlled
+    and permutation ops are SPARSE in strip space — a CCX expands to a
+    mix step that is the identity on 6 of its 8 strips — so with in-place
+    (aliased) outputs the untouched strips need no HBM traffic at all:
+    the sweep reads only the strips some computation consumes and writes
+    only the strips whose value changes. The reference's iterators touch
+    every amplitude regardless (matrix_ops.rs:98-152); this is the
+    TPU-native analog of "a controlled gate only owes its controlled
+    subspace".
+
+    The analysis runs per step, tracking the modified set:
+
+    - ``mix``/``rmix``: a strip is written unless its only block is the
+      1-valued diagonal; inputs are its nonzero block columns.
+    - ``diag``: per-strip specialization (``_specialize_groups``) —
+      identity strips (no surviving monomials, zero constant) skip.
+    - ``cbf``/``rbf``/``cmix``: a strip is untouched when a ("r", pos)
+      control tests a WINDOW bit that is 0 there (trace-time known);
+      otherwise read+written (in-block partner / strip pair).
+    - ``low``/``lowr``: every strip.
+    """
+    h = len(seg_sizes) - 1
+    ns = 1 << h
+    wq = _window_qubits(n, seg_sizes)
+    pos_to_j = {p: j for j, p in enumerate(_window_row_positions(seg_sizes))}
+
+    def wbit(i, j):
+        return (i >> (h - 1 - j)) & 1
+
+    def ctrl_dead(i, ctrl):
+        return any(
+            ck == "r" and pc in pos_to_j and wbit(i, pos_to_j[pc]) == 0
+            for ck, pc in ctrl
+        )
+
+    modified: set = set()
+    reads: set = set()
+
+    def consume(i):
+        if i not in modified:
+            reads.add(i)
+
+    for step in steps:
+        kind = step[0]
+        if kind in ("mix", "rmix"):
+            blocks = step[1]
+            newmod = set()
+            for j in range(ns):
+                ins = []
+                for i in range(ns):
+                    blk = blocks.get((j, i))
+                    if blk is None:
+                        continue
+                    if kind == "mix":
+                        if blk == 0:
+                            continue
+                        one = blk == 1
+                    else:
+                        if blk[0] == "scalar" and blk[1] == 0:
+                            continue
+                        one = blk[0] == "scalar" and blk[1] == 1
+                    ins.append((i, one))
+                if len(ins) == 1 and ins[0] == (j, True):
+                    continue  # identity on this strip
+                for i, _ in ins:
+                    consume(i)
+                newmod.add(j)
+            modified |= newmod
+        elif kind == "diag":
+            for i in range(ns):
+                wvals = {wq[j]: wbit(i, j) for j in range(h)}
+                const2, rm2, cm2, mx2 = _specialize_groups(step[1], wvals)
+                if not rm2 and not cm2 and not mx2 and const2 == 0.0:
+                    continue
+                consume(i)
+                modified.add(i)
+        elif kind in ("cbf", "rbf"):
+            ctrl = step[3] if len(step) > 3 else ()
+            for i in range(ns):
+                if ctrl_dead(i, ctrl):
+                    continue
+                consume(i)
+                modified.add(i)
+        elif kind == "cmix":
+            bp = step[1]
+            ctrl = step[3] if len(step) > 3 else ()
+            for j0 in range(ns):
+                if j0 & (1 << bp):
+                    continue
+                j1 = j0 | (1 << bp)
+                # ctrl bits are disjoint from the target bit, so one
+                # deadness answer serves the pair
+                if ctrl_dead(j0, ctrl):
+                    continue
+                consume(j0)
+                consume(j1)
+                modified |= {j0, j1}
+        else:  # low / lowr: per-strip matmul on every strip
+            for i in range(ns):
+                consume(i)
+                modified.add(i)
+    return tuple(sorted(reads)), tuple(sorted(modified))
+
+
+def _window_kernel_body(n: int, seg_sizes, steps, br, in_ids, out_ids, *refs):
     """Kernel body: chain a whole strip-window in VMEM.
 
-    ``refs`` = 2^h (xr, xi) input ref pairs, per-low-step (br, bi) matrix
-    refs, then 2^h (or, oi) output ref pairs. Each grid step holds one row
-    block of EVERY strip, so scalar-high mixes, C x C matmuls, unitary
-    diagonals (phase factors evaluated in-body from the block's row/col
-    iotas), AND single-column-qubit gates (lane-roll butterflies — a 2x2
-    on lane bit p costs ~8 VPU ops/element instead of a 128-wide MXU
-    matmul) chain without returning to HBM — the whole window costs one
-    read+write of the state plus compute.
+    ``refs`` = len(in_ids) (xr, xi) input ref pairs (one per strip the
+    sweep reads — ``window_strip_activity``), per-low-step (br, bi)
+    matrix refs, then len(out_ids) (or, oi) output ref pairs. Each grid
+    step holds one row block of every LIVE strip, so scalar-high mixes,
+    C x C matmuls, unitary diagonals (phase factors evaluated in-body
+    from the block's row/col iotas), AND single-column-qubit gates
+    (lane-roll butterflies — a 2x2 on lane bit p costs ~8 VPU
+    ops/element instead of a 128-wide MXU matmul) chain without
+    returning to HBM — the whole window costs one read+write of the
+    ACTIVE strips plus compute (skipped strips persist via output
+    aliasing).
     """
     from jax.experimental import pallas as pl
 
@@ -98,9 +291,10 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
             for blk in s[1].values():
                 if blk[0] != "scalar":
                     n_mat_refs = max(n_mat_refs, _mat_end(blk))
-    ins = refs[: 2 * ns]
-    mats = refs[2 * ns : 2 * ns + n_mat_refs]
-    outs = refs[2 * ns + n_mat_refs :]
+    n_in = len(in_ids)
+    ins = refs[: 2 * n_in]
+    mats = refs[2 * n_in : 2 * n_in + n_mat_refs]
+    outs = refs[2 * n_in + n_mat_refs :]
     m = min(n, MINOR_QUBITS)
     n_m = n - m
     sl = seg_sizes[-1] // br
@@ -142,60 +336,27 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                 m_ = mr if m_ is None else (m_ & mr)
         return m_
 
-    # Window qubit ids from the segment layout: window bit j sits above
-    # seg_sizes[j+1..h] and the h-1-j lower window bits.
-    _wq = []
-    for j in range(h):
-        pos = sum(
-            int(seg_sizes[k]).bit_length() - 1 for k in range(j + 1, h + 1)
-        ) + (h - 1 - j)
-        _wq.append(n_m - 1 - pos)
+    _wq = _window_qubits(n, seg_sizes)
+    _pos_to_j = {
+        p: j for j, p in enumerate(_window_row_positions(seg_sizes))
+    }
 
     def _specialize(groups, i):
-        """Partially evaluate angle groups for strip ``i``: window-bit
-        values are trace-time constants, so monomials touching a 0-valued
-        window bit DROP, fully-window monomials fold into the constant,
-        and mixed monomials whose row part was all window bits demote to
-        (cheaper) col monomials. QFT ladders lose half their
-        transcendental work this way (the controlled-phase diag of a
-        window qubit is the identity on every bit=0 strip)."""
+        """Per-strip partial evaluation of diag angle groups (module-level
+        ``_specialize_groups`` with this strip's window-bit values)."""
         wvals = {_wq[j]: (i >> (h - 1 - j)) & 1 for j in range(h)}
-        const, row_monos, col_monos, mixed = groups
-        const2 = float(const)
-        rm2 = []
-        for rq, c in row_monos:
-            keep, dead = [], False
-            for q in rq:
-                v = wvals.get(q)
-                if v == 0:
-                    dead = True
-                    break
-                if v is None:
-                    keep.append(q)
-            if dead:
-                continue
-            if keep:
-                rm2.append((tuple(keep), c))
-            else:
-                const2 += c
-        cm2 = list(col_monos)
-        mx2 = []
-        for rq, cq, c in mixed:
-            keep, dead = [], False
-            for q in rq:
-                v = wvals.get(q)
-                if v == 0:
-                    dead = True
-                    break
-                if v is None:
-                    keep.append(q)
-            if dead:
-                continue
-            if keep:
-                mx2.append((tuple(keep), cq, c))
-            else:
-                cm2.append((cq, c))
-        return const2, tuple(rm2), tuple(cm2), tuple(mx2)
+        return _specialize_groups(groups, wvals)
+
+    def _ctrl_dead(i, ctrl):
+        """True when a ("r", pos) control tests a WINDOW bit that is 0 in
+        strip ``i`` — the step is the identity there at trace time (the
+        same predicate ``window_strip_activity`` uses, so the skip
+        decision and the body agree)."""
+        return any(
+            ck == "r" and pc in _pos_to_j
+            and ((i >> (h - 1 - _pos_to_j[pc])) & 1) == 0
+            for ck, pc in ctrl
+        )
 
     def diag_factors(groups, i):
         """Separable phase factors of the angle over strip i's block:
@@ -288,18 +449,28 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
         m_ = _dot(xr + xi, ms)
         return rr - ii, m_ - rr - ii
 
-    cur = [(ins[2 * i][:], ins[2 * i + 1][:]) for i in range(ns)]
+    # Live strips: value-by-strip-id. Strips outside in_ids join when a
+    # step first PRODUCES them (window_strip_activity guarantees every
+    # CONSUMED strip is in in_ids); strips a step leaves alone keep their
+    # entry (or stay absent — output aliasing preserves them in HBM).
+    cur = {
+        sid: (ins[2 * k][:], ins[2 * k + 1][:])
+        for k, sid in enumerate(in_ids)
+    }
+
+    def _zeros():
+        return jnp.zeros((br, _C), jnp.float32)
+
     for step in steps:
         if step[0] == "diag":
             groups = step[1]
-            nxt = []
             cache = {}  # strips with identical specialized groups share
-            for i, (xr, xi) in enumerate(cur):
+            for i in sorted(cur):
+                xr, xi = cur[i]
                 sg = _specialize(groups, i)
                 const2, rm2, cm2, mx2 = sg
                 if not rm2 and not cm2 and not mx2 and const2 == 0.0:
-                    nxt.append((xr, xi))  # identity on this strip
-                    continue
+                    continue  # identity on this strip
                 # Cache key: strips differ only in WINDOW bit values, so
                 # free-bit factors are identical whenever the specialized
                 # groups coincide (free row bits carry the same pattern
@@ -317,8 +488,7 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                 else:
                     pc, ps = _combine_factors(*diag_factors(sg, i))
                     cache[sg] = (pc, ps)
-                nxt.append((xr * pc - xi * ps, xr * ps + xi * pc))
-            cur = nxt
+                cur[i] = (xr * pc - xi * ps, xr * ps + xi * pc)
             continue
         if step[0] in ("cbf", "rbf"):
             # 2x2 [[a,b],[c,d]] butterfly on one in-block index bit: out
@@ -367,8 +537,10 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                 u_i = jnp.where(bit, np.float32(d.imag), np.float32(a.imag))
                 v_i = jnp.where(bit, np.float32(c.imag), np.float32(b.imag))
             cmask = ctrl_col_mask(ctrl)
-            nxt = []
-            for i, (xr, xi) in enumerate(cur):
+            for i in sorted(cur):
+                if _ctrl_dead(i, ctrl):
+                    continue  # a window control bit is 0: identity strip
+                xr, xi = cur[i]
                 pr = jnp.where(
                     bit,
                     pltpu.roll(xr, s, axis),
@@ -400,8 +572,7 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                     m = ctrl_mask_for(ctrl, cmask, i)
                     yr = jnp.where(m, yr, xr)
                     yi = jnp.where(m, yi, xi)
-                nxt.append((yr, yi))
-            cur = nxt
+                cur[i] = (yr, yi)
             continue
         if step[0] == "cmix":
             # Controlled INTER-STRIP butterfly: 2x2 [[a,b],[c,d]] on a
@@ -427,10 +598,11 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                     return t
                 return (acc[0] + t[0], acc[1] + t[1])
 
-            nxt = list(cur)
             for j0 in range(ns):
                 if j0 & (1 << bp):
                     continue
+                if _ctrl_dead(j0, ctrl):
+                    continue  # a window control bit is 0: identity pair
                 j1 = j0 | (1 << bp)
                 x0r, x0i = cur[j0]
                 x1r, x1i = cur[j1]
@@ -453,27 +625,39 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                         jnp.where(m0, y1[0], x1r),
                         jnp.where(m0, y1[1], x1i),
                     )
-                nxt[j0] = y0
-                nxt[j1] = y1
-            cur = nxt
+                cur[j0] = y0
+                cur[j1] = y1
             continue
         if step[0] in ("low", "lowr"):
             # Per-strip C x C matmul: real B = 2 dots, complex B =
             # Karatsuba (3 dots instead of 4).
-            cur = [_matmul_pair(xr, xi, step) for xr, xi in cur]
+            for i in sorted(cur):
+                cur[i] = _matmul_pair(cur[i][0], cur[i][1], step)
             continue
         if step[0] == "rmix":
             # Non-scalar row-block mix: out_strip[j] = sum_i f(strip[i])
             # where f is a scalar multiply or a C x C matmul — disjoint
             # dense ops straddling the row/col seam chain in-window.
             blocks = step[1]
-            nxt = []
+            nxt = dict(cur)
             for jw in range(ns):
-                acc_r = acc_i = None
+                ent = []
                 for iw in range(ns):
                     blk = blocks.get((jw, iw))
-                    if blk is None:
+                    if blk is None or (
+                        blk[0] == "scalar" and blk[1] == 0
+                    ):
                         continue
+                    ent.append((iw, blk))
+                if (
+                    len(ent) == 1
+                    and ent[0][0] == jw
+                    and ent[0][1][0] == "scalar"
+                    and ent[0][1][1] == 1
+                ):
+                    continue  # identity on this strip
+                acc_r = acc_i = None
+                for iw, blk in ent:
                     sr, si = cur[iw]
                     if blk[0] == "scalar":
                         t = _scalar_pair(sr, si, blk[1])
@@ -487,19 +671,22 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                     else:
                         acc_r, acc_i = acc_r + tr, acc_i + ti
                 if acc_r is None:
-                    acc_r = jnp.zeros_like(cur[0][0])
-                    acc_i = jnp.zeros_like(cur[0][1])
-                nxt.append((acc_r, acc_i))
+                    acc_r, acc_i = _zeros(), _zeros()
+                nxt[jw] = (acc_r, acc_i)
             cur = nxt
         else:  # mix: {(j, i): complex scalar}
             blocks = step[1]
-            nxt = []
+            nxt = dict(cur)
             for j in range(ns):
+                ent = [
+                    (i, blocks[(j, i)])
+                    for i in range(ns)
+                    if blocks.get((j, i)) not in (None, 0)
+                ]
+                if len(ent) == 1 and ent[0] == (j, 1):
+                    continue  # identity on this strip
                 acc_r = acc_i = None
-                for i in range(ns):
-                    v = blocks.get((j, i))
-                    if v is None:
-                        continue
+                for i, v in ent:
                     sr, si = cur[i]
                     t = _scalar_pair(sr, si, v)
                     if t is None:
@@ -510,13 +697,12 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, *refs):
                     else:
                         acc_r, acc_i = acc_r + tr, acc_i + ti
                 if acc_r is None:
-                    acc_r = jnp.zeros_like(cur[0][0])
-                    acc_i = jnp.zeros_like(cur[0][1])
-                nxt.append((acc_r, acc_i))
+                    acc_r, acc_i = _zeros(), _zeros()
+                nxt[j] = (acc_r, acc_i)
             cur = nxt
-    for i in range(ns):
-        outs[2 * i][:] = cur[i][0]
-        outs[2 * i + 1][:] = cur[i][1]
+    for k, sid in enumerate(out_ids):
+        outs[2 * k][:] = cur[sid][0]
+        outs[2 * k + 1][:] = cur[sid][1]
 
 
 #: Largest scoped-VMEM request a window sweep may make (bytes). v5e has
@@ -689,7 +875,15 @@ def _window_sweep_pipelined(n, xr, xi, seg_sizes, steps, br):
     strided input AND output block index maps, so the kernel writes the
     canonical (rows, C) layout directly — one state read + one write,
     nothing else. Outputs are fresh buffers below ~8 GiB of state
-    traffic and alias the inputs above it (``_inplace_policy``)."""
+    traffic and alias the inputs above it (``_inplace_policy``).
+
+    STRIP-SPARSE sweeps (``window_strip_activity`` finds identity
+    strips — a lone CCX touches 2 of its 8) force in-place outputs and
+    stream ONLY the active strips: the HBM traffic drops from one full
+    state read+write to (reads + writes)/2^h of it, beating the
+    whole-state one-pass floor on controlled/permutation gates. The
+    reference's apply loop always walks every amplitude
+    (matrix_ops.rs:98-152)."""
     import functools as _ft
 
     from jax.experimental import pallas as pl
@@ -701,9 +895,19 @@ def _window_sweep_pipelined(n, xr, xi, seg_sizes, steps, br):
     srows = rows // ns
     nblk = srows // br
     sl = seg_sizes[-1] // br
+    in_ids, out_ids = window_strip_activity(n, seg_sizes, steps)
+    if not out_ids:
+        return xr, xi  # whole window is the identity
+    skip = _strip_skip_enabled() and (
+        len(in_ids) + len(out_ids) < 2 * ns
+    )
+    if not skip:
+        in_ids = out_ids = tuple(range(ns))
     body_steps, mats = _window_matrix_operands(steps)
     n_mats = len(mats)
-    in_place = _inplace_policy(rows)
+    # Skipping REQUIRES aliasing: the unwritten strips' data must already
+    # live in the output buffer.
+    in_place = skip or _inplace_policy(rows)
 
     def outer(*refs):
         xr_h, xi_h = refs[0], refs[1]
@@ -711,23 +915,40 @@ def _window_sweep_pipelined(n, xr, xi, seg_sizes, steps, br):
         or_h, oi_h = refs[2 + n_mats :]
 
         def body(*brefs):
-            ins = brefs[: 2 * ns]
-            outs = brefs[2 * ns :]
+            ins = brefs[: 2 * len(in_ids)]
+            outs = brefs[2 * len(in_ids) :]
             _window_kernel_body(
-                n, seg_sizes, body_steps, br, *ins, *mrefs, *outs
+                n,
+                seg_sizes,
+                body_steps,
+                br,
+                in_ids,
+                out_ids,
+                *ins,
+                *mrefs,
+                *outs,
             )
 
-        specs = []
-        for i in range(ns):
-            bs = pl.BlockSpec((br, _C), _strip_index_map(seg_sizes, sl, i))
-            specs += [bs, bs]
+        def strip_specs(ids):
+            specs = []
+            for i in ids:
+                bs = pl.BlockSpec(
+                    (br, _C), _strip_index_map(seg_sizes, sl, i)
+                )
+                specs += [bs, bs]
+            return specs
+
         pipe = pltpu.emit_pipeline(
-            body, grid=(nblk,), in_specs=specs, out_specs=list(specs)
+            body,
+            grid=(nblk,),
+            in_specs=strip_specs(in_ids),
+            out_specs=strip_specs(out_ids),
         )
         args = []
         outs = []
-        for _ in range(ns):
+        for _ in in_ids:
             args += [xr_h, xi_h]
+        for _ in out_ids:
             outs += [or_h, oi_h]
         pipe(*args, *outs)
 
@@ -742,7 +963,11 @@ def _window_sweep_pipelined(n, xr, xi, seg_sizes, steps, br):
         ],
         cost_estimate=pl.CostEstimate(
             flops=8 * rows * _C * _C * _n_matmul_steps(steps),
-            bytes_accessed=2 * rows * _C * 4 * 2,
+            bytes_accessed=(len(in_ids) + len(out_ids))
+            * srows
+            * _C
+            * 4
+            * 2,
             transcendentals=0,
         ),
         # Long step chains outgrow XLA's 16 MiB scoped-VMEM default (the
@@ -831,6 +1056,17 @@ def window_sweep(
             n, xr, xi, tuple(seg_sizes), tuple(steps), br
         )
 
+    # Interpret mode honors the same strip-activity subsets as the
+    # pipelined path (skipped strips are re-extracted from the input at
+    # assembly), so CPU parity tests cover the skip machinery.
+    in_ids, out_ids = window_strip_activity(n, seg_sizes, steps)
+    if not out_ids:
+        return xr, xi  # whole window is the identity
+    if not (
+        _strip_skip_enabled() and len(in_ids) + len(out_ids) < 2 * ns
+    ):
+        in_ids = out_ids = tuple(range(ns))
+
     def strip_spec(i):
         return pl.BlockSpec(
             (br, _C),
@@ -844,7 +1080,7 @@ def window_sweep(
 
     in_specs = []
     operands = []
-    for i in range(ns):
+    for i in in_ids:
         in_specs += [strip_spec(i), strip_spec(i)]
         operands += [xr, xi]
     n_low = _n_matmul_steps(steps)
@@ -853,14 +1089,14 @@ def window_sweep(
         operands.append(jnp.asarray(m))
         in_specs.append(mat_spec)
 
-    # Outputs: one (srows, C) buffer per strip plane (exactly state-sized
-    # in total); the final concat restores the contiguous layout.
+    # Outputs: one (srows, C) buffer per WRITTEN strip plane; the final
+    # concat restores the contiguous layout.
     out_strip_spec = pl.BlockSpec(
         (br, _C), lambda r: (r, 0), memory_space=pltpu.VMEM
     )
     out_specs = []
     out_shape = []
-    for _ in range(ns):
+    for _ in out_ids:
         out_specs += [out_strip_spec, out_strip_spec]
         out_shape += [
             jax.ShapeDtypeStruct((srows, _C), jnp.float32),
@@ -872,7 +1108,13 @@ def window_sweep(
     flops_per_low = 8 * rows * _C * _C
     outs = pl.pallas_call(
         _ft.partial(
-            _window_kernel_body, n, tuple(seg_sizes), tuple(body_steps), br
+            _window_kernel_body,
+            n,
+            tuple(seg_sizes),
+            tuple(body_steps),
+            br,
+            in_ids,
+            out_ids,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -881,23 +1123,43 @@ def window_sweep(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=n_low * flops_per_low,
-            bytes_accessed=2 * rows * _C * 4 * 2,
+            bytes_accessed=(len(in_ids) + len(out_ids))
+            * srows
+            * _C
+            * 4
+            * 2,
             transcendentals=0,
         ),
     )(*operands)
 
-    if not _assemble:  # debug/bench: raw strip outputs
+    if not _assemble:  # debug/bench: raw strip outputs (WRITTEN strips)
         return outs
     # Reassemble the (possibly strided) strips by pairwise concatenation
-    # along the window bit axes.
+    # along the window bit axes; skipped strips re-extract from the input.
     strip_shape = []
     for s in seg_sizes[:-1]:
         strip_shape += [s, 1]
     strip_shape += [seg_sizes[-1], _C]
+    full_shape = []
+    for s in seg_sizes[:-1]:
+        full_shape += [s, 2]
+    full_shape += [seg_sizes[-1], _C]
+    out_pos = {sid: k for k, sid in enumerate(out_ids)}
+
+    def orig_strip(plane_idx, i):
+        arr = (xr if plane_idx == 0 else xi).reshape(full_shape)
+        idx = []
+        for j in range(h):
+            b = (i >> (h - 1 - j)) & 1
+            idx += [slice(None), slice(b, b + 1)]
+        return arr[tuple(idx)]
 
     def assemble(plane_idx):
         parts = [
-            outs[2 * i + plane_idx].reshape(strip_shape) for i in range(ns)
+            outs[2 * out_pos[i] + plane_idx].reshape(strip_shape)
+            if i in out_pos
+            else orig_strip(plane_idx, i)
+            for i in range(ns)
         ]
         for j in reversed(range(h)):
             ax = 2 * j + 1

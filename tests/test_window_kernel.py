@@ -774,3 +774,91 @@ def test_inplace_policy_thresholds(monkeypatch):
     assert not pk._inplace_policy(1 << 23)
     monkeypatch.setenv("RUSTQIP_TPU_KERNEL_INPLACE", "1")
     assert pk._inplace_policy(1 << 10)
+
+
+def test_window_strip_activity_analysis():
+    """window_strip_activity finds the strips a sweep must read/write:
+    a CCX mix window touches 2 of 8 strips; window-bit butterfly
+    controls prune strips at trace time; dense H mixes touch all."""
+    from rustqip_tpu.engine.pallas_kernels import window_strip_activity
+    from rustqip_tpu.engine.real_apply import _collect_window, _window_seg_sizes
+    from rustqip_tpu.ops.matrix_ops import make_control_op
+
+    n = N
+    ccx = np.eye(8, dtype=np.complex128)
+    ccx[[6, 7]] = ccx[[7, 6]]
+
+    def activity(ops):
+        window, j = _collect_window(n, ops, 0, allow_diag=True)
+        assert j == len(ops)
+        hq, steps = window
+        ksteps = window_ksteps(n, hq, steps)
+        segs = _window_seg_sizes(n, hq)
+        return window_strip_activity(n, segs, ksteps)
+
+    # CCX on a row triple: only the |11x> strips (indices 6 and 7 in
+    # window order) are read or written.
+    in_ids, out_ids = activity([make_matrix_op([3, 4, 5], ccx.reshape(-1))])
+    assert in_ids == (6, 7) and out_ids == (6, 7)
+
+    # H on a row qubit: dense 2x2 mix — both strips active.
+    in_ids, out_ids = activity([make_matrix_op([0], gates.H.reshape(-1))])
+    assert in_ids == (0, 1) and out_ids == (0, 1)
+
+    # CCX then a controlled butterfly whose control is a WINDOW row bit
+    # (CX: control qubit 3 = window bit, in-block target): the butterfly
+    # only touches the control=1 strips, the CCX only strips 6,7 — the
+    # control=0 half of the window is never read or written.
+    in_ids, out_ids = activity(
+        [
+            make_matrix_op([3, 4, 5], ccx.reshape(-1)),
+            make_control_op([3], make_matrix_op([10], gates.X.reshape(-1))),
+        ]
+    )
+    assert in_ids == (4, 5, 6, 7) and out_ids == (4, 5, 6, 7)
+
+
+def test_strip_skip_parity_and_env_hatch(monkeypatch):
+    """Skip-enabled and skip-disabled sweeps agree exactly on a CCX
+    window (the unfused bench shape), and the env hatch forces the
+    full-strip schedule."""
+    from rustqip_tpu.engine import pallas_kernels as pk
+
+    ccx = np.eye(8, dtype=np.complex128)
+    ccx[[6, 7]] = ccx[[7, 6]]
+    ops = [make_matrix_op([3, 4, 5], ccx.reshape(-1))]
+
+    monkeypatch.setenv("RUSTQIP_TPU_KERNEL_SKIP_STRIPS", "1")
+    assert pk._strip_skip_enabled()
+    _run_window_kernel(ops, allow_diag=True)
+
+    monkeypatch.setenv("RUSTQIP_TPU_KERNEL_SKIP_STRIPS", "0")
+    assert not pk._strip_skip_enabled()
+    _run_window_kernel(ops, allow_diag=True)
+
+
+def test_strip_skip_multi_step_dependency():
+    """A window whose second step consumes a strip the first step wrote:
+    the activity analysis keeps dependency strips live (reads only what
+    the ORIGINAL state must supply)."""
+    from rustqip_tpu.engine.pallas_kernels import window_strip_activity
+    from rustqip_tpu.engine.real_apply import _collect_window, _window_seg_sizes
+    from rustqip_tpu.ops.matrix_ops import make_control_op
+
+    n = N
+    ccx = np.eye(8, dtype=np.complex128)
+    ccx[[6, 7]] = ccx[[7, 6]]
+    cz = np.diag([1, 1, 1, -1]).astype(np.complex128)
+    ops = [
+        make_matrix_op([3, 4, 5], ccx.reshape(-1)),  # touches strips 6,7
+        make_matrix_op([3, 4], cz.reshape(-1)),      # phases strips 6,7 (11xx)
+    ]
+    window, j = _collect_window(n, ops, 0, allow_diag=True)
+    assert j == len(ops)
+    hq, steps = window
+    ksteps = window_ksteps(n, hq, steps)
+    in_ids, out_ids = window_strip_activity(
+        n, _window_seg_sizes(n, hq), ksteps
+    )
+    assert in_ids == (6, 7) and out_ids == (6, 7)
+    _run_window_kernel(ops, allow_diag=True)
