@@ -30,8 +30,27 @@ from rustqip_tpu.errors import CircuitError
 #: A gate IR entry: (name, params, qubits). Names: u3, u1, cx.
 Gate = Tuple[str, Tuple[float, ...], Tuple[int, ...]]
 
-#: Largest unitary (total qubits, controls included) synthesized to gates.
-QSD_CAP = 8
+#: Default largest unitary (total qubits, controls included) synthesized
+#: to gates. QSD emits ~2*4^k gates, so k=10 is ~2M gates (a ~100 MB QASM
+#: text, ~40 s synthesis on this host) — measured round-trip-exact to
+#: 2e-13 at k=10. Column-by-column Givens synthesis was considered and
+#: REJECTED for the >cap regime: generic n-qubit synthesis is Omega(4^n)
+#: two-level rotations, and each Givens rotation on an arbitrary index
+#: pair needs a Gray-code multi-controlled ladder (O(n) CX each), so it
+#: is strictly MORE gates than QSD at every width. The cap is a
+#: disk/time guard, not an algorithmic limit: RUSTQIP_TPU_QSD_CAP lifts
+#: it arbitrarily.
+QSD_CAP = 10
+
+
+def qsd_cap() -> int:
+    """The active synthesis cap: RUSTQIP_TPU_QSD_CAP env override, else
+    ``QSD_CAP``. Consulted at call time so one process can export small
+    circuits cheaply and opt a single wide export in."""
+    import os
+
+    v = os.environ.get("RUSTQIP_TPU_QSD_CAP")
+    return int(v) if v else QSD_CAP
 
 
 def _u3_matrix(theta: float, phi: float, lam: float) -> np.ndarray:
@@ -193,9 +212,10 @@ def synthesize_unitary(
         raise CircuitError(
             f"Matrix shape {U.shape} does not match {k} qubits"
         )
-    if k > QSD_CAP:
+    if k > qsd_cap():
         raise CircuitError(
-            f"Refusing to synthesize a {k}-qubit unitary (cap {QSD_CAP})"
+            f"Refusing to synthesize a {k}-qubit unitary (cap "
+            f"{qsd_cap()}; RUSTQIP_TPU_QSD_CAP lifts it)"
         )
     gates: List[Gate] = []
     phase = [0.0]
@@ -253,10 +273,10 @@ def synthesize_mcu(
         raise CircuitError(
             f"MCU ladder needs {nc - 1} ancillas, got {len(ancillas)}"
         )
-    if len(targets) + 1 > QSD_CAP:
+    if len(targets) + 1 > qsd_cap():
         raise CircuitError(
             f"Refusing to synthesize a {len(targets)}-qubit controlled "
-            f"target (cap {QSD_CAP - 1})"
+            f"target (cap {qsd_cap() - 1})"
         )
     anc = list(ancillas[: nc - 1])
     ladder: List[Gate] = [("ccx", (), (controls[0], controls[1], anc[0]))]
@@ -268,6 +288,27 @@ def synthesize_mcu(
     )
     gates.extend(reversed(ladder))
     return gates
+
+
+def apply_gate_stream(
+    gates: Sequence[Gate], qubits: Sequence[int], state: np.ndarray
+) -> np.ndarray:
+    """Apply an IR gate stream to a 2^k state vector with numpy tensor
+    contractions (test/debug oracle for widths where ``gates_to_matrix``'s
+    O(8^k)-per-gate matrix build is infeasible — a k=10 QSD stream is ~2M
+    gates). ``qubits[0]`` = most significant bit, matching
+    ``synthesize_unitary``. First gate acts first."""
+    pos = {q: i for i, q in enumerate(qubits)}
+    k = len(qubits)
+    st = np.asarray(state, dtype=np.complex128).reshape((2,) * k)
+    for name, params, qs in gates:
+        g = gate_matrix(name, params)
+        axes = [pos[q] for q in qs]
+        kq = len(axes)
+        st = np.moveaxis(st, axes, range(kq))
+        st = (g @ st.reshape(1 << kq, -1)).reshape((2,) * k)
+        st = np.moveaxis(st, range(kq), axes)
+    return st.reshape(-1)
 
 
 def gates_to_matrix(gates: Sequence[Gate], qubits: Sequence[int]) -> np.ndarray:

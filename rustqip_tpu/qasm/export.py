@@ -18,7 +18,7 @@ raw MAT is ``todo!()`` at builder.rs:808). Controlled ops with many
 controls take a clean-ancilla Toffoli-ladder path (an ``anc`` qreg is
 emitted on demand), so control count no longer hits the synthesis cap.
 Only stochastic measurements and uncontrolled/target unitaries wider than
-``decompose.QSD_CAP`` fall back to comments (OpenQASM 2.0 has no construct
+``decompose.qsd_cap()`` fall back to comments (OpenQASM 2.0 has no construct
 for either).
 """
 
@@ -40,7 +40,7 @@ from rustqip_tpu.builder.circuit_objects import (
 )
 from rustqip_tpu.errors import CircuitError
 from rustqip_tpu.qasm.decompose import (
-    QSD_CAP,
+    qsd_cap,
     synthesize_controlled,
     synthesize_mcu,
     synthesize_unitary,
@@ -100,7 +100,7 @@ def _ladder_ancillas_needed(obj: ControlledMatGate) -> int:
     """Ancillas the MCU Toffoli-ladder path needs for this op (0 = the
     dense-embed/special-case paths handle it)."""
     nc, k = obj.n_ctrl, _ctrl_target_width(obj)
-    if nc >= 2 and (nc + k > QSD_CAP or nc >= 4) and k + 1 <= QSD_CAP:
+    if nc >= 2 and (nc + k > qsd_cap() or nc >= 4) and k + 1 <= qsd_cap():
         return nc - 1
     return 0
 
@@ -117,20 +117,20 @@ def _emit_controlled_mat(
     if isinstance(mat, SparseMatGate):
         from rustqip_tpu.ops.matrix_ops import SparseOp, op_to_dense
 
-        if mat.n + nc > QSD_CAP and not ladder:
+        if mat.n + nc > qsd_cap() and not ladder:
             out.append(
                 f"// controlled sparse unitary on {list(indices)} exceeds "
-                f"synthesis cap ({QSD_CAP} qubits)"
+                f"synthesis cap ({qsd_cap()} qubits)"
             )
             return
         data = op_to_dense(SparseOp(tuple(range(mat.n)), mat.rows))
     elif isinstance(mat, FnGate):
         from rustqip_tpu.ops.matrix_ops import FnOp, op_to_dense
 
-        if mat.n + nc > QSD_CAP and not ladder:
+        if mat.n + nc > qsd_cap() and not ladder:
             out.append(
                 f"// controlled traced-function unitary {mat.tag!r} on "
-                f"{list(indices)} exceeds synthesis cap ({QSD_CAP} qubits)"
+                f"{list(indices)} exceeds synthesis cap ({qsd_cap()} qubits)"
             )
             return
         data = op_to_dense(
@@ -163,10 +163,10 @@ def _emit_controlled_mat(
         anc = [n_main + i for i in range(ladder)]
         _emit_ir(synthesize_mcu(data, ctrls, tgts, anc), out, n_main)
         return
-    if nc + k > QSD_CAP:
+    if nc + k > qsd_cap():
         out.append(
             f"// controlled unitary on {list(indices)} exceeds synthesis "
-            f"cap ({QSD_CAP} qubits)"
+            f"cap ({qsd_cap()} qubits)"
         )
         return
     _emit_ir(
@@ -215,7 +215,7 @@ def _emit_unitary(obj, indices, out: List[str]) -> None:
             out.append(
                 f"u3({_fmt(theta)},{_fmt(phi)},{_fmt(lam)}) q[{indices[0]}];"
             )
-        elif obj.n <= QSD_CAP:
+        elif obj.n <= qsd_cap():
             _emit_ir(
                 synthesize_unitary(obj.data, list(indices),
                                    exact_phase=False),
@@ -224,10 +224,10 @@ def _emit_unitary(obj, indices, out: List[str]) -> None:
         else:
             out.append(
                 f"// unitary on {list(indices)} exceeds synthesis cap "
-                f"({QSD_CAP} qubits)"
+                f"({qsd_cap()} qubits)"
             )
     elif isinstance(obj, SparseMatGate):
-        if obj.n <= QSD_CAP:
+        if obj.n <= qsd_cap():
             from rustqip_tpu.ops.matrix_ops import SparseOp, op_to_dense
 
             data = op_to_dense(SparseOp(tuple(range(obj.n)), obj.rows))
@@ -238,13 +238,13 @@ def _emit_unitary(obj, indices, out: List[str]) -> None:
         else:
             out.append(
                 f"// sparse unitary on {list(indices)} exceeds synthesis "
-                f"cap ({QSD_CAP} qubits)"
+                f"cap ({qsd_cap()} qubits)"
             )
     elif isinstance(obj, FnGate):
         # OpenQASM needs explicit gates: materialize the traced fn over
         # its 2^n rows (fine at synthesis widths) and synthesize like any
         # dense unitary; wide oracles have no QASM 2.0 form.
-        if obj.n <= QSD_CAP:
+        if obj.n <= qsd_cap():
             from rustqip_tpu.ops.matrix_ops import FnOp, op_to_dense
 
             data = op_to_dense(
@@ -258,7 +258,7 @@ def _emit_unitary(obj, indices, out: List[str]) -> None:
         else:
             out.append(
                 f"// traced-function unitary {obj.tag!r} on "
-                f"{list(indices)} exceeds synthesis cap ({QSD_CAP} qubits)"
+                f"{list(indices)} exceeds synthesis cap ({qsd_cap()} qubits)"
             )
     elif isinstance(obj, ControlledMatGate):  # pragma: no cover
         # to_openqasm intercepts ControlledMatGate with the real n_main

@@ -186,3 +186,96 @@ def test_wide_oracle_export_comments_loudly():
     r = b.apply_sparse_matrix(r, rows)
     text = to_openqasm(b)
     assert "exceeds synthesis cap" in text
+
+
+def test_qsd_cap_env_override(monkeypatch):
+    """RUSTQIP_TPU_QSD_CAP lifts/lowers the synthesis cap at call time."""
+    from rustqip_tpu.errors import CircuitError
+    from rustqip_tpu.qasm.decompose import qsd_cap, synthesize_unitary
+
+    assert qsd_cap() == 10  # raised default (was 8 through round 3)
+    monkeypatch.setenv("RUSTQIP_TPU_QSD_CAP", "4")
+    assert qsd_cap() == 4
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32))
+    u, _ = np.linalg.qr(m)
+    with pytest.raises(CircuitError, match="cap 4"):
+        synthesize_unitary(u, list(range(5)))
+    monkeypatch.setenv("RUSTQIP_TPU_QSD_CAP", "5")
+    gates = synthesize_unitary(u, list(range(5)))
+    from rustqip_tpu.qasm.decompose import gates_to_matrix
+
+    np.testing.assert_allclose(
+        gates_to_matrix(gates, list(range(5))), u, atol=1e-9
+    )
+
+
+@pytest.mark.heavy
+def test_qsd_nine_qubit_synthesis_exact():
+    """A 9-qubit random unitary (beyond the round-3 cap of 8) synthesizes
+    exactly: the IR stream applied to a random state matches U @ v at
+    1e-9 (gates_to_matrix is O(8^k)-per-gate — the stream applier is the
+    wide-width oracle). VERDICT r3 next-6."""
+    from rustqip_tpu.qasm.decompose import apply_gate_stream, synthesize_unitary
+
+    k = 9
+    rng = np.random.default_rng(9)
+    m = rng.normal(size=(1 << k, 1 << k)) + 1j * rng.normal(
+        size=(1 << k, 1 << k)
+    )
+    u, _ = np.linalg.qr(m)
+    gates = synthesize_unitary(u, list(range(k)))
+    v = rng.normal(size=1 << k) + 1j * rng.normal(size=1 << k)
+    v /= np.linalg.norm(v)
+    got = apply_gate_stream(gates, list(range(k)), v)
+    np.testing.assert_allclose(got, u @ v, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_qsd_ten_qubit_full_roundtrip():
+    """A 10-qubit random unitary survives the FULL pipeline: builder ->
+    to_openqasm (QSD synthesis, ~2M gates) -> circuit_from_qasm ->
+    re-lowered ops applied to a random state, at 1e-8 (VERDICT r3 next-6
+    'Done' criterion). Slow: ~4-6 min on the 1-core host."""
+    from rustqip_tpu.builder.builder import LocalBuilder, _lower_item
+    from rustqip_tpu.engine.compile import UnitaryEntry
+    from rustqip_tpu.ops.matrix_ops import op_to_dense
+    from rustqip_tpu.qasm import circuit_from_qasm, to_openqasm
+
+    k = 10
+    rng = np.random.default_rng(10)
+    m = rng.normal(size=(1 << k, 1 << k)) + 1j * rng.normal(
+        size=(1 << k, 1 << k)
+    )
+    u, _ = np.linalg.qr(m)
+    b = LocalBuilder()
+    r = b.register(k)
+    b.apply_matrix(r, u.reshape(-1))
+    text = to_openqasm(b)
+    assert "exceeds synthesis cap" not in text
+    imp = circuit_from_qasm(text)
+    # Re-lower the imported builder's pipeline to raw ops (compiling 2M
+    # entries through fusion would be needlessly slow for a test oracle)
+    # and stream-apply them.
+    v = rng.normal(size=1 << k) + 1j * rng.normal(size=1 << k)
+    v /= np.linalg.norm(v)
+    st = v.reshape((2,) * k)
+    nops = 0
+    for item in imp.builder.pipeline:
+        for entry in _lower_item(item):
+            assert isinstance(entry, UnitaryEntry)
+            op = entry.op
+            g = op_to_dense(op)
+            axes = list(op.indices)
+            kq = len(axes)
+            st = np.moveaxis(st, axes, range(kq))
+            st = (g @ st.reshape(1 << kq, -1)).reshape((2,) * k)
+            st = np.moveaxis(st, range(kq), axes)
+            nops += 1
+    got = st.reshape(-1)
+    want = u @ v
+    # export drops global phase (exact_phase=False): compare up to phase
+    ph = np.vdot(got, want)
+    ph /= abs(ph)
+    np.testing.assert_allclose(got * ph, want, atol=1e-8)
+    assert nops > 1_000_000  # the stream really was QSD-scale
