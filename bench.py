@@ -20,8 +20,16 @@ The baseline is the native C++ CPU engine on the same machine (the
 algorithmic stand-in for the reference's Rust engine — no Rust toolchain
 ships here; same row-parallel strided apply, OpenMP = rayon). Because a
 median-of-7 CPU run costs ~6 min at ~50 s/gate on the 1-core host, the
-baseline is CACHED in bench_history.json and only refreshed explicitly
-(`--cpu-baseline`) — the round-2 driver artifact timed out waiting on it.
+baseline is recorded in bench_history.json and only refreshed explicitly
+(`--cpu-baseline`); the headline ratio divides by the BEST baseline ever
+observed at this n (the shared host's contention depresses a cached
+single run up to 18x, which would inflate vs_baseline — the best figure
+is the conservative denominator).
+
+The JSON line also carries flagship circuit wall-clocks (QFT-n and one
+Grover-n iteration through the production lowering pipeline), measured
+best-effort within the budget — each is a distinct jit program with its
+own relay compile, so a tight budget nulls them rather than timing out.
 
 Prints ONE JSON line on stdout the moment the device numbers exist;
 diagnostics go to stderr.
@@ -209,6 +217,135 @@ def _cached_cpu_baseline(n: int) -> Optional[float]:
     return None
 
 
+def _best_cpu_baseline(n: int) -> Optional[float]:
+    """BEST CPU baseline ever recorded at state size n (bench_history).
+
+    The 1-core host is shared: contended sessions depress the baseline up
+    to 18x (observed 0.0069-0.126 applies/s across rounds at n=28), which
+    INFLATES vs_baseline. The best-observed figure is the closest to an
+    uncontended native-engine number this environment can produce, so the
+    headline ratio uses it — the conservative denominator."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_history.json"
+    )
+    try:
+        with open(path) as f:
+            hist = json.load(f)
+    except Exception:
+        return None
+    best = None
+    for entry in hist:
+        v = entry.get("cpu_baseline_applies_per_sec")
+        if (
+            v is not None
+            and not entry.get("tainted")
+            and f"_{n}q" in entry.get("metric", "")
+        ):
+            best = v if best is None else max(best, v)
+    return best
+
+
+def bench_circuit(kind: str, n: int, trials: int = 3) -> dict:
+    """Median steady-state wall-clock of a flagship circuit (one jit
+    program over the production lowering pipeline — the same harness as
+    benches/qft_bench.py / grover_bench.py). ``kind`` = "qft" (full
+    QFT-n, qip/src/qfft.rs:7-40) or "grover" (one grover_iteration =
+    oracle + diffusion, builder_traits.rs:541-568)."""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benches")
+    )
+    from ab_harness import lower_circuit
+
+    from rustqip_tpu.builder.builder import LocalBuilder
+
+    b = LocalBuilder()
+    if kind == "qft":
+        from rustqip_tpu.algos.qfft import qfft
+
+        qfft(b, b.register(n))
+    else:
+        from rustqip_tpu.algos.grover import grover_iteration
+
+        grover_iteration(b, b.register(n), (1 << n) - 3)
+    _, raw, qops, plan, _ = lower_circuit(b.compile())
+    nk = sum(1 for k, _, _ in plan if k == "kwindow")
+    log(
+        f"{kind}-{n}: {len(raw)} raw ops -> {len(plan)} sweeps"
+        f" ({nk} kernel)"
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(re, im):
+        from rustqip_tpu.engine.real_apply import apply_ops_ri
+
+        return apply_ops_ri(n, qops, re, im)
+
+    dim = 1 << n
+    re = jnp.zeros(dim, jnp.float32).at[0].set(1.0)
+    im = jnp.zeros(dim, jnp.float32)
+    t0 = time.time()
+    re, im = step(re, im)
+    float(re[0])
+    compile_s = time.time() - t0
+    log(f"{kind}-{n} compile+first: {compile_s:.1f}s")
+    times = []
+    for _ in range(trials):
+        t0 = time.time()
+        re, im = step(re, im)
+        float(re[0])
+        times.append(time.time() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    log(f"{kind}-{n}: {med * 1e3:.1f} ms median ({times})")
+    return {
+        "kind": kind,
+        "n": n,
+        "median_s": med,
+        "compile_s": compile_s,
+    }
+
+
+def _circuit_subprocess(
+    kind: str, n: int, reserve_s: float
+) -> Optional[dict]:
+    """Bounded-subprocess wrapper for ``bench_circuit`` (same hung-relay
+    rationale as ``_device_subprocess``)."""
+    import subprocess
+
+    timeout = min(max(_remaining() - reserve_s, 0.0), 1100.0)
+    if timeout < 150:
+        log(f"no budget for a {kind}-{n} circuit probe")
+        return None
+    env = dict(os.environ, RUSTQIP_TPU_PALLAS="1")
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--circuit-json", kind, str(n)],
+            env=env,
+            capture_output=True,
+            timeout=timeout,
+            text=True,
+        )
+        sys.stderr.write(out.stderr)
+        if out.returncode == 0:
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        log(f"{kind} circuit subprocess failed (rc={out.returncode})")
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            sys.stderr.write(
+                e.stderr.decode() if isinstance(e.stderr, bytes) else e.stderr
+            )
+        log(f"{kind} circuit subprocess exceeded {timeout:.0f}s budget")
+    except Exception as e:  # pragma: no cover
+        log(f"{kind} circuit subprocess error: {type(e).__name__}: {e}")
+    return None
+
+
 def _device_subprocess(
     n: int, pallas: str = "1", reserve_s: float = 120.0
 ) -> Optional[dict]:
@@ -304,6 +441,9 @@ def main():
             f, u, c = bench_device_pair(n)
         print(json.dumps({"fused": f, "unfused": u, "compile_s": c, "n": n}))
         return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--circuit-json":
+        print(json.dumps(bench_circuit(sys.argv[2], int(sys.argv[3]))))
+        return
     if len(sys.argv) >= 2 and sys.argv[1] == "--cpu-baseline":
         n = int(sys.argv[2]) if len(sys.argv) >= 3 else 28
         rate = bench_cpu_baseline(n)
@@ -338,7 +478,15 @@ def main():
     fused, unfused = probe["fused"], probe["unfused"]
     compile_s = probe.get("compile_s")
 
-    cpu_rate = _cached_cpu_baseline(n)
+    # Flagship circuit wall-clocks, best-effort within the budget (each a
+    # distinct jit program = its own relay compile; QFT first — its
+    # compile is the cheaper of the two).
+    qft = _circuit_subprocess("qft", n, reserve_s=240.0)
+    grover = _circuit_subprocess("grover", n, reserve_s=90.0)
+
+    # Conservative denominator: the BEST baseline ever observed at this
+    # n (shared 1-core host; a contended run inflates the ratio 18x).
+    cpu_rate = _best_cpu_baseline(n)
     baseline_cached = cpu_rate is not None
     if cpu_rate is None and _remaining() > 420:
         cpu_rate = bench_cpu_baseline(n, reps=3)
@@ -365,6 +513,13 @@ def main():
             round(cpu_rate, 4) if cpu_rate else None
         ),
         "baseline_cached": baseline_cached,
+        "baseline_policy": "best_observed",
+        f"qft{n}_s": (
+            round(qft["median_s"], 4) if qft else None
+        ),
+        f"grover{n}_iter_ms": (
+            round(grover["median_s"] * 1e3, 2) if grover else None
+        ),
     }
     print(json.dumps(result), flush=True)
     _append_history(result)
