@@ -18,7 +18,10 @@ TPU-native realization of the amplitude-exchange the reference's
   pass through (the distributed analog of the reference's
   ControlledOpIterator identity rows);
 * anything else (multi-global dense, global-target controls) -> global
-  target qubits relocate into free local slots (2 exchanges per qubit).
+  target qubits relocate into free local slots (2 exchanges per qubit);
+* wide FnOp / sparse op whose globals outnumber the free local slots ->
+  generalized-permutation exchange: XOR-stage ppermutes with per-element
+  in-trace source routing, never densifying (``_lower_gex``).
 
 ``apply_sharded_ops`` lowers a whole op sequence into ONE shard_map body:
 consecutive local ops batch into a single engine pass run, and every
@@ -48,6 +51,7 @@ from rustqip_tpu.ops.matrix_ops import (
     FnOp,
     MatrixOp,
     PhaseProductOp,
+    SparseOp,
     SwapOp,
     make_swap_op,
     op_to_dense,
@@ -90,6 +94,11 @@ def _remap_op(op: MatrixOp, mapping: dict) -> MatrixOp:
 #   ("exchange", d_mask, blocks, rest_local)
 #                                 single-global dense: ppermute + 2x2 blocks
 #   ("diag", terms)               zero-comm diagonal factor gather
+#   ("fndiag", fnop)              traced phase oracle: zero-comm elementwise
+#   ("exchange_multi", ...)       dense on h>=2 immovable globals: XOR stages
+#   ("gex", indices, gq, payload) wide FnOp / sparse tables on immovable
+#                                 globals: per-element source routing over
+#                                 XOR stages (see _lower_gex)
 
 
 def _lower_op(n: int, g: int, op: MatrixOp, sched: List) -> None:
@@ -177,6 +186,12 @@ def _lower_op(n: int, g: int, op: MatrixOp, sched: List) -> None:
     if len(move) - spare > len(free_local):
         from rustqip_tpu.engine.apply import DENSE_CAP
 
+        if isinstance(op, FnOp):
+            # Wide traced oracle with immovable global qubits: the
+            # generalized-permutation exchange (never densify an FnOp —
+            # O(1) program size is its whole point; see _lower_gex).
+            _lower_gex(op, globals_, sched)
+            return
         if isinstance(op, ControlOp) and op.num_indices <= DENSE_CAP:
             # Fold the control into a dense op; its globals then relocate
             # with the one-leftover allowance.
@@ -191,6 +206,11 @@ def _lower_op(n: int, g: int, op: MatrixOp, sched: List) -> None:
             # No room to relocate at all: direct multi-global block
             # exchange (2^h - 1 XOR-ppermutes; see _lower_multi_exchange).
             _lower_multi_exchange(n, g, op, globals_, sched)
+            return
+        if isinstance(op, SparseOp):
+            # Wider than DENSE_CAP: per-nnz-slot generalized exchange —
+            # same stage loop as FnOp, sources from the embedded tables.
+            _lower_gex(op, globals_, sched)
             return
         raise CircuitError(
             f"Cannot relocate {len(move)} global qubits: only "
@@ -244,6 +264,42 @@ def _lower_multi_exchange(
     rest_local = tuple(q - g for q in order[h:])
     gq_sorted = tuple(sorted(globals_))
     sched.append(("exchange_multi", gq_sorted, bstack, rest_local, local_n))
+
+
+def _lower_gex(op: MatrixOp, globals_, sched: List) -> None:
+    """Generalized-permutation exchange for wide ops with immovable global
+    qubits (more globals than free local slots, wider than the dense cap).
+
+    Works for any op stored as per-row source entries — traced FnOps
+    (``fn(row) -> (col, val)``; the distributed answer to the reference's
+    lazy ``FunctionOpIterator``, qip-iterators/src/iterators/
+    qubit_iterators.rs:223) and sparse tables alike. Schedule: 2^h - 1
+    XOR-ppermutes over the h global op qubits; at each stage every shard
+    gathers, from the fetched partner shard, exactly those elements whose
+    source amplitude lives there (the element's own source coordinates are
+    computed in-trace from its row index), and accumulates. No
+    densification, no relocation swaps — O(1) program size at any width.
+    """
+    gq = tuple(sorted(globals_))
+    if isinstance(op, FnOp):
+        sched.append(("gex", op.indices, gq, ("fn", op)))
+        return
+    # SparseOp: pad per-row entries to max-nnz slot tables (the same
+    # columnar layout as the single-chip gather path, engine/apply.py
+    # _sparse_plan) — embedded constants indexed by the op-local row.
+    dim = 1 << op.num_indices
+    max_nnz = max(len(r) for r in op.rows)
+    cols_t = np.zeros((max_nnz, dim), np.int32)
+    vre_t = np.zeros((max_nnz, dim), np.float64)
+    vim_t = np.zeros((max_nnz, dim), np.float64)
+    for row, entries in enumerate(op.rows):
+        for t, (c, v) in enumerate(entries):
+            cols_t[t, row] = c
+            vre_t[t, row] = v.real
+            vim_t[t, row] = v.imag
+    sched.append(
+        ("gex", op.indices, gq, ("sp", max_nnz, cols_t, vre_t, vim_t))
+    )
 
 
 def _traced_local_apply(U, rest_local, local_n, re_s, im_s):
@@ -473,6 +529,104 @@ def apply_sharded_ops(
                     re_s, im_s = one_exchange(
                         re_s, im_s, rest_local, local_n
                     )
+            elif kind == "gex":
+                # Generalized-permutation exchange (see _lower_gex): h
+                # global op qubits -> 2^h XOR stages. Each element of MY
+                # shard knows its own source coordinates (computed
+                # in-trace); stage t fetches the partner shard differing
+                # in global-bit pattern t and accumulates exactly the
+                # elements whose source lives there.
+                _, indices, gq, payload = entry
+                k = len(indices)
+                h = len(gq)
+                rr, ii = re_s.reshape(-1), im_s.reshape(-1)
+                flat = jnp.arange(rr.size, dtype=jnp.int32)
+                pat = jnp.zeros_like(flat)
+                for j, q in enumerate(indices):
+                    sh = k - 1 - j
+                    if q < g:
+                        pat = pat | (((my >> (g - 1 - q)) & 1) << sh)
+                    else:
+                        pat = pat | (
+                            ((flat >> (local_n - 1 - (q - g))) & 1) << sh
+                        )
+                rdtype = rr.dtype
+                slots = []  # (src op-local col, value planes) per nnz slot
+                if payload[0] == "fn":
+                    fop = payload[1]
+                    sc, val = fop.fn(pat)
+                    sc = jnp.asarray(sc, jnp.int32)
+                    val = jnp.asarray(val)
+                    if jnp.iscomplexobj(val):
+                        vr = jnp.real(val).astype(rdtype)
+                        vi = jnp.imag(val).astype(rdtype)
+                        if fop.conjugated:
+                            vi = -vi
+                    else:
+                        vr = val.astype(rdtype)
+                        vi = None
+                    slots.append((sc, vr, vi))
+                else:
+                    _, max_nnz, cols_t, vre_t, vim_t = payload
+                    for t in range(max_nnz):
+                        sc = jnp.take(jnp.asarray(cols_t[t]), pat)
+                        vr = jnp.take(
+                            jnp.asarray(vre_t[t], dtype=rdtype), pat
+                        )
+                        vi = (
+                            jnp.take(jnp.asarray(vim_t[t], dtype=rdtype), pat)
+                            if np.any(vim_t[t])
+                            else None
+                        )
+                        slots.append((sc, vr, vi))
+                # Decompose each slot's source column into (global-bit
+                # pattern over gq, shard-local source index).
+                myg = jnp.zeros((), jnp.int32)
+                for jj, q in enumerate(gq):
+                    myg = myg | (
+                        ((my >> (g - 1 - q)) & 1) << (h - 1 - jj)
+                    )
+                decomp = []
+                for sc, vr, vi in slots:
+                    srcg = jnp.zeros_like(sc)
+                    srcl = flat
+                    for j, q in enumerate(indices):
+                        bit = (sc >> (k - 1 - j)) & 1
+                        if q < g:
+                            jj = gq.index(q)
+                            srcg = srcg | (bit << (h - 1 - jj))
+                        else:
+                            shl = local_n - 1 - (q - g)
+                            srcl = (srcl & np.int32(~(1 << shl))) | (
+                                bit << shl
+                            )
+                    decomp.append((srcg, srcl, vr, vi))
+                acc_r = jnp.zeros_like(rr)
+                acc_i = jnp.zeros_like(ii)
+                for t in range(1 << h):
+                    mask_t = 0
+                    for jj, q in enumerate(gq):
+                        if (t >> (h - 1 - jj)) & 1:
+                            mask_t |= 1 << (g - 1 - q)
+                    if mask_t == 0:
+                        dr, di = rr, ii
+                    else:
+                        permt = [(i, i ^ mask_t) for i in range(d)]
+                        dr = jax.lax.ppermute(rr, axis, permt)
+                        di = jax.lax.ppermute(ii, axis, permt)
+                    for srcg, srcl, vr, vi in decomp:
+                        sel = srcg == (myg ^ t)
+                        gr = dr[srcl]
+                        gi = di[srcl]
+                        if vi is None:
+                            tr, ti = gr * vr, gi * vr
+                        else:
+                            tr = gr * vr - gi * vi
+                            ti = gi * vr + gr * vi
+                        acc_r = acc_r + jnp.where(sel, tr, 0)
+                        acc_i = acc_i + jnp.where(sel, ti, 0)
+                re_s = acc_r.reshape(re_s.shape)
+                im_s = acc_i.reshape(im_s.shape)
             elif kind == "fndiag":
                 _, fop = entry
                 flat = jnp.arange(re_s.size, dtype=jnp.int32)

@@ -292,3 +292,55 @@ def test_k16_oracle_inside_n24_circuit():
     want = np.empty_like(state)
     want[out_idx] = state
     np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_wide_sparse_gex_sharded():
+    """VERDICT r3 #7 (sparse half): a sparse op wider than DENSE_CAP whose
+    global qubits outnumber the free local slots lowers to the 'gex'
+    generalized exchange (per-nnz-slot source routing over XOR-stage
+    ppermutes) and matches the single-device gather engine exactly."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from rustqip_tpu.ops import gates
+    from rustqip_tpu.ops.matrix_ops import SparseOp, make_matrix_op
+    from rustqip_tpu.parallel import make_shard_mesh
+    from rustqip_tpu.parallel.shard_ops import (
+        _lower_schedule,
+        apply_sharded_ops,
+        make_sharded_pair,
+    )
+
+    n, g = 12, 3
+    k = DENSE_CAP + 1  # too wide to densify
+    # (permutation + phase on the top k-1 bits) tensor (H on the low bit):
+    # a genuinely sparse unitary with 2 nonzeros per row.
+    rng = np.random.default_rng(7)
+    half = 1 << (k - 1)
+    sigma = rng.permutation(half)
+    phase = np.exp(1j * rng.uniform(0, 2 * np.pi, half))
+    s = 1 / np.sqrt(2)
+    rows = []
+    for r in range(1 << k):
+        x, b = r >> 1, r & 1
+        c0 = int(sigma[x]) << 1
+        p = complex(phase[x])
+        sign = -1.0 if b else 1.0
+        rows.append(((c0, p * s), (c0 | 1, sign * p * s)))
+    op = SparseOp(tuple(range(k)), tuple(rows))
+    # k=11 on n=12 leaves ONE free local slot for three globals.
+    sched = _lower_schedule(n, g, [op])
+    assert [kind for kind, *_ in sched] == ["gex"]
+
+    mesh = make_shard_mesh(8)
+    hs = [make_matrix_op([q], gates.H.reshape(-1)) for q in range(0, n, 2)]
+    re, im = make_sharded_pair(mesh, n, initial_index=0, dtype=np.float64)
+    re, im = apply_sharded_ops(mesh, n, hs + [op], re, im)
+    got = np.asarray(re) + 1j * np.asarray(im)
+
+    v = jnp.zeros(1 << n, jnp.complex128).at[0].set(1.0)
+    for o in hs + [op]:
+        v = apply_op(n, o, v)
+    np.testing.assert_allclose(got, np.asarray(v), atol=1e-12)
+    assert abs(np.sum(np.abs(got) ** 2) - 1.0) < 1e-10
