@@ -49,7 +49,7 @@ def random_ops(rng):
         return q
 
     def rand_op():
-        kind = rng.integers(0, 9)
+        kind = rng.integers(0, 10)
         qs = list(rng.choice(N, size=4, replace=False))
         if kind == 0:
             g = [gates.H, gates.T, gates.X, gates.Y][rng.integers(0, 4)]
@@ -96,6 +96,21 @@ def random_ops(rng):
                     jnp.exp(1j * t * row),
                 ),
                 tag=f"affine:{a}:{c}:{t}",
+            )
+        if kind == 8:  # traced DIAGONAL phase oracle (elementwise fast
+            # path on a single chip; zero-comm 'fndiag' schedule sharded)
+            import jax.numpy as jnp
+
+            from rustqip_tpu.ops.matrix_ops import make_fn_op
+
+            k = 5
+            fqs = [int(q) for q in rng.choice(N, size=k, replace=False)]
+            t = float(rng.uniform(-3, 3))
+            return make_fn_op(
+                fqs,
+                lambda row: (row, jnp.exp(1j * t * row)),
+                tag=f"phase-oracle:{t}",
+                diagonal=True,
             )
         return make_swap_op([int(qs[0])], [int(qs[1])])
 
