@@ -131,6 +131,19 @@ def _lower_op(n: int, g: int, op: MatrixOp, sched: List) -> None:
         sched.append(("fndiag", op))
         return
 
+    if (
+        isinstance(op, ControlOp)
+        and isinstance(op.inner, FnOp)
+        and op.inner.diagonal
+        and globals_
+    ):
+        # Conditioned traced phase oracle (cb.apply_fn_matrix(...,
+        # diagonal=True) — the sharded-Grover marking shape): a
+        # controlled diagonal is still diagonal, so wrap the control
+        # select into the traced fn and take the zero-comm path.
+        sched.append(("fndiag", _controlled_fn_op(op)))
+        return
+
     if not globals_:
         lop = _local_op(op, g)
         if sched and sched[-1][0] == "local":
@@ -191,6 +204,12 @@ def _lower_op(n: int, g: int, op: MatrixOp, sched: List) -> None:
             # generalized-permutation exchange (never densify an FnOp —
             # O(1) program size is its whole point; see _lower_gex).
             _lower_gex(op, globals_, sched)
+            return
+        if isinstance(op, ControlOp) and isinstance(op.inner, FnOp):
+            # Conditioned traced oracle (controlled modular arithmetic —
+            # the Shor shape) too wide/global to relocate or densify:
+            # wrap the control select into the fn and ride gex.
+            _lower_gex(_controlled_fn_op(op), globals_, sched)
             return
         if isinstance(op, ControlOp) and op.num_indices <= DENSE_CAP:
             # Fold the control into a dense op; its globals then relocate
@@ -264,6 +283,39 @@ def _lower_multi_exchange(
     rest_local = tuple(q - g for q in order[h:])
     gq_sorted = tuple(sorted(globals_))
     sched.append(("exchange_multi", gq_sorted, bstack, rest_local, local_n))
+
+
+def _controlled_fn_op(op: ControlOp) -> FnOp:
+    """An equivalent ``FnOp`` for a ControlOp whose inner is an FnOp: the
+    control select moves INSIDE the traced fn (identity row when any
+    control is |0>). Preserves laziness (nothing materializes at any
+    width), the ``diagonal`` declaration (a controlled diagonal is
+    diagonal), and the conjugation flag (conj(1) == 1 on inactive rows,
+    so flag-level conjugation commutes with the select). The distributed
+    form of the reference's ControlledOpIterator identity rows
+    (qip-iterators/src/iterators/qubit_iterators.rs:137-221)."""
+    inner = op.inner
+    nc = op.n_ctrl
+    ki = inner.num_indices
+    cmask = ((1 << nc) - 1) << ki
+    tmask = (1 << ki) - 1
+
+    def fn(row):
+        active = (row & cmask) == cmask
+        icol, ival = inner.fn(row & tmask)
+        ival = jnp.asarray(ival)
+        one = jnp.ones_like(ival)
+        col = jnp.where(active, (row & ~np.int32(tmask)) | icol, row)
+        return col, jnp.where(active, ival, one)
+
+    return FnOp(
+        op.indices,
+        fn,
+        f"ctrl{nc}:{inner.tag}",
+        inner.conjugated,
+        inner.self_transpose,
+        inner.diagonal,
+    )
 
 
 def _lower_gex(op: MatrixOp, globals_, sched: List) -> None:

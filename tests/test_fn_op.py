@@ -505,3 +505,97 @@ def test_fn_op_gex_unsorted_indices_and_inverse():
     for o in hs:
         v2 = apply_op(n, o, v2)
     np.testing.assert_allclose(got2, np.asarray(v2), atol=1e-12)
+
+
+def test_conditioned_fn_op_sharded_paths():
+    """Conditioned traced oracles under the explicit sharded executor:
+    a controlled DIAGONAL fn lowers to the zero-comm 'fndiag' schedule
+    (control select inside the traced fn); a controlled wide general fn
+    with immovable globals rides 'gex'. Both match the single-device
+    engine exactly, including the inverse."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from rustqip_tpu.ops.matrix_ops import make_control_op
+    from rustqip_tpu.parallel import make_shard_mesh
+    from rustqip_tpu.parallel.shard_ops import (
+        _lower_schedule,
+        apply_sharded_ops,
+        make_sharded_pair,
+    )
+
+    n, g = 10, 3
+    mesh = make_shard_mesh(8)
+    hs = [make_matrix_op([q], gates.H.reshape(-1)) for q in range(0, n, 2)]
+
+    def phases(row):
+        return row, jnp.exp(1j * 0.29 * row)
+
+    cop_diag = make_control_op(
+        [0], make_fn_op(list(range(1, n)), phases, diagonal=True)
+    )
+    assert [k for k, *_ in _lower_schedule(n, g, [cop_diag])] == ["fndiag"]
+
+    def xor_f(row):
+        # phase-free XOR into the low 5 bits, keyed on the untouched
+        # high bits -> truly self-transpose
+        return row ^ (((row >> 5) * 7 + 2) % 32), jnp.ones(
+            row.shape, jnp.float64
+        )
+
+    cop_wide = make_control_op(
+        [0],
+        make_fn_op(list(range(1, n)), xor_f, self_transpose=True),
+    )
+    assert [k for k, *_ in _lower_schedule(n, g, [cop_wide])] == ["gex"]
+
+    inv_wide = invert_op(cop_wide)
+    for ops in ([cop_diag], [cop_wide], [cop_wide, inv_wide]):
+        re, im = make_sharded_pair(mesh, n, initial_index=0,
+                                   dtype=np.float64)
+        re, im = apply_sharded_ops(mesh, n, hs + ops, re, im)
+        got = np.asarray(re) + 1j * np.asarray(im)
+        v = jnp.zeros(1 << n, jnp.complex128).at[0].set(1.0)
+        for o in hs + ops:
+            v = apply_op(n, o, v)
+        np.testing.assert_allclose(got, np.asarray(v), atol=1e-12)
+
+
+def test_conditioned_fn_matrix_sharded_builder():
+    """Builder surface: cb.apply_fn_matrix under BOTH sharded executors
+    (controlled modular arithmetic, the Shor shape) matches the
+    single-chip state at 1e-10."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from rustqip_tpu.parallel import make_shard_mesh, sharded_calculate_state
+
+    A, MOD = 7, 15
+
+    def mulmod(row):
+        return (
+            jnp.where(row < MOD, (A * row) % MOD, row),
+            jnp.ones(row.shape, jnp.float64),
+        )
+
+    def build(b):
+        c = b.h(b.qubit())
+        y = b.register(4)
+        qs = b.split_all_register(y)
+        qs[0] = b.x(qs[0])  # |y=1>
+        y = b.merge_registers(qs)
+        cb = b.condition_with(c)
+        y = cb.apply_fn_matrix(y, mulmod, tag="mul7mod15")
+        cb.dissolve()
+
+    b1 = LocalBuilder(dtype="f64")
+    build(b1)
+    expected = np.asarray(b1.calculate_state(seed=0)[0])
+
+    mesh = make_shard_mesh(8)
+    for strategy in ("explicit", "gspmd"):
+        b2 = LocalBuilder(dtype="f64")
+        build(b2)
+        re, im, _ = sharded_calculate_state(
+            b2, mesh=mesh, seed=0, strategy=strategy
+        )
+        got = np.asarray(re) + 1j * np.asarray(im)
+        np.testing.assert_allclose(got, expected, atol=1e-10)
