@@ -8,8 +8,14 @@ the gate sequence — the axon relay charges ~2-6 min per distinct jit
 program, so the branches share a compile):
 
 - **fused**: alternating H(0)/H(27) x30 — the sweep planner collapses the
-  run to a single Pallas window sweep (one state read+write for 30 gates).
-  This is the headline: it measures the framework's fusion ceiling.
+  run to a single Pallas window sweep (one state read+write for 30 gates),
+  and since round 4 the commute-aware step merge
+  (engine/real_apply.merge_window_steps) further composes the same-qubit
+  H chains algebraically: the sweep retires as ONE mix + ONE cbf step, so
+  the arm measures sweep latency — the planner's true fusion ceiling
+  (gate-merging simulators like qsim do the same; the reference applies
+  every gate one pass at a time). RUSTQIP_TPU_MERGE_STEPS=0 restores the
+  30-step sweep for A/B.
 - **unfused**: Toffolis on rotating disjoint row-qubit triples — each
   CCX fills the whole h<=3 strip window, so no two gates share a sweep:
   one HBM pass per gate by construction. This keeps the raw sweep path

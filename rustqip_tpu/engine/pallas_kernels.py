@@ -36,6 +36,19 @@ _PREC = jax.lax.Precision.HIGHEST
 _BLOCK_ROWS = 512
 
 
+def _block_rows_policy() -> int:
+    """RUSTQIP_TPU_BLOCK_ROWS overrides the non-diag window block size
+    (power of two, 256..2048). Plan-affecting (block size gates rbf
+    admission and VMEM requests), so it joins ``_env_plan_flags``."""
+    import os
+
+    try:
+        v = int(os.environ.get("RUSTQIP_TPU_BLOCK_ROWS", str(_BLOCK_ROWS)))
+    except ValueError:
+        return _BLOCK_ROWS
+    return v if v in (256, 512, 1024, 2048) else _BLOCK_ROWS
+
+
 def available() -> bool:
     """Use the Pallas kernel?
 
@@ -759,7 +772,8 @@ def window_block_rows(h: int, steps) -> int:
     a 512-row h=2 rmix window measured 24.2 MiB scoped VMEM), so they
     take the same reduced schedule as diag windows."""
     if not any(s[0] in ("diag", "rmix") for s in steps):
-        return _BLOCK_ROWS if h <= 2 else _BLOCK_ROWS // 2
+        br = _block_rows_policy()
+        return br if h <= 2 else br // 2
     # Diag windows carry per-strip transcendental temporaries (angle +
     # cos/sin + per-mixed-monomial masks), which scale with the strip
     # count: a 256-row h=2 QFT diag window hit 25.2M scoped VMEM against

@@ -387,6 +387,175 @@ def _window_diag_plan(n: int, op) -> "tuple | None":
     return angle_g
 
 
+def _merge_steps_enabled() -> bool:
+    """RUSTQIP_TPU_MERGE_STEPS=0 disables the commute-aware window-step
+    merge (A/B hatch; the flag joins ``_env_plan_flags`` so flipping it
+    invalidates compile caches)."""
+    import os
+
+    return os.environ.get("RUSTQIP_TPU_MERGE_STEPS", "1") != "0"
+
+
+def _step_support(n: int, step) -> frozenset:
+    """Qubit-index support of a collected window step — the set of qubits
+    the step can act non-trivially on. Two steps with DISJOINT supports
+    act on different tensor factors and therefore commute as linear
+    operators; ``merge_window_steps`` uses this to move composable steps
+    past intervening ones. Conservative where exact support is awkward
+    ("low" steps are composed C x C matmuls over the whole lane space, so
+    they claim every column qubit)."""
+    m, _, _ = _geometry(n)
+    n_m = n - m
+    kind = step[0]
+    if kind in ("mix", "rmix"):
+        return frozenset(step[1].indices)
+    if kind == "low":
+        return frozenset(range(n_m, n))
+    if kind == "diag":
+        const, row_monos, col_monos, mixed = step[1]
+        qs = set()
+        for rq, _c in row_monos:
+            qs.update(rq)
+        for cq, _c in col_monos:
+            qs.update(cq)
+        for rq, cq, _c in mixed:
+            qs.update(rq)
+            qs.update(cq)
+        return frozenset(qs)
+    if kind == "cbf":
+        qs = {n - 1 - step[1]}
+    elif kind == "rbf":
+        qs = {n_m - 1 - step[1]}
+    else:  # cmix carries the target QUBIT index directly
+        qs = {step[1]}
+    for ck, pc in step[3] if len(step) > 3 else ():
+        qs.add(n_m - 1 - pc if ck == "r" else n - 1 - pc)
+    return frozenset(qs)
+
+
+#: Sentinel: composition applies and yields the identity (drop the step).
+_IDENTITY = object()
+
+
+def _try_compose_steps(n: int, new, old):
+    """Compose window step ``new`` into the earlier step ``old`` (``old``
+    applies first). Returns the merged step, ``_IDENTITY`` when the
+    product is the identity (both steps drop), or None when the pair is
+    not composable. Pure trace-time numpy — each merge removes one VPU/
+    MXU step from every kernel block (and every XLA strip pass)."""
+    k_new, k_old = new[0], old[0]
+    if k_new in ("cbf", "rbf", "cmix") and k_new == k_old:
+        # same bit AND same control spec: C(U) C(V) = C(UV)
+        if new[1] != old[1] or (new[3:] or ()) != (old[3:] or ()):
+            return None
+        mat = np.array(new[2], dtype=np.complex128).reshape(2, 2) @ np.array(
+            old[2], dtype=np.complex128
+        ).reshape(2, 2)
+        if np.allclose(mat, np.eye(2), atol=1e-12):
+            return _IDENTITY
+        coeffs = tuple(complex(v) for v in mat.reshape(-1))
+        return (k_new, new[1], coeffs) + tuple(new[3:])
+    if k_new == "low" and k_old == "low":
+        B = np.asarray(new[1]) @ np.asarray(old[1])
+        if np.allclose(B, np.eye(B.shape[0]), atol=1e-12):
+            return _IDENTITY
+        return ("low", B)
+    if k_new == "mix" and k_old == "mix":
+        from rustqip_tpu.ops.matrix_ops import expand_op_matrix
+
+        op_old, op_new = old[1], new[1]
+        joint = tuple(sorted(set(op_old.indices) | set(op_new.indices)))
+
+        def embed(op):
+            pos = tuple(joint.index(q) for q in op.indices)
+            return expand_op_matrix(op_to_dense(op), pos, len(joint))
+
+        mat = embed(op_new) @ embed(op_old)
+        if np.allclose(mat, np.eye(mat.shape[0]), atol=1e-12):
+            return _IDENTITY
+        op = DenseOp(joint, mat)
+        p = _plan_of(n, op)
+        # The product of two scalar-block ops over row qubits is scalar-
+        # block again; a col-support mix whose product stops being v*I
+        # per block is NOT mix-plannable — leave the pair unmerged.
+        if not _is_scalar_high(p):
+            return None
+        return ("mix", op, p)
+    if k_new == "diag" and k_old == "diag":
+        c1, rm1, cm1, mx1 = old[1]
+        c2, rm2, cm2, mx2 = new[1]
+
+        def combine(a, b, keyfn):
+            acc = {}
+            for ent in tuple(a) + tuple(b):
+                key, c = keyfn(ent)
+                acc[key] = acc.get(key, 0.0) + c
+            return {k: v for k, v in acc.items() if abs(v) > 1e-14}
+
+        rm = combine(rm1, rm2, lambda e: (e[0], e[1]))
+        cm = combine(cm1, cm2, lambda e: (e[0], e[1]))
+        mx = combine(mx1, mx2, lambda e: ((e[0], e[1]), e[2]))
+        if len(mx) > WINDOW_DIAG_MIXED_CAP:
+            return None
+        const = float(c1) + float(c2)
+        if not rm and not cm and not mx and abs(const) < 1e-14:
+            return _IDENTITY
+        groups = (
+            const,
+            tuple(rm.items()),
+            tuple(cm.items()),
+            tuple((rq, cq, c) for (rq, cq), c in mx.items()),
+        )
+        return ("diag", groups)
+    return None
+
+
+def merge_window_steps(n: int, steps):
+    """Commute-aware peephole over a collected window's steps: each step
+    composes into the NEAREST earlier composable step it can legally
+    reach — i.e. every intervening step acts on a disjoint qubit set (or
+    both are diagonal: diagonals always commute). Same-bit butterfly
+    chains multiply into one 2x2 (an H...H run cancels outright), mix
+    runs compose as strip matrices, "low" matmul runs compose across
+    row-bit butterflies, and diagonal steps sum their angle groups.
+    Identity products drop entirely.
+
+    This is the window-level analog of classic gate-merging simulators
+    (qsim's fused gates); the reference applies every gate it is handed
+    one iterator pass at a time (matrix_ops.rs:98-152) with no algebraic
+    simplification. Steps are never mutated in place — composition
+    rebinds list slots — so snapshot copies taken during collection stay
+    valid."""
+    merged: List = []
+    supports: List[frozenset] = []
+    for step in steps:
+        sup = _step_support(n, step)
+        placed = False
+        k = len(merged) - 1
+        while k >= 0:
+            out = _try_compose_steps(n, step, merged[k])
+            if out is not None:
+                if out is _IDENTITY:
+                    del merged[k]
+                    del supports[k]
+                else:
+                    merged[k] = out
+                    supports[k] = _step_support(n, out)
+                placed = True
+                break
+            prev = merged[k]
+            commutes = not (sup & supports[k]) or (
+                step[0] == "diag" and prev[0] == "diag"
+            )
+            if not commutes:
+                break
+            k -= 1
+        if not placed:
+            merged.append(step)
+            supports.append(sup)
+    return merged
+
+
 def _collect_window(
     n: int,
     ops,
@@ -912,6 +1081,17 @@ def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):
     ops = list(ops)
     plan = []
     ladder = _window_maxh_ladder()  # read once: one atomic plan per call
+    do_merge = _merge_steps_enabled()  # read once, same atomicity
+
+    def finalize(hq, steps):
+        """Merged (hq, steps) of a collected window — or None when every
+        step cancelled (the run is the identity; the sweep vanishes)."""
+        if do_merge:
+            steps = merge_window_steps(n, steps)
+        if not steps:
+            return None
+        return (hq, steps)
+
     i = 0
     while i < len(ops):
         if kernel_ok:
@@ -944,9 +1124,14 @@ def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):
                 window, j = _collect_window(
                     n, ops, i, max_h=mh, allow_diag=True, snapshot=snap
                 )
-                if window is not None and _window_kernel_applicable(
-                    n, window[0], window[1]
-                ):
+                if window is None:
+                    continue
+                window = finalize(*window)
+                if window is None:  # whole run cancelled to the identity
+                    i = j
+                    placed = True
+                    break
+                if _window_kernel_applicable(n, window[0], window[1]):
                     plan.append(("kwindow", window, ops[i:j]))
                     i = j
                     placed = True
@@ -955,9 +1140,13 @@ def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):
                 # Applicability checks are deferred to here (failed runs
                 # only) and stop at the first hit, longest prefix first.
                 for jj in sorted(cands, reverse=True):
-                    hq, steps = cands[jj]
-                    if _window_kernel_applicable(n, hq, steps):
-                        plan.append(("kwindow", (hq, steps), ops[i:jj]))
+                    window = finalize(*cands[jj])
+                    if window is None:
+                        i = jj
+                        placed = True
+                        break
+                    if _window_kernel_applicable(n, window[0], window[1]):
+                        plan.append(("kwindow", window, ops[i:jj]))
                         i = jj
                         placed = True
                         break
@@ -965,7 +1154,9 @@ def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):
                 continue
         window, j = _collect_window(n, ops, i)
         if window is not None:
-            plan.append(("window", window, ops[i:j]))
+            window = finalize(*window)
+            if window is not None:
+                plan.append(("window", window, ops[i:j]))
             i = j
             continue
         plan.append(("op", ops[i], [ops[i]]))

@@ -70,10 +70,16 @@ def build_sequences(n: int):
         )
 
     seqs = []
-    # 1. headline shape: alternating row-bit H (mix) / col-bit H (cbf)
+    # 1. headline shape: alternating row-bit H (mix) / col-bit T (cbf).
+    #    ODD counts of each (3 H, 3 T) so the step-merge pass composes the
+    #    run to one surviving mix + one cbf instead of cancelling it
+    #    outright (8 alternating Hs — the old shape — now plans to [],
+    #    which is correct but exercises nothing). This IS the merged
+    #    production shape of bench.py's fused arm.
     seqs.append((
         "alternating",
-        [make_matrix_op([(i % 2) * (n - 1)], H) for i in range(8)],
+        [make_matrix_op([(i % 2) * (n - 1)], H if i % 2 == 0 else T)
+         for i in range(6)],
         {"mix", "cbf"},
     ))
     # 2. QFT-like ladder: col-bit H (cbf) + ROW-to-col controlled phases —

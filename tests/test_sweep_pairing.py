@@ -583,10 +583,16 @@ def test_prefix_salvage_low_cap_plans_two_kernel_windows():
 
     n = 28
     cz = np.diag([1, 1, 1, -1]).astype(complex).reshape(-1)
+    # The CX (row ctrl -> lane target) overlaps the lows' lane support,
+    # so neither the CZs nor the CXs can compose across each other in
+    # the step-merge pass — the low count genuinely exceeds the cap.
+    # (A plain row-bit H here would let merge cancel EVERYTHING: H^2=I
+    # and CZ^2=I — the old shape of this test now plans to [].)
+    cx = make_control_op([10], make_matrix_op([n - 1], gates.X.reshape(-1)))
     ops = []
     for _ in range(WINDOW_KERNEL_MAX_LOW + 2):
         ops.append(make_matrix_op([n - 2, n - 1], cz))  # low (col qubits)
-        ops.append(make_matrix_op([10], gates.H.reshape(-1)))  # row-bit 10
+        ops.append(cx)
     plan = plan_sweeps(n, ops, True)
     assert [k for k, _, _ in plan] == ["kwindow", "kwindow"], (
         [k for k, _, _ in plan]
@@ -611,10 +617,16 @@ def test_prefix_salvage_execution_equivalence(monkeypatch):
     monkeypatch.setattr(pallas_kernels, "available", lambda: True)
     n = 16
     cz = np.diag([1, 1, 1, -1]).astype(complex).reshape(-1)
+    # lane-controlled rbf (ctrl on a col qubit): its support overlaps the
+    # lows', so the step-merge pass cannot compose the CZs (or the CXs)
+    # across each other — the low count genuinely exceeds the cap.
+    cx = make_control_op(
+        [n - 3], make_matrix_op([5], gates.X.reshape(-1))
+    )  # rbf bit 3, ctrl ("c", 2)
     ops = []
     for _ in range(WINDOW_KERNEL_MAX_LOW + 2):
         ops.append(make_matrix_op([n - 2, n - 1], cz))
-        ops.append(make_matrix_op([5], gates.H.reshape(-1)))  # rbf bit 3
+        ops.append(cx)
     plan = plan_sweeps(n, ops, True)
     kinds = [k for k, _, _ in plan]
     assert kinds.count("kwindow") == 2 and len(kinds) == 2, kinds
