@@ -502,9 +502,11 @@ def main():
     gbps = fused * (1 << n) * 8 * 2 / 1e9
     log(
         f"HEADLINE: fused {fused:.1f} applies/s (~{gbps:.0f} GB/s effective"
-        f" state traffic), unfused {unfused:.1f} applies/s at n={n}; HBM "
-        "speed of light on v5e = 819 GB/s = ~190 applies/s for unpaired "
-        "gates"
+        f" state traffic), unfused {unfused:.1f} applies/s at n={n}; "
+        "measured one-pass floor on this chip = ~10.4 ms/full-state pass "
+        "(~411 GB/s XLA ceiling; v5e HBM spec 819 GB/s is not reachable "
+        "— scripts/copy_bandwidth_probe2.py) = ~96 applies/s for "
+        "unpaired whole-state gates"
     )
     result = {
         "metric": f"gate_applies_per_sec_{n}q_c64",
