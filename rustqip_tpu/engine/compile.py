@@ -631,6 +631,7 @@ def _env_plan_flags() -> tuple:
         os.environ.get("RUSTQIP_TPU_KERNEL_SKIP_STRIPS", "1"),
         os.environ.get("RUSTQIP_TPU_KERNEL_INPLACE", "auto"),
         os.environ.get("RUSTQIP_TPU_BLOCK_ROWS", "512"),
+        os.environ.get("RUSTQIP_TPU_DIAG_BLOCK_ROWS", "0"),
         os.environ.get("RUSTQIP_TPU_KEEP_BUTTERFLY", "1"),
         os.environ.get("RUSTQIP_TPU_MERGE_STEPS", "1"),
         os.environ.get("RUSTQIP_TPU_WINDOW_FUSION", "1"),

@@ -749,7 +749,15 @@ def window_vmem_request(h: int, steps, br: int, n_mats: int = None) -> int:
     blk = br * _C * 4
     buffers = 8 * ns * blk
     has_diag = any(s[0] == "diag" for s in steps)
-    stack = len(steps) * blk * (2 if has_diag else 1) * max(1, ns // 2)
+    # Measured calibration points for the diag multiplier: at br <= 128
+    # the x2 model covered every proven shape; at br = 512 a low-heavy
+    # diag window measured 36.23M actual against a 28M x2-model request
+    # (parity gate, 2026-08-19) — large blocks keep more per-step
+    # temporaries live, so the multiplier rises to x3 there (x3 covers
+    # 36.23M with margin; the request is a LIMIT, over-asking only
+    # shrinks nothing as one kernel runs at a time).
+    diag_mult = (3 if br >= 256 else 2) if has_diag else 1
+    stack = len(steps) * blk * diag_mult * max(1, ns // 2)
     if n_mats is None:
         # worst case 3 operand arrays per matmul step (Karatsuba
         # re/im/re+im for complex matrices, pre-dedup)
@@ -780,7 +788,29 @@ def window_block_rows(h: int, steps) -> int:
     # the 16M budget. Measured-safe points: h<=1 at 512 rows (14.0 ms vs
     # 19.5 ms at 64 rows), h=2 at 128 (14.7 ms vs 16.7 ms at 64, and a
     # 100x faster Mosaic compile: 5 s vs 524 s), h=3 at 64 (128 would
-    # scale the temporaries like h=2 at 256 — over budget).
+    # scale the temporaries like h=2 at 256 — over budget). Those points
+    # predate per-window vmem_limit_bytes requests (windows now ask for
+    # what they need, WINDOW_VMEM_CEIL-capped): RUSTQIP_TPU_DIAG_BLOCK_ROWS
+    # overrides them for probing — admission still rejects over-ceiling
+    # shapes, so an oversized override degrades to prefix splits, not
+    # compile OOMs.
+    import os
+
+    try:
+        dbr = int(os.environ.get("RUSTQIP_TPU_DIAG_BLOCK_ROWS", "0"))
+    except ValueError:
+        dbr = 0
+    if dbr in (64, 128, 256, 512):
+        return dbr
+    # ADAPTIVE (round 4): diag-bearing windows PREFER 512-row blocks when
+    # the (br>=256-calibrated) VMEM model fits the ceiling — big blocks
+    # admit rbf bits up to 8, so e.g. QFT-28's middle rbf ladder fuses
+    # into the (9,10,11) window: 6 sweeps -> 5, 254 -> 204 ms measured
+    # same-session. rmix-bearing windows keep the proven ladder (their
+    # keep-every-strip-live stack is not calibrated at large blocks).
+    if not any(s[0] == "rmix" for s in steps):
+        if window_vmem_request(h, steps, 512) <= WINDOW_VMEM_CEIL:
+            return 512
     if h <= 1:
         return _BLOCK_ROWS
     # h=3 at 128 compiled and matched 64's steady time exactly (0.240 vs
@@ -957,11 +987,12 @@ def _window_sweep_pipelined(n, xr, xi, seg_sizes, steps, br):
             grid=(nblk,),
             in_specs=strip_specs(in_ids),
             out_specs=strip_specs(out_ids),
-            # Grid steps touch disjoint blocks (each block is read and
-            # written at its own step only), so Mosaic may reorder /
-            # overlap them freely: measured +5% copy bandwidth (445 vs
-            # 421 GB/s, scripts/copy_bandwidth_probe2.py).
-            dimension_semantics=(pltpu.PARALLEL,),
+            # NOT dimension_semantics=(PARALLEL,): it measured +5% on
+            # pure copies (scripts/copy_bandwidth_probe2.py) but grows
+            # the ACTUAL scoped-VMEM stack past window_vmem_request's
+            # model — Grover-28's default-config window went 16M
+            # request -> 18M actual and failed AOT compile (2026-08-19).
+            # Probed and reverted.
         )
         args = []
         outs = []

@@ -200,3 +200,30 @@ def test_merge_window_steps_pure_function():
     merged = merge_window_steps(N, steps)
     assert steps == orig
     assert [s[0] for s in merged] == ["rbf"]
+
+
+def test_block_rows_knobs_affect_plans_and_fingerprint(monkeypatch):
+    """RUSTQIP_TPU_BLOCK_ROWS / RUSTQIP_TPU_DIAG_BLOCK_ROWS change window
+    block sizes, so they must join the compile-cache env fingerprint."""
+    from rustqip_tpu.engine.compile import _env_plan_flags
+    from rustqip_tpu.engine.pallas_kernels import window_block_rows
+
+    base = _env_plan_flags()
+    monkeypatch.setenv("RUSTQIP_TPU_BLOCK_ROWS", "1024")
+    monkeypatch.setenv("RUSTQIP_TPU_DIAG_BLOCK_ROWS", "256")
+    assert _env_plan_flags() != base
+    mix_steps = [("mix", {(0, 1): 1.0})]
+    diag_steps = [("diag", (0.0, ((("q",), 1.0),), (), ()))]
+    assert window_block_rows(1, mix_steps) == 1024
+    assert window_block_rows(2, diag_steps) == 256
+    monkeypatch.setenv("RUSTQIP_TPU_BLOCK_ROWS", "512")
+    monkeypatch.setenv("RUSTQIP_TPU_DIAG_BLOCK_ROWS", "0")
+    assert window_block_rows(1, mix_steps) == 512
+    # adaptive default: a small diag window fits the VMEM model at 512
+    assert window_block_rows(2, diag_steps) == 512
+    # a diag window too step-heavy for 512-row blocks falls back to the
+    # ladder (h=2 -> 128)
+    big = diag_steps * 200
+    assert window_block_rows(2, big) == 128
+    monkeypatch.setenv("RUSTQIP_TPU_BLOCK_ROWS", "777")  # invalid -> default
+    assert window_block_rows(1, mix_steps) == 512

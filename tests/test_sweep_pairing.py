@@ -259,9 +259,15 @@ def test_qft28_kernel_plan_sweep_budget():
     qops = fuse_ops([e.op for e in entries if isinstance(e, UnitaryEntry)])
     plan = plan_sweeps(n, qops, True)
     assert len(plan) <= 8, [p[0] for p in plan]
-    # every gate window must ride the kernel (only the swap is outside)
+    # every gate window must ride the kernel; the only non-kernel entry
+    # is the single residual bit-reversal SwapOp (round 4's adaptive
+    # 512-row diag blocks admit the middle rbf ladder into a strip
+    # window, so the count dropped 5 -> 4 kwindows; assert structure,
+    # not an exact count)
     kinds = [k for k, _, _ in plan]
-    assert kinds.count("kwindow") >= 5, kinds
+    assert set(kinds) <= {"kwindow", "op"}, kinds
+    assert kinds.count("op") == 1, kinds
+    assert kinds.count("kwindow") >= 3, kinds
 
 
 def test_headline_alternating_single_sweep_budget():
