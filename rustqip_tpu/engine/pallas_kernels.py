@@ -166,6 +166,22 @@ def _strip_skip_enabled() -> bool:
     return os.environ.get("RUSTQIP_TPU_KERNEL_SKIP_STRIPS", "1") != "0"
 
 
+def _strip_skip_plan(n, seg_sizes, steps, ns):
+    """Shared gating for identity-strip skipping: ``(in_ids, out_ids,
+    skip)``. ``out_ids`` empty means the whole window is the identity;
+    when skipping is disabled or saves nothing the id sets widen to all
+    ``ns`` strips and ``skip`` is False. ONE decision point so the
+    interpret path (what CPU parity tests execute) and the pipelined
+    real-TPU path can never gate differently."""
+    in_ids, out_ids = window_strip_activity(n, seg_sizes, steps)
+    if not out_ids:
+        return in_ids, out_ids, False
+    skip = _strip_skip_enabled() and (len(in_ids) + len(out_ids) < 2 * ns)
+    if not skip:
+        in_ids = out_ids = tuple(range(ns))
+    return in_ids, out_ids, skip
+
+
 def window_strip_activity(n: int, seg_sizes, steps):
     """Which window strips must a sweep READ from / WRITE back to HBM?
 
@@ -758,12 +774,24 @@ def window_vmem_request(h: int, steps, br: int, n_mats: int = None) -> int:
     # shrinks nothing as one kernel runs at a time).
     diag_mult = (3 if br >= 256 else 2) if has_diag else 1
     stack = len(steps) * blk * diag_mult * max(1, ns // 2)
+    # rmix steps hold one ACCUMULATOR block per output strip per plane
+    # live for the whole step (out[j] = sum_i B[i,j] @ in[i]) on top of
+    # the generic per-step block — the adder's merged 78-block rmix
+    # window measured 17.34M actual against a 16.75M request without
+    # this term (one kernel sweep, 2026-08-19).
+    stack += sum(2 * ns * blk for s in steps if s[0] == "rmix")
     if n_mats is None:
         # worst case 3 operand arrays per matmul step (Karatsuba
         # re/im/re+im for complex matrices, pre-dedup)
         n_mats = 3 * _n_matmul_steps(steps)
     mats = n_mats * _C * _C * 4
-    return max(_VMEM_DEFAULT, buffers + stack + mats)
+    # Mosaic's actual scoped stack runs a few percent over any analytic
+    # sum (register spills, pipeline bookkeeping — observed +3.5% on the
+    # adder rmix window, +12% with PARALLEL semantics before that was
+    # reverted): ask for 12.5% headroom. Over-asking costs nothing at
+    # runtime (one kernel at a time); it only tightens the admission
+    # ceiling, where a rejected window degrades to prefix splits.
+    return max(_VMEM_DEFAULT, (buffers + stack + mats) * 9 // 8)
 
 
 def window_block_rows(h: int, steps) -> int:
@@ -939,14 +967,9 @@ def _window_sweep_pipelined(n, xr, xi, seg_sizes, steps, br):
     srows = rows // ns
     nblk = srows // br
     sl = seg_sizes[-1] // br
-    in_ids, out_ids = window_strip_activity(n, seg_sizes, steps)
+    in_ids, out_ids, skip = _strip_skip_plan(n, seg_sizes, steps, ns)
     if not out_ids:
         return xr, xi  # whole window is the identity
-    skip = _strip_skip_enabled() and (
-        len(in_ids) + len(out_ids) < 2 * ns
-    )
-    if not skip:
-        in_ids = out_ids = tuple(range(ns))
     body_steps, mats = _window_matrix_operands(steps)
     n_mats = len(mats)
     # Skipping REQUIRES aliasing: the unwritten strips' data must already
@@ -1109,13 +1132,9 @@ def window_sweep(
     # Interpret mode honors the same strip-activity subsets as the
     # pipelined path (skipped strips are re-extracted from the input at
     # assembly), so CPU parity tests cover the skip machinery.
-    in_ids, out_ids = window_strip_activity(n, seg_sizes, steps)
+    in_ids, out_ids, _ = _strip_skip_plan(n, seg_sizes, steps, ns)
     if not out_ids:
         return xr, xi  # whole window is the identity
-    if not (
-        _strip_skip_enabled() and len(in_ids) + len(out_ids) < 2 * ns
-    ):
-        in_ids = out_ids = tuple(range(ns))
 
     def strip_spec(i):
         return pl.BlockSpec(

@@ -369,9 +369,11 @@ def flip_bits_traced(k: int, v):
 # Session-stable serials for auto-generated FnOp tags. id(fn) alone is a
 # collision hazard: CPython reuses addresses after GC, and FnOp equality /
 # compile-cache fingerprints key on the TAG, not the callable — an id-reused
-# fn would silently alias a dead one's cached circuit. A WeakValueDictionary
-# keyed by serial keeps each live callable's serial unique and stable for
-# the callable's lifetime without pinning it.
+# fn would silently alias a dead one's cached circuit. A WeakKeyDictionary
+# keyed by the callable (serial as value) keeps each live callable's serial
+# unique and stable for the callable's lifetime without pinning it; a dead
+# callable's entry vanishes with it, and its serial is never reissued
+# (the counter only moves forward).
 _AUTO_TAG_SERIALS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _AUTO_TAG_COUNTER = itertools.count()
 

@@ -153,7 +153,11 @@ def measure_prob(
 
 
 # Compiled subspace reductions for jax-traceable amplitude fns, keyed on
-# (fn serial, n, template, remaining) so repeated queries don't recompile.
+# (fn serial, n, remaining) — the measured outcome (template) is a TRACED
+# argument, so querying every outcome of a k-qubit measurement reuses ONE
+# compiled program instead of building 2^k (each distinct jit program
+# costs ~2-6 min over the axon relay). The cache is consulted before the
+# traceability probe, so warm queries skip the probe entirely.
 _DEVICE_PROB_CACHE: dict = {}
 #: Max elements evaluated per fori_loop chunk (power of two). 2^22 f32
 #: amplitudes = 16 MiB of intermediates — VMEM-friendly at any n.
@@ -168,10 +172,26 @@ def _measure_prob_fn_device(n: int, template: int, remaining: tuple, f):
     ``lax.fori_loop`` of (rows, 128)-shaped index chunks — O(chunk)
     memory at any n, the device analog of the reference's O(1) scalar
     stream (measurement_ops.rs:95-108). int32 index math caps it at
-    n <= 31 (the callers' single-chip range)."""
+    n <= 31 (the callers' single-chip range); NOTE this also means ``f``
+    sees int32 index arrays here — an ``f`` whose internal arithmetic
+    needs wider intermediates (e.g. ``i*i`` at n=28) must widen them
+    itself. Off-TPU the probe's Python-int scalar ground truth covers
+    the largest subspace indices, so such an ``f`` fails validation and
+    falls back to the exact int64 host tiers.
+    """
     r = len(remaining)
     if n > 31 or r < 1:
         return None
+
+    from rustqip_tpu.ops.matrix_ops import _auto_tag_serial
+
+    key = (_auto_tag_serial(f), n, remaining, _DEVICE_CHUNK)
+    cached = _DEVICE_PROB_CACHE.get(key)
+    if cached is not None:
+        try:
+            return float(cached(jnp.int32(template)))
+        except Exception:
+            return None
 
     def subspace(bits):
         idx = np.full(bits.shape, template, dtype=np.int64)
@@ -179,9 +199,14 @@ def _measure_prob_fn_device(n: int, template: int, remaining: tuple, f):
             idx |= ((bits >> i) & 1) << (n - 1 - q)
         return idx
 
-    # Probe: trace f on a tiny index array and check it against
-    # per-element ground truth before trusting the traced path.
-    probe = subspace(np.arange(min(4, 1 << r), dtype=np.int64))
+    # Probe: trace f on a tiny index array — including the LARGEST
+    # subspace indices, where int32-fragile index arithmetic diverges —
+    # and check it against per-element ground truth before trusting the
+    # traced path.
+    size = 1 << r
+    lo = np.arange(min(4, size), dtype=np.int64)
+    hi = np.arange(max(size - 4, 0), size, dtype=np.int64)
+    probe = subspace(np.unique(np.concatenate([lo, hi])))
     try:
         def _ri(a):
             v = jnp.asarray(f(a))
@@ -224,18 +249,17 @@ def _measure_prob_fn_device(n: int, template: int, remaining: tuple, f):
             traceback.print_exc()
         return None
 
-    from rustqip_tpu.ops.matrix_ops import _auto_tag_serial
-
-    key = (_auto_tag_serial(f), n, template, remaining, _DEVICE_CHUNK)
-    fn = _DEVICE_PROB_CACHE.get(key)
-    if fn is None:
+    # Build + first execution are guarded: an ``f`` that traces on the
+    # 1-D probe but fails (or returns a mismatched shape) on the (rows,
+    # 128) tiles must fall back to the host tiers, not crash the caller.
+    try:
         total_elems = 1 << r
         chunk = min(total_elems, _DEVICE_CHUNK)
         nchunks = total_elems // chunk
         rows = max(chunk // 128, 1)
         cols = min(chunk, 128)
 
-        def one_chunk(c):
+        def one_chunk(c, tmpl):
             # (rows, 128) index tile — never a tiny minor dim on TPU.
             flat = (
                 c * chunk
@@ -243,10 +267,18 @@ def _measure_prob_fn_device(n: int, template: int, remaining: tuple, f):
                 * cols
                 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
             )
-            idx = jnp.bitwise_or(jnp.int32(template), jnp.zeros_like(flat))
+            idx = jnp.bitwise_or(tmpl, jnp.zeros_like(flat))
             for i, q in enumerate(remaining):
                 idx = idx | (((flat >> i) & 1) << (n - 1 - q))
             v = jnp.asarray(f(idx))
+            if v.shape != idx.shape:
+                # Trace-time (shapes are static): a reduced/broadcast
+                # output would make jnp.sum silently wrong — bail to the
+                # host tiers instead.
+                raise ValueError(
+                    f"f returned shape {v.shape} for index shape "
+                    f"{idx.shape}"
+                )
             if jnp.iscomplexobj(v):
                 s = jnp.real(v) ** 2 + jnp.imag(v) ** 2
             else:
@@ -254,22 +286,34 @@ def _measure_prob_fn_device(n: int, template: int, remaining: tuple, f):
             return jnp.sum(s)
 
         acc_dtype = jax.eval_shape(
-            one_chunk, jax.ShapeDtypeStruct((), jnp.int32)
+            one_chunk,
+            jax.ShapeDtypeStruct((), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.int32),
         ).dtype
 
-        def total_fn():
+        def total_fn(tmpl):
+            tmpl = jnp.asarray(tmpl, jnp.int32)
             if nchunks == 1:
-                return one_chunk(jnp.int32(0))
+                return one_chunk(jnp.int32(0), tmpl)
             return jax.lax.fori_loop(
                 0,
                 nchunks,
-                lambda c, acc: acc + one_chunk(c),
+                lambda c, acc: acc + one_chunk(c, tmpl),
                 jnp.zeros((), acc_dtype),
             )
 
         fn = jax.jit(total_fn)
-        _DEVICE_PROB_CACHE[key] = fn
-    return float(fn())
+        res = float(fn(jnp.int32(template)))
+    except Exception:
+        import os
+
+        if os.environ.get("RUSTQIP_TPU_DEBUG_PROBE"):  # pragma: no cover
+            import traceback
+
+            traceback.print_exc()
+        return None
+    _DEVICE_PROB_CACHE[key] = fn
+    return res
 
 
 def measure_prob_fn(

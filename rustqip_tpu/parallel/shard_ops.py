@@ -75,6 +75,25 @@ def _mesh_geometry(mesh: jax.sharding.Mesh) -> Tuple[str, int, int]:
     return axis, d, g
 
 
+def _op_index_dtype(k: int):
+    """Dtype for op-local ``k``-bit index/pattern math in the traced
+    schedule blocks (gex/fndiag — the any-width paths). int32 covers
+    k <= 31; a wider traced oracle needs int64, and without
+    ``jax_enable_x64`` the high-bit shifts would silently wrap and route
+    amplitudes to the wrong shard/column — raise instead (forced-CPU
+    tests run with x64 on; wider-than-31-qubit states exceed this
+    environment's memory anyway). Ref asymptotics: qubit_iterators.rs:223
+    (fn ops at any width)."""
+    if k <= 31:
+        return jnp.int32
+    if jax.config.jax_enable_x64:
+        return jnp.int64
+    raise CircuitError(
+        f"sharded op spans {k} qubits: op-local index math needs int64 "
+        "(enable jax_enable_x64)"
+    )
+
+
 def _local_op(op: MatrixOp, g: int) -> MatrixOp:
     """Reindex an op on qubits >= g into the shard-local qubit space."""
     return _reindex_op(op, tuple(q - g for q in op.indices))
@@ -591,23 +610,29 @@ def apply_sharded_ops(
                 _, indices, gq, payload = entry
                 k = len(indices)
                 h = len(gq)
+                idt = _op_index_dtype(k)
                 rr, ii = re_s.reshape(-1), im_s.reshape(-1)
                 flat = jnp.arange(rr.size, dtype=jnp.int32)
-                pat = jnp.zeros_like(flat)
+                pat = jnp.zeros(flat.shape, idt)
                 for j, q in enumerate(indices):
                     sh = k - 1 - j
                     if q < g:
-                        pat = pat | (((my >> (g - 1 - q)) & 1) << sh)
+                        pat = pat | (
+                            ((my >> (g - 1 - q)) & 1).astype(idt) << sh
+                        )
                     else:
                         pat = pat | (
-                            ((flat >> (local_n - 1 - (q - g))) & 1) << sh
+                            ((flat >> (local_n - 1 - (q - g))) & 1).astype(
+                                idt
+                            )
+                            << sh
                         )
                 rdtype = rr.dtype
                 slots = []  # (src op-local col, value planes) per nnz slot
                 if payload[0] == "fn":
                     fop = payload[1]
                     sc, val = fop.fn(pat)
-                    sc = jnp.asarray(sc, jnp.int32)
+                    sc = jnp.asarray(sc, idt)
                     val = jnp.asarray(val)
                     if jnp.iscomplexobj(val):
                         vr = jnp.real(val).astype(rdtype)
@@ -683,15 +708,20 @@ def apply_sharded_ops(
                 _, fop = entry
                 flat = jnp.arange(re_s.size, dtype=jnp.int32)
                 k = fop.num_indices
-                idx = jnp.zeros_like(flat)
-                pat = jnp.zeros((), jnp.int32)
+                idt = _op_index_dtype(k)
+                idx = jnp.zeros(flat.shape, idt)
+                pat = jnp.zeros((), idt)
                 for t, q in enumerate(fop.indices):
                     shift = k - 1 - t
                     if q < g:
-                        pat = pat | (((my >> (g - 1 - q)) & 1) << shift)
+                        pat = pat | (
+                            ((my >> (g - 1 - q)) & 1).astype(idt) << shift
+                        )
                     else:
                         idx = idx | (
-                            ((flat >> (local_n - 1 - (q - g))) & 1)
+                            ((flat >> (local_n - 1 - (q - g))) & 1).astype(
+                                idt
+                            )
                             << shift
                         )
                 _, val = fop.fn(idx | pat)

@@ -50,7 +50,13 @@ def qsd_cap() -> int:
     import os
 
     v = os.environ.get("RUSTQIP_TPU_QSD_CAP")
-    return int(v) if v else QSD_CAP
+    try:
+        cap = int(v) if v else QSD_CAP
+    except ValueError:
+        # Malformed override: exports degrade to comments at the default
+        # cap rather than crashing every to_openqasm call.
+        return QSD_CAP
+    return cap if cap > 0 else QSD_CAP
 
 
 def _u3_matrix(theta: float, phi: float, lam: float) -> np.ndarray:

@@ -218,3 +218,74 @@ def test_measure_prob_fn_traced_multi_chunk(monkeypatch):
     p1 = measure_prob_fn(n, 1, [0], f)
     np.testing.assert_allclose(p0, 0.36, atol=1e-12)
     np.testing.assert_allclose(p1, 0.64, atol=1e-12)
+
+
+def test_measure_prob_fn_one_program_per_fn():
+    """The measured outcome is a TRACED argument of the compiled
+    reduction: querying every outcome of a k-qubit measurement adds ONE
+    cache entry, not 2^k (each distinct jit program costs ~2-6 min over
+    the TPU relay — CLAUDE.md 'minimize distinct programs')."""
+    from rustqip_tpu.ops import measurement_ops as mo
+
+    n = 8
+
+    def f(i):
+        i = jnp.asarray(i)
+        return jnp.where(i < 16, 0.25, 0.0)
+
+    before = len(mo._DEVICE_PROB_CACHE)
+    probs = [measure_prob_fn(n, m, [0, 1, 2], f) for m in range(8)]
+    assert len(mo._DEVICE_PROB_CACHE) == before + 1
+    np.testing.assert_allclose(sum(probs), 1.0, atol=1e-12)
+    # Outcome 0 (both measured qubits 0) owns all 16 support indices:
+    # qubits 0..2 are the top three index bits, all 0 for i < 16.
+    np.testing.assert_allclose(probs[0], 1.0, atol=1e-12)
+
+
+def test_measure_prob_fn_rank_sensitive_fn_falls_back():
+    """An f that traces on the 1-D probe but returns a mismatched shape
+    on the device tier's (rows, 128) tiles must fall back to the host
+    tiers (and return the right answer), not crash or silently missum."""
+    from rustqip_tpu.ops import measurement_ops as mo
+
+    n = 8
+
+    def f(i):
+        v = jnp.where(jnp.asarray(i) < 32, 1.0 / np.sqrt(32), 0.0)
+        # Identity on scalars and the 1-D probe; collapses the device
+        # tier's (1, 128) tile to (128,) — the classic squeeze footgun.
+        return jnp.squeeze(v)
+
+    before = len(mo._DEVICE_PROB_CACHE)
+    p0 = measure_prob_fn(n, 0, [0], f)
+    p1 = measure_prob_fn(n, 1, [0], f)
+    assert len(mo._DEVICE_PROB_CACHE) == before, "device tier engaged"
+    np.testing.assert_allclose(p0, 1.0, atol=1e-12)
+    np.testing.assert_allclose(p1, 0.0, atol=1e-12)
+
+
+def test_measure_prob_fn_int32_fragile_fn_falls_back():
+    """The device tier feeds f int32 index arrays; an f whose internal
+    arithmetic overflows int32 (i*i at large i) diverges there. The probe
+    covers the LARGEST subspace indices against exact Python-int scalar
+    calls, so such an f is rejected and the int64 host tiers answer."""
+    from rustqip_tpu.ops import measurement_ops as mo
+
+    n = 20
+
+    def f(i):
+        i = jnp.asarray(i)
+        # In int32, i*i wraps (possibly negative) for i >= 2^16, flipping
+        # this comparison; exact int64 arithmetic keeps it monotone.
+        small = (i * i) < (1 << 28)
+        return jnp.where(small, 1.0, 0.5)
+
+    # Measure the LAST qubit (lowest-order index bit): the remaining
+    # qubits include the high-order bits, so subspace indices reach
+    # ~2^20 and i*i needs 40 bits.
+    before = len(mo._DEVICE_PROB_CACHE)
+    got = measure_prob_fn(n, 0, [n - 1], f)
+    assert len(mo._DEVICE_PROB_CACHE) == before, "device tier engaged"
+    idx = np.arange(0, 1 << n, 2, dtype=np.int64)  # last qubit = bit 0
+    amps = np.where(idx * idx < (1 << 28), 1.0, 0.5)
+    np.testing.assert_allclose(got, float(np.sum(amps**2)), rtol=1e-12)

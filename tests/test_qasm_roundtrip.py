@@ -196,6 +196,13 @@ def test_qsd_cap_env_override(monkeypatch):
     assert qsd_cap() == 10  # raised default (was 8 through round 3)
     monkeypatch.setenv("RUSTQIP_TPU_QSD_CAP", "4")
     assert qsd_cap() == 4
+    # Malformed / nonsensical overrides degrade to the default instead of
+    # crashing every export call.
+    monkeypatch.setenv("RUSTQIP_TPU_QSD_CAP", "8q")
+    assert qsd_cap() == 10
+    monkeypatch.setenv("RUSTQIP_TPU_QSD_CAP", "0")
+    assert qsd_cap() == 10
+    monkeypatch.setenv("RUSTQIP_TPU_QSD_CAP", "4")
     rng = np.random.default_rng(3)
     m = rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32))
     u, _ = np.linalg.qr(m)

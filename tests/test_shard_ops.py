@@ -270,3 +270,25 @@ def test_chunked_exchange_falls_back_on_support_overlap():
     state = np.asarray(apply_op(N, op, state))
     got = np.asarray(r4) + 1j * np.asarray(i4)
     np.testing.assert_allclose(got, state, atol=1e-12)
+
+
+def test_op_index_dtype_width_guard():
+    """Op-local index math in the any-width traced paths (gex/fndiag)
+    picks int32 up to 31 qubits, int64 beyond (x64 on, as in tests); if
+    x64 is off a >31-qubit op raises instead of silently wrapping its
+    high-bit shifts (which would route amplitudes to wrong shards)."""
+    import jax.numpy as jnp
+
+    from rustqip_tpu.errors import CircuitError
+    from rustqip_tpu.parallel.shard_ops import _op_index_dtype
+
+    assert _op_index_dtype(31) == jnp.int32
+    assert jax.config.jax_enable_x64  # conftest pins x64 on
+    assert _op_index_dtype(33) == jnp.int64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        assert _op_index_dtype(31) == jnp.int32
+        with pytest.raises(CircuitError, match="33 qubits"):
+            _op_index_dtype(33)
+    finally:
+        jax.config.update("jax_enable_x64", True)
