@@ -773,7 +773,12 @@ def window_vmem_request(h: int, steps, br: int, n_mats: int = None) -> int:
     # 36.23M with margin; the request is a LIMIT, over-asking only
     # shrinks nothing as one kernel runs at a time).
     diag_mult = (3 if br >= 256 else 2) if has_diag else 1
-    stack = len(steps) * blk * diag_mult * max(1, ns // 2)
+    # ns/2 live blocks per step is the h<=3 calibration; at ns=16 (h=4)
+    # a mix step holds BOTH strip generations (~ns blocks) at its
+    # boundary — Grover-28's 4-step h=4 mix window measured 25.75M
+    # actual against a 21.38M ns/2-model request (AOT OOM, 2026-08-19).
+    strip_mult = ns if ns >= 16 else max(1, ns // 2)
+    stack = len(steps) * blk * diag_mult * strip_mult
     # rmix steps hold one ACCUMULATOR block per output strip per plane
     # live for the whole step (out[j] = sum_i B[i,j] @ in[i]) on top of
     # the generic per-step block — the adder's merged 78-block rmix

@@ -355,7 +355,7 @@ def butterfly_eligible(n: int, op) -> bool:
 def window_joint_ok(n: int):
     """The fusion joint predicate used when the kernel path is active:
     greedy dense joints are capped to KERNEL-window-plannable shapes —
-    <= 3 row bits pure-row (one h<=3 mix window), <= RMIX_MAX_ROW_BITS
+    <= ladder-max row bits pure-row (one mix window), <= RMIX_MAX_ROW_BITS
     row bits when lane bits join (an rmix step), and no seam-adjacent
     row bit (< 6: a window whose trailing segment is under 64 rows
     cannot form kernel DMA blocks). Returns None below R = 64 rows,
@@ -365,10 +365,11 @@ def window_joint_ok(n: int):
     if R < 64:
         return None
     n_m = n - m
+    hcap = max(_window_maxh_ladder())  # env-read once per compile
 
     def joint_ok(indices):
         row_bits = [n_m - 1 - q for q in indices if q < n_m]
-        cap = 3 if len(row_bits) == len(indices) else RMIX_MAX_ROW_BITS
+        cap = hcap if len(row_bits) == len(indices) else RMIX_MAX_ROW_BITS
         return len(row_bits) <= cap and (
             not row_bits or min(row_bits) >= 6
         )
@@ -841,10 +842,12 @@ def _window_seg_sizes(n: int, hq):
 
 
 def _window_kernel_applicable(n: int, hq, steps) -> bool:
-    """The Pallas window kernel handles h <= 3 windows whose strips are
+    """The Pallas window kernel handles h <= 4 windows whose strips are
     unions of block-aligned row chunks (the trailing segment below the
     lowest window bit must cover whole blocks; h=3 halves the block so 8
-    strips fit VMEM). rbf steps additionally need their pair partner
+    strips fit VMEM; h=4 — 16 strips, ladder-gated behind
+    RUSTQIP_TPU_WINDOW_MAXH=4,... — leans on the per-window VMEM request
+    for admission). rbf steps additionally need their pair partner
     inside the block: 2^(p+1) <= block rows. Worth invoking when the
     window chains a matmul or butterfly behind strips, contains
     diagonal steps, or chains >= 2 butterfly/matmul steps (XLA fuses
@@ -856,7 +859,7 @@ def _window_kernel_applicable(n: int, hq, steps) -> bool:
     the large (512/256-row) block schedule."""
     h = len(hq)
     m, R, C = _geometry(n)
-    if h > 3 or C != 128:
+    if h > 4 or C != 128:
         return False
     segs = _window_seg_sizes(n, hq)
     # block rows adapt down to the trailing segment; require at least a
@@ -1063,7 +1066,7 @@ def _window_maxh_ladder() -> tuple:
     raw = os.environ.get("RUSTQIP_TPU_WINDOW_MAXH", "3,2,1")
     try:
         ladder = tuple(
-            v for v in (int(x) for x in raw.split(",")) if 1 <= v <= 3
+            v for v in (int(x) for x in raw.split(",")) if 1 <= v <= 4
         )
     except ValueError:
         return (3, 2, 1)

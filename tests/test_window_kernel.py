@@ -20,12 +20,13 @@ from rustqip_tpu.ops.matrix_ops import make_matrix_op
 N = 19  # room for strided windows: bit 2 still has 512-row chunks
 
 
-def _run_window_kernel(ops, n=N, allow_diag=False):
+def _run_window_kernel(ops, n=N, allow_diag=False, max_h=None):
     R, C = 1 << (n - 7), 128
     rng = np.random.default_rng(0)
     sr = rng.normal(size=1 << n).astype(np.float32)
     si = rng.normal(size=1 << n).astype(np.float32)
-    window, j = _collect_window(n, ops, 0, allow_diag=allow_diag)
+    kw = {} if max_h is None else {"max_h": max_h}
+    window, j = _collect_window(n, ops, 0, allow_diag=allow_diag, **kw)
     assert j == len(ops)
     hq, steps = window
     assert _window_kernel_applicable(n, hq, steps)
@@ -484,6 +485,74 @@ def test_h3_window_with_diag():
         ],
         allow_diag=True,
     )
+
+
+def test_h4_window_kernel():
+    """h=4 (16 strips, ladder-gated behind RUSTQIP_TPU_WINDOW_MAXH=4):
+    the kernel body is generic over the strip count — four distinct row
+    bits chain in ONE sweep (an H-broadcast's 12 high row qubits then
+    need 3 windows instead of 4). n=21 so four qubits (0..3, row bits
+    13..10) sit ABOVE the in-block rbf range and must all become window
+    bits."""
+    n4 = 21
+    _run_window_kernel(
+        [
+            make_matrix_op([0], gates.H.reshape(-1)),
+            make_matrix_op([1], gates.X.reshape(-1)),
+            make_matrix_op([2], gates.Y.reshape(-1)),
+            make_matrix_op([3], gates.H.reshape(-1)),
+            make_matrix_op([n4 - 1], gates.T.reshape(-1)),
+        ],
+        n=n4,
+        allow_diag=True,
+        max_h=4,
+    )
+
+
+def test_h4_window_with_diag():
+    from rustqip_tpu.ops.matrix_ops import PhaseProductOp
+
+    n4 = 21
+    diag = PhaseProductOp((((2, n4 - 1), (1, 1j, 1, -1j)),))
+    _run_window_kernel(
+        [
+            make_matrix_op([0], gates.H.reshape(-1)),
+            make_matrix_op([1], gates.H.reshape(-1)),
+            make_matrix_op([2], gates.H.reshape(-1)),
+            make_matrix_op([3], gates.H.reshape(-1)),
+            diag,
+            make_matrix_op([n4 - 1], gates.H.reshape(-1)),
+        ],
+        n=n4,
+        allow_diag=True,
+        max_h=4,
+    )
+
+
+def test_h4_ladder_env_gate(monkeypatch):
+    """Default ladder stays (3,2,1); RUSTQIP_TPU_WINDOW_MAXH=4,3,2,1
+    admits h=4 and plan_sweeps then collects the H-broadcast's 12 high
+    row qubits (n=28) into 3 mix windows instead of 4. Planning only —
+    no state is allocated."""
+    from rustqip_tpu.engine.real_apply import (
+        _window_maxh_ladder,
+        plan_sweeps,
+    )
+
+    monkeypatch.delenv("RUSTQIP_TPU_WINDOW_MAXH", raising=False)
+    assert _window_maxh_ladder() == (3, 2, 1)
+    ops = [
+        make_matrix_op([q], gates.H.reshape(-1)) for q in range(12)
+    ]
+    plan = plan_sweeps(28, ops, True)
+    k3 = [e for e in plan if e[0] == "kwindow"]
+    assert len(k3) == 4
+    monkeypatch.setenv("RUSTQIP_TPU_WINDOW_MAXH", "4,3,2,1")
+    assert _window_maxh_ladder() == (4, 3, 2, 1)
+    plan = plan_sweeps(28, ops, True)
+    k4 = [e for e in plan if e[0] == "kwindow"]
+    assert len(k4) == 3
+    assert all(len(e[1][0]) == 4 for e in k4)
 
 
 def test_qft_window_kernel_equivalence():
