@@ -162,15 +162,20 @@ def sharded_calculate_state(
     mesh: Optional[jax.sharding.Mesh] = None,
     key: Optional[jax.Array] = None,
     seed: Optional[int] = None,
-    strategy: str = "gspmd",
+    strategy: str = "auto",
 ):
     """Sharded twin of ``LocalBuilder.calculate_state_with_init``: same
     circuit, state distributed over ``mesh`` (default: all devices).
 
-    ``strategy`` selects the partitioner: ``"gspmd"`` (XLA infers the
-    collectives from sharding annotations) or ``"explicit"`` (the
-    hand-pinned shard_map schedule — parallel/explicit.py; measured 15.8x
-    faster per step on an unfused global-qubit-heavy mix).
+    ``strategy`` selects the partitioner: ``"explicit"`` (the hand-pinned
+    shard_map schedule — parallel/explicit.py; measured 15.8x faster per
+    step on an unfused global-qubit-heavy mix, and the only executor that
+    can ride the Pallas window kernel), ``"gspmd"`` (XLA infers the
+    collectives from sharding annotations; required for multi-axis
+    meshes, e.g. DCN x ICI), or ``"auto"`` (default): explicit whenever
+    the mesh satisfies its geometry (1-D, power-of-two device count —
+    shard_ops._mesh_geometry), gspmd otherwise. Distribution seam parity:
+    qip-iterators/src/matrix_ops.rs:96-104.
 
     Returns ``(state_re, state_im, Measurements)`` with the state left
     sharded on device (fetch with np.asarray if it fits on the host).
@@ -183,6 +188,15 @@ def sharded_calculate_state(
     entries = []
     for item in builder.pipeline:
         entries.extend(_lower_item(item))
+    if strategy == "auto":
+        from rustqip_tpu.parallel.shard_ops import _mesh_geometry
+
+        try:
+            _mesh_geometry(mesh)
+        except CircuitError:
+            strategy = "gspmd"
+        else:
+            strategy = "explicit"
     if strategy == "explicit":
         from rustqip_tpu.parallel.explicit import compile_sharded_explicit
 
