@@ -100,10 +100,19 @@ def _build_ops(n: int, reps_fused: int, reps_unfused: int):
 
 
 def bench_device_pair(
-    n: int, reps_fused: int = 30, reps_unfused: int = 20, steps: int = 6
-) -> Tuple[float, float, float]:
-    """(fused applies/s, unfused applies/s, compile seconds) on the default
-    JAX backend — both sequences compiled into ONE program via lax.cond."""
+    n: int,
+    reps_fused: int = 30,
+    reps_unfused: int = 20,
+    steps: int = 6,
+    trials: int = 3,
+) -> Tuple[list, list, float]:
+    """(fused trials, unfused trials, compile seconds) on the default JAX
+    backend — both sequences compiled into ONE program via lax.cond. Each
+    trials list holds ``trials`` independent steady-state applies/s
+    figures (each itself averaged over ``steps`` dispatches) so the JSON
+    artifact can carry run-to-run spread: relay sessions vary ±15-25%
+    (BENCH_NOTES), which otherwise makes cross-round deltas unreadable
+    (VERDICT r4 weak #5)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -150,13 +159,13 @@ def bench_device_pair(
         )
         return rate
 
-    fused_rate = timed(0, reps_fused)
+    fused_trials = [timed(0, reps_fused) for _ in range(trials)]
     # warm the unfused branch once (same compiled program, but its first
     # dispatch may still page in constants)
     re, im = step(re, im, jnp.int32(1))
     float(re[0])
-    unfused_rate = timed(1, reps_unfused)
-    return fused_rate, unfused_rate, compile_s
+    unfused_trials = [timed(1, reps_unfused) for _ in range(trials)]
+    return fused_trials, unfused_trials, compile_s
 
 
 def bench_cpu_baseline(n: int, reps: int = 7) -> float:
@@ -313,6 +322,7 @@ def bench_circuit(kind: str, n: int, trials: int = 3) -> dict:
         "kind": kind,
         "n": n,
         "median_s": med,
+        "times_s": [round(t, 4) for t in times],
         "compile_s": compile_s,
     }
 
@@ -440,12 +450,23 @@ def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--device-json":
         n = int(sys.argv[2])
         try:
-            f, u, c = bench_device_pair(n)
+            ft, ut, c = bench_device_pair(n)
         except Exception as e:  # fall back to a smaller state if OOM
             log(f"n={n} failed ({type(e).__name__}: {e}); retrying n=26")
             n = 26
-            f, u, c = bench_device_pair(n)
-        print(json.dumps({"fused": f, "unfused": u, "compile_s": c, "n": n}))
+            ft, ut, c = bench_device_pair(n)
+        print(
+            json.dumps(
+                {
+                    "fused": float(np.median(ft)),
+                    "unfused": float(np.median(ut)),
+                    "fused_trials": [round(x, 3) for x in ft],
+                    "unfused_trials": [round(x, 3) for x in ut],
+                    "compile_s": c,
+                    "n": n,
+                }
+            )
+        )
         return
     if len(sys.argv) >= 4 and sys.argv[1] == "--circuit-json":
         print(json.dumps(bench_circuit(sys.argv[2], int(sys.argv[3]))))
@@ -514,6 +535,11 @@ def main():
         "unit": "applies/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "unfused_applies_per_sec": round(unfused, 3),
+        # Run-to-run spread (median is the headline; min/max bound the
+        # ±15-25% relay session variance so cross-round deltas inside the
+        # band read as noise, not regressions — VERDICT r4 weak #5).
+        "fused_trials": probe.get("fused_trials"),
+        "unfused_trials": probe.get("unfused_trials"),
         "gbps_effective": round(gbps, 1),
         "device_path": path,
         "compile_s": round(compile_s, 1) if compile_s else None,
@@ -525,8 +551,14 @@ def main():
         f"qft{n}_s": (
             round(qft["median_s"], 4) if qft else None
         ),
+        f"qft{n}_s_trials": qft.get("times_s") if qft else None,
         f"grover{n}_iter_ms": (
             round(grover["median_s"] * 1e3, 2) if grover else None
+        ),
+        f"grover{n}_iter_ms_trials": (
+            [round(t * 1e3, 2) for t in grover["times_s"]]
+            if grover and grover.get("times_s")
+            else None
         ),
     }
     print(json.dumps(result), flush=True)
