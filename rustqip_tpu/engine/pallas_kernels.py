@@ -793,10 +793,16 @@ def window_vmem_request(h: int, steps, br: int, n_mats: int = None) -> int:
     # Mosaic's actual scoped stack runs a few percent over any analytic
     # sum (register spills, pipeline bookkeeping — observed +3.5% on the
     # adder rmix window, +12% with PARALLEL semantics before that was
-    # reverted): ask for 12.5% headroom. Over-asking costs nothing at
-    # runtime (one kernel at a time); it only tightens the admission
-    # ceiling, where a rejected window degrades to prefix splits.
-    return max(_VMEM_DEFAULT, (buffers + stack + mats) * 9 // 8)
+    # reverted): ask for 12.5% headroom. At 16 strips (h=4) the spill
+    # overhead is larger — Grover-28's 3-step mix/cbf/mix window
+    # measured 25.75M actual against a 24.75M 12.5%-headroom request
+    # (AOT OOM, 2026-08-20) — so h=4 asks for 31%. Over-asking costs
+    # nothing at runtime (one kernel at a time); it only tightens the
+    # admission ceiling, where a rejected window degrades to prefix
+    # splits.
+    total = buffers + stack + mats
+    headroom = total * 5 // 16 if ns >= 16 else total // 8
+    return max(_VMEM_DEFAULT, total + headroom)
 
 
 def window_block_rows(h: int, steps) -> int:
