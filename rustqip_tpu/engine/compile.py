@@ -635,7 +635,15 @@ def _env_plan_flags() -> tuple:
         os.environ.get("RUSTQIP_TPU_KEEP_BUTTERFLY", "1"),
         os.environ.get("RUSTQIP_TPU_MERGE_STEPS", "1"),
         os.environ.get("RUSTQIP_TPU_WINDOW_FUSION", "1"),
-        os.environ.get("RUSTQIP_TPU_WINDOW_MAXH", "3,2,1"),
+        os.environ.get("RUSTQIP_TPU_WINDOW_MAXH", "4,3,2,1"),
+        # gex recombination layout (flip vs gather) — traced into the
+        # sharded executors' shard_map bodies (parallel/shard_ops.py
+        # _gex_flip_max); both their fingerprints route through here.
+        os.environ.get("RUSTQIP_TPU_GEX_FLIP", "4"),
+        # Diag-step evaluation strategy inside the window kernel
+        # (masked multiplies vs angle accumulation, pallas_kernels
+        # _diag_mask_max).
+        os.environ.get("RUSTQIP_TPU_DIAG_MASK_MAX", "3"),
         # The RESOLVED kernel availability, not just the env var that
         # feeds it: available() also reads PALLAS_AXON_TPU_GEN and the
         # backend, and tests monkeypatch it — a cache hit must never

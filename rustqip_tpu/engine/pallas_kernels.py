@@ -26,6 +26,22 @@ from rustqip_tpu.types import MINOR_QUBITS
 
 _C = 1 << MINOR_QUBITS  # 128
 
+def _diag_mask_max() -> int:
+    """Mixed-monomial count above which a diag step's phase evaluates by
+    row-grouped ANGLE ACCUMULATION + one block cos/sin instead of
+    per-monomial masked complex multiplies (see ``diag_phase``). At ~10
+    VPU ops per masked monomial vs ~2 per accumulated one plus a ~20-op
+    block cos/sin, break-even sits around 3.
+    RUSTQIP_TPU_DIAG_MASK_MAX overrides (large value = always-mask, the
+    pre-round-5 behavior — the A/B lever); joins the compile-cache
+    fingerprint via ``compile._env_plan_flags``."""
+    import os
+
+    try:
+        return int(os.environ.get("RUSTQIP_TPU_DIAG_MASK_MAX", "3"))
+    except ValueError:
+        return 3
+
 #: True-f32 dots (the TPU "default" silently drops to bf16 — 2.7e-3 rel
 #: error per pass; see engine.apply.MATMUL_PRECISION).
 _PREC = jax.lax.Precision.HIGHEST
@@ -438,6 +454,56 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, in_ids, out_ids, *refs):
             )
         return rfac, cfac, masks
 
+    def diag_phase(groups, i):
+        """(pc, ps) phase planes for one strip's block.
+
+        Few mixed monomials: the separable mask path below (vector
+        cos/sin + per-monomial masked complex multiplies, ~10 VPU ops
+        each). Many mixed monomials — the merged-QFT-ladder shape, where
+        a single fused diag step can carry every free-row x lane CP of
+        the circuit (63 at n=28) — flip to ANGLE ACCUMULATION: group the
+        monomials by row support, fold each group's col part into one
+        lane-vector angle, add the <= #row-bits outer products onto a
+        (br, C) angle plane (2 ops per group per element), and pay ONE
+        block-shaped cos/sin. Per element that is ~2*G + ~20 ops instead
+        of ~10 per monomial — the masked path's cost is what made the
+        old WINDOW_DIAG_MIXED_CAP=8 necessary and split QFT-28's seam
+        sweep into 10 separate diag passes (93.5 ms of the 232.9 ms
+        total, profiled 2026-08-20)."""
+        const, row_monos, col_monos, mixed = groups
+        if len(mixed) <= _diag_mask_max():
+            return _combine_factors(*diag_factors(groups, i))
+        rows = block_rows(i)
+
+        def rbit(q):
+            return ((rows >> (n_m - 1 - q)) & 1).astype(jnp.float32)
+
+        def cbit(q):
+            return ((cols >> (n - 1 - q)) & 1).astype(jnp.float32)
+
+        def mono(bits, coeff):
+            acc = None
+            for b in bits:
+                acc = b if acc is None else acc * b
+            return acc * jnp.float32(coeff)
+
+        angle = jnp.full((br, 1), const, dtype=jnp.float32)
+        for rq, c in row_monos:
+            angle = angle + mono([rbit(q) for q in rq], c)
+        cangle = jnp.zeros((1, _C), dtype=jnp.float32)
+        for cq, c in col_monos:
+            cangle = cangle + mono([cbit(q) for q in cq], c)
+        by_row = {}
+        for rq, cq, c in mixed:
+            by_row.setdefault(rq, []).append((cq, c))
+        angle = angle + cangle
+        for rq, terms in by_row.items():
+            v = jnp.zeros((1, _C), dtype=jnp.float32)
+            for cq, c in terms:
+                v = v + mono([cbit(q) for q in cq], c)
+            angle = angle + mono([rbit(q) for q in rq], 1.0) * v
+        return jnp.cos(angle), jnp.sin(angle)
+
     def _combine_factors(rfac, cfac, masks):
         """Fold separable + masked factors into one complex phase array
         of the minimal broadcastable shape ((br,1), (1,C) or (br,C))."""
@@ -515,7 +581,7 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, in_ids, out_ids, *refs):
                 if sg in cache:
                     pc, ps = cache[sg]
                 else:
-                    pc, ps = _combine_factors(*diag_factors(sg, i))
+                    pc, ps = diag_phase(sg, i)
                     cache[sg] = (pc, ps)
                 cur[i] = (xr * pc - xi * ps, xr * ps + xi * pc)
             continue
@@ -794,14 +860,15 @@ def window_vmem_request(h: int, steps, br: int, n_mats: int = None) -> int:
     # sum (register spills, pipeline bookkeeping — observed +3.5% on the
     # adder rmix window, +12% with PARALLEL semantics before that was
     # reverted): ask for 12.5% headroom. At 16 strips (h=4) the spill
-    # overhead is larger — Grover-28's 3-step mix/cbf/mix window
-    # measured 25.75M actual against a 24.75M 12.5%-headroom request
-    # (AOT OOM, 2026-08-20) — so h=4 asks for 31%. Over-asking costs
-    # nothing at runtime (one kernel at a time); it only tightens the
-    # admission ceiling, where a rejected window degrades to prefix
-    # splits.
+    # overhead is much larger and less predictable — Grover-28's h=4
+    # windows measured 25.75M actual against a 24.75M 12.5%-headroom
+    # request, then (after a 31% bump) a second window hit 24.75M actual
+    # against a 23.62M request, i.e. 1.375x its analytic sum (AOT OOMs,
+    # 2026-08-20) — so h=4 asks for 50%. Over-asking costs nothing at
+    # runtime (one kernel at a time); it only tightens the admission
+    # ceiling, where a rejected window degrades to prefix splits.
     total = buffers + stack + mats
-    headroom = total * 5 // 16 if ns >= 16 else total // 8
+    headroom = total // 2 if ns >= 16 else total // 8
     return max(_VMEM_DEFAULT, total + headroom)
 
 

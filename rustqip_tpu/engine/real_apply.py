@@ -256,9 +256,15 @@ WINDOW_MAX_OPS = 64
 WINDOW_KERNEL_MAX_LOW = 24
 
 
-#: Largest mixed-monomial count for a diagonal absorbed into a kernel
-#: window (each costs a masked complex multiply per element).
-WINDOW_DIAG_MIXED_CAP = 8
+#: Largest mixed-monomial count for a diagonal absorbed into (or merged
+#: inside) a kernel window. Small counts pay a masked complex multiply
+#: per monomial; above ``pallas_kernels._DIAG_MASK_MAX`` the kernel
+#: flips to row-grouped angle accumulation + ONE block cos/sin (~2 ops
+#: per monomial per element), so the old cap of 8 — which split QFT-28's
+#: 63 free-row x lane CP monomials into 10 separate diag passes (40% of
+#: the wall clock, profiled 2026-08-20) — no longer buys anything. The
+#: cap now only bounds trace size.
+WINDOW_DIAG_MIXED_CAP = 96
 
 #: Largest ROW-bit support of a dense op admitted to a window as an
 #: "rmix" step (non-scalar row blocks: per-strip-pair C x C matmuls).
@@ -1058,19 +1064,25 @@ def _window_sweep_ri(n: int, window, re, im) -> Pair:
 
 def _window_maxh_ladder() -> tuple:
     """Kernel-window width ladder (RUSTQIP_TPU_WINDOW_MAXH, default
-    "3,2,1"): widths tried in order per run start. Wider windows retire
-    more ops per HBM sweep but force smaller VMEM blocks when diagonals
-    are present (h=3 -> 64 rows); "1" trades sweeps for big blocks."""
+    "4,3,2,1"): widths tried in order per run start. Wider windows
+    retire more ops per HBM sweep but force smaller VMEM blocks when
+    diagonals are present (h>=3 -> 64 rows); "1" trades sweeps for big
+    blocks. h=4 became the default after same-session v5e A/Bs (2026-08-20,
+    BENCH_NOTES round 5): QFT-28 254.5 -> 227.7 ms (6 -> 5 sweeps),
+    Grover-28 iteration 170.5 -> 145.6 ms (20 -> 16 sweeps). The cost is
+    compile time over the relay (Grover-28: 293 -> 685 s — 16-strip
+    Mosaic bodies are pricier); set "3,2,1" to get the old ladder where
+    compile latency matters more than steady-state throughput."""
     import os
 
-    raw = os.environ.get("RUSTQIP_TPU_WINDOW_MAXH", "3,2,1")
+    raw = os.environ.get("RUSTQIP_TPU_WINDOW_MAXH", "4,3,2,1")
     try:
         ladder = tuple(
             v for v in (int(x) for x in raw.split(",")) if 1 <= v <= 4
         )
     except ValueError:
-        return (3, 2, 1)
-    return ladder or (3, 2, 1)
+        return (4, 3, 2, 1)
+    return ladder or (4, 3, 2, 1)
 
 
 def plan_sweeps(n: int, ops: Sequence[MatrixOp], kernel_ok: bool):

@@ -558,11 +558,12 @@ def test_all_lane_controlled_ops_not_butterfly_kept():
 
 
 def test_h_broadcast_plan_optimal_sweeps(monkeypatch):
-    """H on all 28 qubits must plan to exactly 5 kernel sweeps — the
-    plan-optimal decomposition under the h<=3 VMEM cap: the 12 high row
-    qubits need ceil(12/3)=4 mix windows, and everything else (low row
-    qubits as rbf butterflies, lane qubits as one composed low matmul)
-    chains into ONE seam window."""
+    """H on all 28 qubits must plan to exactly 4 kernel sweeps — the
+    plan-optimal decomposition under the default h<=4 ladder (round 5):
+    the 12 high row qubits need ceil(12/4)=3 mix windows, and everything
+    else (low row qubits as rbf butterflies, lane qubits as one composed
+    low matmul) chains into ONE seam window. The pre-round-5 h<=3 ladder
+    planned 5 (ceil(12/3)=4 mix windows)."""
     monkeypatch.delenv("RUSTQIP_TPU_WINDOW_FUSION", raising=False)
 
     def build(b):
@@ -570,6 +571,9 @@ def test_h_broadcast_plan_optimal_sweeps(monkeypatch):
         r = b.h(r)
         b.measure(r)
 
+    kinds = _compiled_plan_kinds(build, monkeypatch)
+    assert kinds == ["kwindow"] * 4, kinds
+    monkeypatch.setenv("RUSTQIP_TPU_WINDOW_MAXH", "3,2,1")
     kinds = _compiled_plan_kinds(build, monkeypatch)
     assert kinds == ["kwindow"] * 5, kinds
 

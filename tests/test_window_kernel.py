@@ -487,7 +487,63 @@ def test_h3_window_with_diag():
     )
 
 
-def test_h4_window_kernel():
+def test_window_diag_angle_path_many_mixed():
+    """Diag steps with MORE than ``pallas_kernels._DIAG_MASK_MAX`` mixed
+    monomials that survive per-strip specialization (free-row x lane
+    CPs — the QFT-28 seam-window shape, 7 per step) evaluate via the
+    row-grouped angle-accumulation path (one block cos/sin) instead of
+    per-monomial masked multiplies. Six CPs on free row bits 2,3 x six
+    lane bits merge into ONE diag step (cap raised to 96) with 6 mixed
+    monomials in 2 row groups; parity vs the op-by-op engine."""
+    from rustqip_tpu.engine import pallas_kernels
+    from rustqip_tpu.ops.matrix_ops import PhaseProductOp
+
+    def cp(a, b, theta):
+        return PhaseProductOp(
+            (((a, b), (1, 1, 1, np.exp(1j * theta))),)
+        )
+
+    ops = [
+        make_matrix_op([0], gates.H.reshape(-1)),
+        cp(2, 13, 0.31),
+        cp(2, 14, 0.52),
+        cp(3, 15, 0.73),
+        cp(3, 16, 0.94),
+        cp(2, 17, 1.15),
+        cp(3, 18, 1.36),
+        make_matrix_op([0], gates.T.reshape(-1)),
+    ]
+    from rustqip_tpu.engine.real_apply import merge_window_steps
+
+    window, j = _collect_window(N, ops, 0, allow_diag=True)
+    assert j == len(ops)
+    hq, steps = window
+    steps = merge_window_steps(N, steps)
+    diags = [s for s in steps if s[0] == "diag"]
+    assert len(diags) == 1, [s[0] for s in steps]
+    assert len(diags[0][1][3]) > pallas_kernels._diag_mask_max()
+    assert _window_kernel_applicable(N, hq, steps)
+
+    R, C = 1 << (N - 7), 128
+    rng = np.random.default_rng(3)
+    sr = rng.normal(size=1 << N).astype(np.float32)
+    si = rng.normal(size=1 << N).astype(np.float32)
+    re, im = jnp.asarray(sr), jnp.asarray(si)
+    ksteps = window_ksteps(N, hq, steps)
+    out_r, out_i = window_sweep(
+        N,
+        re.reshape(R, C),
+        im.reshape(R, C),
+        _window_seg_sizes(N, hq),
+        ksteps,
+        interpret=True,
+    )
+    got = np.asarray(out_r).reshape(-1) + 1j * np.asarray(out_i).reshape(-1)
+    er, ei = re, im
+    for op in ops:
+        er, ei = apply_op_ri(N, op, er, ei)
+    want = np.asarray(er) + 1j * np.asarray(ei)
+    np.testing.assert_allclose(got, want, atol=1e-4)
     """h=4 (16 strips, ladder-gated behind RUSTQIP_TPU_WINDOW_MAXH=4):
     the kernel body is generic over the strip count — four distinct row
     bits chain in ONE sweep (an H-broadcast's 12 high row qubits then
@@ -530,9 +586,9 @@ def test_h4_window_with_diag():
 
 
 def test_h4_ladder_env_gate(monkeypatch):
-    """Default ladder stays (3,2,1); RUSTQIP_TPU_WINDOW_MAXH=4,3,2,1
-    admits h=4 and plan_sweeps then collects the H-broadcast's 12 high
-    row qubits (n=28) into 3 mix windows instead of 4. Planning only —
+    """Default ladder is (4,3,2,1) — the H-broadcast's 12 high row
+    qubits (n=28) collect into 3 mix windows; RUSTQIP_TPU_WINDOW_MAXH=
+    3,2,1 reverts to the pre-round-5 ladder (4 windows). Planning only —
     no state is allocated."""
     from rustqip_tpu.engine.real_apply import (
         _window_maxh_ladder,
@@ -540,19 +596,19 @@ def test_h4_ladder_env_gate(monkeypatch):
     )
 
     monkeypatch.delenv("RUSTQIP_TPU_WINDOW_MAXH", raising=False)
-    assert _window_maxh_ladder() == (3, 2, 1)
+    assert _window_maxh_ladder() == (4, 3, 2, 1)
     ops = [
         make_matrix_op([q], gates.H.reshape(-1)) for q in range(12)
     ]
     plan = plan_sweeps(28, ops, True)
-    k3 = [e for e in plan if e[0] == "kwindow"]
-    assert len(k3) == 4
-    monkeypatch.setenv("RUSTQIP_TPU_WINDOW_MAXH", "4,3,2,1")
-    assert _window_maxh_ladder() == (4, 3, 2, 1)
-    plan = plan_sweeps(28, ops, True)
     k4 = [e for e in plan if e[0] == "kwindow"]
     assert len(k4) == 3
     assert all(len(e[1][0]) == 4 for e in k4)
+    monkeypatch.setenv("RUSTQIP_TPU_WINDOW_MAXH", "3,2,1")
+    assert _window_maxh_ladder() == (3, 2, 1)
+    plan = plan_sweeps(28, ops, True)
+    k3 = [e for e in plan if e[0] == "kwindow"]
+    assert len(k3) == 4
 
 
 def test_qft_window_kernel_equivalence():
