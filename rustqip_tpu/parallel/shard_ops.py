@@ -21,7 +21,10 @@ TPU-native realization of the amplitude-exchange the reference's
   target qubits relocate into free local slots (2 exchanges per qubit);
 * wide FnOp / sparse op whose globals outnumber the free local slots ->
   generalized-permutation exchange: XOR-stage ppermutes with per-element
-  in-trace source routing, never densifying (``_lower_gex``).
+  in-trace source routing, never densifying (``_lower_gex``). Ops whose
+  LOCAL support is small recombine by XOR-flip re-addressing (bit-axis
+  flips, ~26x cheaper than the whole-shard gather at real shard sizes —
+  scripts/gex_cost_probe.py); the gather is the wide-local fallback.
 
 ``apply_sharded_ops`` lowers a whole op sequence into ONE shard_map body:
 consecutive local ops batch into a single engine pass run, and every
@@ -101,6 +104,61 @@ def _local_op(op: MatrixOp, g: int) -> MatrixOp:
 
 def _remap_op(op: MatrixOp, mapping: dict) -> MatrixOp:
     return _reindex_op(op, tuple(mapping.get(q, q) for q in op.indices))
+
+
+def _gex_flip_max() -> int:
+    """Max local-op-qubit count routed through the XOR-flip gex
+    recombination (RUSTQIP_TPU_GEX_FLIP, default 4; 0 still routes
+    fully-global ops, whose flip is the identity read; -1 forces the
+    gather path everywhere — the A/B lever).
+
+    The flip path replaces the per-slot whole-shard gather with <= 2^kl
+    bit-axis flips: measured on v5e (scripts/gex_cost_probe.py,
+    2026-08-20, 2^25-elem shards) the gather costs 1016-1939 ms/stage
+    and scales super-linearly, while one flip+MAC is ~39 ms — within
+    noise of the bare MAC floor (35.6 ms). Break-even is ~2x at kl=4;
+    beyond that the 2^kl flip fan-out loses to one gather. Participates
+    in every executor's compile-cache fingerprint via
+    ``engine.compile._env_plan_flags``."""
+    import os
+
+    try:
+        return int(os.environ.get("RUSTQIP_TPU_GEX_FLIP", "4"))
+    except ValueError:
+        return 4
+
+
+def _xor_flip_flat(x: jnp.ndarray, lmask: int) -> jnp.ndarray:
+    """``x`` re-addressed at ``i ^ lmask`` (static mask) without a gather.
+
+    XOR on the row bits of a (rows, 128) view = reversing the matching
+    bit axes of a ``(2,)*rbits x 128`` reshape (the lane axis stays
+    128-wide — no tiny trailing dims, per the TPU tiling rule); XOR on
+    the 7 lane bits = one static 128-column take. Bit-exactness vs the
+    gather is probe-verified (gex_cost_probe.py C==B)."""
+    if lmask == 0:
+        return x
+    size = x.size
+    nb = size.bit_length() - 1
+    if size >= 128:
+        rows = size // 128
+        rbits = nb - 7
+        row_mask = lmask >> 7
+        lane_mask = lmask & 127
+        y = x.reshape((2,) * rbits + (128,))
+        axes = [t for t in range(rbits) if (row_mask >> (rbits - 1 - t)) & 1]
+        if axes:
+            y = jnp.flip(y, axes)
+        if lane_mask:
+            lane_perm = jnp.asarray(
+                np.arange(128, dtype=np.int32) ^ lane_mask
+            )
+            y = jnp.take(y.reshape(rows, 128), lane_perm, axis=1)
+        return y.reshape(-1)
+    # Tiny shards (virtual-mesh CPU tests): all bits are "row" bits.
+    y = x.reshape((2,) * nb)
+    axes = [t for t in range(nb) if (lmask >> (nb - 1 - t)) & 1]
+    return jnp.flip(y, axes).reshape(-1)
 
 
 # ---------------------------------------------------------------------------
@@ -678,6 +736,23 @@ def apply_sharded_ops(
                                 bit << shl
                             )
                     decomp.append((srcg, srcl, vr, vi))
+                # Recombination layout. srcl differs from the identity
+                # only on the op's LOCAL qubit bits (it is built from
+                # ``flat`` by overwriting exactly those), so the
+                # per-slot whole-shard gather dr[srcl] — measured
+                # gather-pathological at real shard sizes (1.0-1.9
+                # s/stage at 2^25 elems, gex_cost_probe.py 2026-08-20)
+                # — decomposes EXACTLY into <= 2^kl XOR-flips at ~39 ms
+                # each: partition elements by delta = srcl ^ flat, fold
+                # each slot's coefficients into per-delta effective
+                # planes, and read the partner shard through
+                # ``_xor_flip_flat``. Gather kept for kl above the
+                # break-even threshold (RUSTQIP_TPU_GEX_FLIP).
+                local_shifts = sorted(
+                    local_n - 1 - (q - g) for q in indices if q >= g
+                )
+                kl = len(local_shifts)
+                use_flip = kl <= _gex_flip_max()
                 acc_r = jnp.zeros_like(rr)
                 acc_i = jnp.zeros_like(ii)
                 for t in range(1 << h):
@@ -691,17 +766,49 @@ def apply_sharded_ops(
                         permt = [(i, i ^ mask_t) for i in range(d)]
                         dr = jax.lax.ppermute(rr, axis, permt)
                         di = jax.lax.ppermute(ii, axis, permt)
-                    for srcg, srcl, vr, vi in decomp:
-                        sel = srcg == (myg ^ t)
-                        gr = dr[srcl]
-                        gi = di[srcl]
-                        if vi is None:
-                            tr, ti = gr * vr, gi * vr
-                        else:
-                            tr = gr * vr - gi * vi
-                            ti = gi * vr + gr * vi
-                        acc_r = acc_r + jnp.where(sel, tr, 0)
-                        acc_i = acc_i + jnp.where(sel, ti, 0)
+                    if use_flip:
+                        for lt in range(1 << kl):
+                            lmask = 0
+                            for j, sh in enumerate(local_shifts):
+                                if (lt >> j) & 1:
+                                    lmask |= 1 << sh
+                            evr = None
+                            evi = None
+                            for srcg, srcl, vr, vi in decomp:
+                                sel = (srcg == (myg ^ t)) & (
+                                    (srcl ^ flat) == lmask
+                                )
+                                term_r = jnp.where(sel, vr, 0)
+                                evr = (
+                                    term_r if evr is None else evr + term_r
+                                )
+                                if vi is not None:
+                                    term_i = jnp.where(sel, vi, 0)
+                                    evi = (
+                                        term_i
+                                        if evi is None
+                                        else evi + term_i
+                                    )
+                            gr = _xor_flip_flat(dr, lmask)
+                            gi = _xor_flip_flat(di, lmask)
+                            if evi is None:
+                                acc_r = acc_r + gr * evr
+                                acc_i = acc_i + gi * evr
+                            else:
+                                acc_r = acc_r + (gr * evr - gi * evi)
+                                acc_i = acc_i + (gi * evr + gr * evi)
+                    else:
+                        for srcg, srcl, vr, vi in decomp:
+                            sel = srcg == (myg ^ t)
+                            gr = dr[srcl]
+                            gi = di[srcl]
+                            if vi is None:
+                                tr, ti = gr * vr, gi * vr
+                            else:
+                                tr = gr * vr - gi * vi
+                                ti = gi * vr + gr * vi
+                            acc_r = acc_r + jnp.where(sel, tr, 0)
+                            acc_i = acc_i + jnp.where(sel, ti, 0)
                 re_s = acc_r.reshape(re_s.shape)
                 im_s = acc_i.reshape(im_s.shape)
             elif kind == "fndiag":

@@ -458,6 +458,80 @@ def test_wide_xor_oracle_gex_sharded():
     np.testing.assert_allclose(got, np.asarray(v), atol=1e-12)
 
 
+def test_xor_flip_flat_matches_gather():
+    """_xor_flip_flat is the gather-free re-addressing x[i ^ lmask] the
+    gex flip recombination rides (measured ~26x cheaper than the flat
+    gather at 2^25-elem shards, scripts/gex_cost_probe.py 2026-08-20).
+    Pin bit-exactness against the straight gather on both layouts: the
+    (rows, 128) lane view (row bits, lane bits, mixed) and the tiny
+    all-row-bits fallback."""
+    from rustqip_tpu.parallel.shard_ops import _xor_flip_flat
+
+    rng = np.random.default_rng(11)
+    for size, masks in (
+        (1 << 10, (0, 1, 0b101, 1 << 7, 1 << 9, (1 << 9) | (1 << 7) | 5)),
+        (1 << 5, (0, 1, 0b10110)),
+    ):
+        x = jnp.asarray(rng.normal(size=size))
+        idx = np.arange(size)
+        for lmask in masks:
+            got = np.asarray(_xor_flip_flat(x, lmask))
+            want = np.asarray(x)[idx ^ lmask]
+            np.testing.assert_array_equal(got, want)
+
+
+def test_gex_flip_path_matches_gather_path():
+    """gex recombination A/B: a wide oracle with only kl=3 LOCAL qubits
+    routes through the XOR-flip layout by default (RUSTQIP_TPU_GEX_FLIP
+    = 4 >= kl); forcing -1 takes the per-slot whole-shard gather. Both
+    must match the single-device engine exactly — and each other."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from rustqip_tpu.parallel import make_shard_mesh
+    from rustqip_tpu.parallel.shard_ops import (
+        _lower_schedule,
+        apply_sharded_ops,
+        make_sharded_pair,
+    )
+
+    n, g = 8, 3
+
+    def oracle(row):
+        # self-inverse XOR permutation mixing global and local op bits,
+        # with a phase on the permutation-invariant bits.
+        return row ^ 0b110101, jnp.exp(1j * 0.31 * (row & 0b001010))
+
+    # 3 globals + 3 locals; free locals {6,7} = 2 < 3 globals -> gex,
+    # and kl = 3 <= the default flip threshold.
+    op = make_fn_op(tuple(range(6)), oracle, self_transpose=True)
+    sched = _lower_schedule(n, g, [op])
+    assert [kind for kind, *_ in sched] == ["gex"]
+
+    mesh = make_shard_mesh(8)
+    hs = [make_matrix_op([q], gates.H.reshape(-1)) for q in range(0, n, 2)]
+    ts = [make_matrix_op([q], gates.T.reshape(-1)) for q in (1, 5)]
+
+    def run():
+        re, im = make_sharded_pair(mesh, n, initial_index=0, dtype=np.float64)
+        re, im = apply_sharded_ops(mesh, n, hs + ts + [op], re, im)
+        return np.asarray(re) + 1j * np.asarray(im)
+
+    got_flip = run()
+    import os
+
+    os.environ["RUSTQIP_TPU_GEX_FLIP"] = "-1"
+    try:
+        got_gather = run()
+    finally:
+        del os.environ["RUSTQIP_TPU_GEX_FLIP"]
+
+    v = jnp.zeros(1 << n, jnp.complex128).at[0].set(1.0)
+    for o in hs + ts + [op]:
+        v = apply_op(n, o, v)
+    np.testing.assert_allclose(got_flip, np.asarray(v), atol=1e-12)
+    np.testing.assert_allclose(got_gather, got_flip, atol=0)
+
+
 def test_fn_op_gex_unsorted_indices_and_inverse():
     """gex with UNSORTED op indices, complex phases, and the conjugated
     inverse: op then invert_op(op) must return the input state (the
