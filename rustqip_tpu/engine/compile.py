@@ -643,7 +643,7 @@ def _env_plan_flags() -> tuple:
         # Diag-step evaluation strategy inside the window kernel
         # (masked multiplies vs angle accumulation, pallas_kernels
         # _diag_mask_max).
-        os.environ.get("RUSTQIP_TPU_DIAG_MASK_MAX", "3"),
+        os.environ.get("RUSTQIP_TPU_DIAG_MASK_MAX", "4"),
         # The RESOLVED kernel availability, not just the env var that
         # feeds it: available() also reads PALLAS_AXON_TPU_GEN and the
         # backend, and tests monkeypatch it — a cache hit must never

@@ -27,20 +27,20 @@ from rustqip_tpu.types import MINOR_QUBITS
 _C = 1 << MINOR_QUBITS  # 128
 
 def _diag_mask_max() -> int:
-    """Mixed-monomial count above which a diag step's phase evaluates by
-    row-grouped ANGLE ACCUMULATION + one block cos/sin instead of
-    per-monomial masked complex multiplies (see ``diag_phase``). At ~10
-    VPU ops per masked monomial vs ~2 per accumulated one plus a ~20-op
-    block cos/sin, break-even sits around 3.
-    RUSTQIP_TPU_DIAG_MASK_MAX overrides (large value = always-mask, the
-    pre-round-5 behavior — the A/B lever); joins the compile-cache
-    fingerprint via ``compile._env_plan_flags``."""
+    """Row-support GROUP count above which a diag step's phase evaluates
+    by ANGLE ACCUMULATION + one block cos/sin instead of per-group
+    masked broadcast multiplies (see ``diag_phase``/``diag_factors``).
+    At ~10 VPU ops per masked group vs ~2 per accumulated one plus a
+    ~20-35 op block cos/sin, break-even sits around 4.
+    RUSTQIP_TPU_DIAG_MASK_MAX overrides (large value = always-mask —
+    the A/B lever); joins the compile-cache fingerprint via
+    ``compile._env_plan_flags``."""
     import os
 
     try:
-        return int(os.environ.get("RUSTQIP_TPU_DIAG_MASK_MAX", "3"))
+        return int(os.environ.get("RUSTQIP_TPU_DIAG_MASK_MAX", "4"))
     except ValueError:
-        return 3
+        return 4
 
 #: True-f32 dots (the TPU "default" silently drops to bf16 — 2.7e-3 rel
 #: error per pass; see engine.apply.MATMUL_PRECISION).
@@ -410,13 +410,16 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, in_ids, out_ids, *refs):
 
         The row/col monomial sums are SEPARABLE — e^{i(a_row + a_col)} =
         e^{i a_row} e^{i a_col} — so cos/sin run over br + C VECTOR
-        elements instead of br x C block elements. QFT ladders have no
-        mixed (free-row x col) monomials after per-strip specialization,
-        so their per-element transcendentals vanish entirely (the old
-        (br, C) cos+sin per strip per diag step was the dominant VPU
-        cost of the strided QFT windows). Mixed monomials keep the
-        masked complex-multiply fallback, now applied to the state
-        planes directly."""
+        elements instead of br x C block elements. Mixed (free-row x
+        col) monomials GROUP BY ROW SUPPORT: within a group the col
+        parts are separable too, so the group folds into one (br, 1)
+        row mask + one (1, C) lane-vector phase (cos/sin on C elements,
+        ~free) — a QFT CP fan (r_t x 7 lanes) is ONE group, one masked
+        broadcast multiply, where the old per-monomial scalar masks paid
+        7 masked multiplies on (br, C) masks (same-session v5e A/B
+        2026-08-20: seam sweep 93.5 -> 73.9 ms came from replacing that
+        with a block cos/sin; this grouping removes the block
+        transcendental as well)."""
         const, row_monos, col_monos, mixed = groups
         rows = block_rows(i)
 
@@ -444,34 +447,35 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, in_ids, out_ids, *refs):
             for cq, c in col_monos:
                 cangle = cangle + mono([cbit(q) for q in cq], c)
             cfac = (jnp.cos(cangle), jnp.sin(cangle))
-        masks = []
+        by_row = {}
         for rq, cq, c in mixed:
-            mask = mono([rbit(q) for q in rq], 1.0) * mono(
-                [cbit(q) for q in cq], 1.0
-            )
-            masks.append(
-                (mask, np.float32(np.cos(c)), np.float32(np.sin(c)))
-            )
+            by_row.setdefault(rq, []).append((cq, c))
+        masks = []
+        for rq, terms in by_row.items():
+            mask = mono([rbit(q) for q in rq], 1.0)
+            vangle = jnp.zeros((1, _C), dtype=jnp.float32)
+            for cq, c in terms:
+                vangle = vangle + mono([cbit(q) for q in cq], c)
+            masks.append((mask, jnp.cos(vangle), jnp.sin(vangle)))
         return rfac, cfac, masks
 
     def diag_phase(groups, i):
         """(pc, ps) phase planes for one strip's block.
 
-        Few mixed monomials: the separable mask path below (vector
-        cos/sin + per-monomial masked complex multiplies, ~10 VPU ops
-        each). Many mixed monomials — the merged-QFT-ladder shape, where
-        a single fused diag step can carry every free-row x lane CP of
-        the circuit (63 at n=28) — flip to ANGLE ACCUMULATION: group the
-        monomials by row support, fold each group's col part into one
-        lane-vector angle, add the <= #row-bits outer products onto a
-        (br, C) angle plane (2 ops per group per element), and pay ONE
-        block-shaped cos/sin. Per element that is ~2*G + ~20 ops instead
-        of ~10 per monomial — the masked path's cost is what made the
-        old WINDOW_DIAG_MIXED_CAP=8 necessary and split QFT-28's seam
-        sweep into 10 separate diag passes (93.5 ms of the 232.9 ms
-        total, profiled 2026-08-20)."""
+        Few ROW-SUPPORT GROUPS of mixed monomials (a QFT CP fan is one
+        group however many lanes it spans): the grouped-mask path in
+        ``diag_factors`` — all transcendentals on (br,1)/(1,C) vectors,
+        ~10 VPU ops per group per element. Many groups (every monomial a
+        distinct row support): ANGLE ACCUMULATION — add the G outer
+        products onto a (br, C) angle plane (2 ops per group) and pay
+        ONE block-shaped cos/sin (~20-35 ops), which beats G masked
+        multiplies once G exceeds ~4. Both replaced the per-MONOMIAL
+        scalar masks whose ~10 ops x 7 monomials x 10 steps made QFT-28's
+        seam sweep 93.5 ms of a 232.9 ms total (profiled 2026-08-20;
+        block-angle landed 73.9 ms, grouping removes the block cos/sin
+        too)."""
         const, row_monos, col_monos, mixed = groups
-        if len(mixed) <= _diag_mask_max():
+        if len({rq for rq, _cq, _c in mixed}) <= _diag_mask_max():
             return _combine_factors(*diag_factors(groups, i))
         rows = block_rows(i)
 
@@ -506,7 +510,9 @@ def _window_kernel_body(n: int, seg_sizes, steps, br, in_ids, out_ids, *refs):
 
     def _combine_factors(rfac, cfac, masks):
         """Fold separable + masked factors into one complex phase array
-        of the minimal broadcastable shape ((br,1), (1,C) or (br,C))."""
+        of the minimal broadcastable shape ((br,1), (1,C) or (br,C)).
+        Each mask entry is (row mask (br,1), cos, sin) where cos/sin are
+        scalar-or-(1,C) lane-vector phases (grouped mixed monomials)."""
         if rfac is None and cfac is None:
             pc = jnp.ones((1, 1), jnp.float32)
             ps = jnp.zeros((1, 1), jnp.float32)

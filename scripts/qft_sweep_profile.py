@@ -33,10 +33,19 @@ from rustqip_tpu.utils import observe
 
 
 def main():
+    kind = "qft"
+    if "--grover" in sys.argv:
+        sys.argv.remove("--grover")
+        kind = "grover"
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 28
-    print(f"backend: {jax.default_backend()} n={n}", file=sys.stderr)
+    print(f"backend: {jax.default_backend()} {kind} n={n}", file=sys.stderr)
     b = LocalBuilder()
-    qfft(b, b.register(n))
+    if kind == "grover":
+        from rustqip_tpu.algos.grover import grover_iteration
+
+        grover_iteration(b, b.register(n), (1 << n) - 3)
+    else:
+        qfft(b, b.register(n))
     t0 = time.time()
     rows = observe.profile_passes_fused(b, extra_reps=7, iters=2)
     total_s = time.time() - t0

@@ -487,33 +487,45 @@ def test_h3_window_with_diag():
     )
 
 
-def test_window_diag_angle_path_many_mixed():
-    """Diag steps with MORE than ``pallas_kernels._DIAG_MASK_MAX`` mixed
-    monomials that survive per-strip specialization (free-row x lane
-    CPs — the QFT-28 seam-window shape, 7 per step) evaluate via the
-    row-grouped angle-accumulation path (one block cos/sin) instead of
-    per-monomial masked multiplies. Six CPs on free row bits 2,3 x six
-    lane bits merge into ONE diag step (cap raised to 96) with 6 mixed
-    monomials in 2 row groups; parity vs the op-by-op engine."""
+@pytest.mark.parametrize("wide", [False, True])
+def test_window_diag_mixed_group_paths(wide):
+    """Mixed monomials that survive per-strip specialization (free-row x
+    lane CPs — the QFT-28 seam-window shape) group by ROW SUPPORT:
+    wide=False builds 7 CPs in 2 row groups (grouped-mask path: row
+    mask + lane-vector phase per group, incl. one multi-bit col
+    support); wide=True spreads 6 CPs over 6 distinct row groups,
+    crossing ``_diag_mask_max`` into the block angle-accumulation path.
+    All CPs merge into ONE diag step (cap 96); parity vs the op-by-op
+    engine."""
     from rustqip_tpu.engine import pallas_kernels
+    from rustqip_tpu.engine.real_apply import merge_window_steps
     from rustqip_tpu.ops.matrix_ops import PhaseProductOp
 
-    def cp(a, b, theta):
-        return PhaseProductOp(
-            (((a, b), (1, 1, 1, np.exp(1j * theta))),)
-        )
+    def cp(qs, theta):
+        dim = 1 << len(qs)
+        vals = [1] * dim
+        vals[-1] = np.exp(1j * theta)
+        return PhaseProductOp(((tuple(qs), tuple(vals)),))
 
-    ops = [
-        make_matrix_op([0], gates.H.reshape(-1)),
-        cp(2, 13, 0.31),
-        cp(2, 14, 0.52),
-        cp(3, 15, 0.73),
-        cp(3, 16, 0.94),
-        cp(2, 17, 1.15),
-        cp(3, 18, 1.36),
-        make_matrix_op([0], gates.T.reshape(-1)),
-    ]
-    from rustqip_tpu.engine.real_apply import merge_window_steps
+    if wide:
+        cps = [cp((t, 13 + t % 6), 0.2 + 0.2 * t) for t in range(2, 8)]
+        n_groups = 6
+    else:
+        cps = [
+            cp((2, 13), 0.31),
+            cp((2, 14), 0.52),
+            cp((3, 15), 0.73),
+            cp((3, 16), 0.94),
+            cp((2, 17), 1.15),
+            cp((3, 18), 1.36),
+            cp((3, 14, 17), 0.41),  # multi-bit col support in a group
+        ]
+        n_groups = 2
+    ops = (
+        [make_matrix_op([0], gates.H.reshape(-1))]
+        + cps
+        + [make_matrix_op([0], gates.T.reshape(-1))]
+    )
 
     window, j = _collect_window(N, ops, 0, allow_diag=True)
     assert j == len(ops)
@@ -521,7 +533,9 @@ def test_window_diag_angle_path_many_mixed():
     steps = merge_window_steps(N, steps)
     diags = [s for s in steps if s[0] == "diag"]
     assert len(diags) == 1, [s[0] for s in steps]
-    assert len(diags[0][1][3]) > pallas_kernels._diag_mask_max()
+    groups = {rq for rq, _cq, _c in diags[0][1][3]}
+    assert len(groups) == n_groups
+    assert (len(groups) > pallas_kernels._diag_mask_max()) == wide
     assert _window_kernel_applicable(N, hq, steps)
 
     R, C = 1 << (N - 7), 128
