@@ -81,13 +81,20 @@ def main():
         and abs(probs[outcome] - 1.0) < 1e-3
         and abs(sum(probs) - 1.0) < 1e-3
     )
-    # steady-state timing: rerun the same compiled program
+    # steady-state timing: rerun the same compiled program. Drop the
+    # validation run's planes FIRST — at n=30 two (re, im) states are
+    # 17.2 GB and cannot coexist in 16 GB HBM (observed
+    # RESOURCE_EXHAUSTED on the rerun fetch, 2026-08-20).
+    del re, im
     times = []
     for i in range(3):
         t0 = time.time()
-        re, im, results = cc.run(initial_index=0, key=jax.random.PRNGKey(i))
+        re2, im2, results = cc.run(
+            initial_index=0, key=jax.random.PRNGKey(i)
+        )
         float(results[0][1])  # scalar fetch = relay-safe sync
         times.append(time.time() - t0)
+        del re2, im2
     times.sort()
     print(json.dumps({
         "n": n,
