@@ -532,6 +532,55 @@ def test_gex_flip_path_matches_gather_path():
     np.testing.assert_allclose(got_gather, got_flip, atol=0)
 
 
+@pytest.mark.parametrize("seed", [5])
+def test_gex_flip_fuzz_random_xor_affine(seed):
+    """Seeded-random gex-flip coverage at the kl=4 threshold edge:
+    XOR-affine oracles (col = row ^ m, random m and random phases on
+    the untouched bits) on two index shapes that lower to gex with
+    kl=4 local bits — contiguous and scattered. Sharded (default flip
+    layout) must match the single-device engine exactly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from rustqip_tpu.parallel import make_shard_mesh
+    from rustqip_tpu.parallel.shard_ops import (
+        _lower_schedule,
+        apply_sharded_ops,
+        make_sharded_pair,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, g = 9, 3
+    mesh = make_shard_mesh(8)
+    # Two fixed gex-guaranteed shapes (globals outnumber the free local
+    # slots), random mask/phase values: kl=4 contiguous and kl=4 with a
+    # lane-and-row scatter of local bits.
+    for locs in ((3, 4, 5, 6), (3, 5, 6, 8)):
+        idx = tuple(range(g)) + locs
+        k = len(idx)
+        m = int(rng.integers(1, 1 << k))
+        th = float(rng.uniform(0, 2 * np.pi))
+
+        def oracle(row, m=m, th=th):
+            keep = (~np.int32(m)) & ((1 << k) - 1)
+            return row ^ m, jnp.exp(1j * th * (row & keep))
+
+        op = make_fn_op(idx, oracle, self_transpose=True)
+        sched = _lower_schedule(n, g, [op])
+        assert [kind for kind, *_ in sched] == ["gex"]
+        hs = [
+            make_matrix_op([q], gates.H.reshape(-1))
+            for q in range(0, n, 2)
+        ]
+        re, im = make_sharded_pair(mesh, n, initial_index=0,
+                                   dtype=np.float64)
+        re, im = apply_sharded_ops(mesh, n, hs + [op], re, im)
+        got = np.asarray(re) + 1j * np.asarray(im)
+        v = jnp.zeros(1 << n, jnp.complex128).at[0].set(1.0)
+        for o in hs + [op]:
+            v = apply_op(n, o, v)
+        np.testing.assert_allclose(got, np.asarray(v), atol=1e-12)
+
+
 def test_fn_op_gex_unsorted_indices_and_inverse():
     """gex with UNSORTED op indices, complex phases, and the conjugated
     inverse: op then invert_op(op) must return the input state (the
