@@ -45,8 +45,17 @@ def oracle_phase_flip(b, r, marked: int):
     return negate_bitmask(b, r, marked)
 
 
-def diffusion(b, r):
-    """Inversion about the mean: H^n X^n (multi-controlled Z) X^n H^n."""
+def diffusion(b, r, native: bool = False):
+    """Inversion about the mean: H^n X^n (multi-controlled Z) X^n H^n.
+
+    ``native=True`` applies the engine's ``ReflectionOp`` instead
+    (``b.apply_reflection``): ``2|s><s| - I`` as ONE reduction + one
+    elementwise pass at any width — equal to the gate composition up to
+    a global phase of -1 (the gate form is ``-(2|s><s| - I)``), so all
+    measurement statistics coincide while the per-iteration cost drops
+    from ~2n+1 state passes to ~2."""
+    if native:
+        return b.apply_reflection(r)
     r = b.h(r)  # broadcasts
     r = negate_bitmask(b, r, 0)
     r = _multi_controlled_z(b, r)
@@ -54,18 +63,24 @@ def diffusion(b, r):
     return b.h(r)
 
 
-def grover_iteration(b, r, marked: int):
+def grover_iteration(b, r, marked: int, native_diffusion: bool = False):
     """One oracle + diffusion round."""
     r = oracle_phase_flip(b, r, marked)
-    return diffusion(b, r)
+    return diffusion(b, r, native=native_diffusion)
 
 
-def grover_search(b, n: int, marked: int, iterations: int = None):
+def grover_search(
+    b, n: int, marked: int, iterations: int = None,
+    native_diffusion: bool = False,
+):
     """Build a full Grover search circuit on a fresh n-qubit register.
 
     Returns ``(register, measurement_handle)``; run with
     ``b.calculate_state()`` and read the handle. With the optimal iteration
     count the marked value dominates the outcome distribution.
+    ``native_diffusion=True`` swaps the gate-built diffusion for the
+    engine's native reflection op (see ``diffusion``) — identical outcome
+    distribution, ~(n+1)x fewer state passes per round.
     """
     if iterations is None:
         iterations = max(1, int(np.floor(np.pi / 4 * np.sqrt(2**n))))
@@ -73,6 +88,12 @@ def grover_search(b, n: int, marked: int, iterations: int = None):
     r = b.h(r)
     # One iteration body, compiled once and looped on device (lax.fori_loop)
     # rather than unrolled `iterations` times.
-    r = b.repeat(iterations, lambda bb, rr: grover_iteration(bb, rr, marked), r)
+    r = b.repeat(
+        iterations,
+        lambda bb, rr: grover_iteration(
+            bb, rr, marked, native_diffusion=native_diffusion
+        ),
+        r,
+    )
     r, handle = b.measure_stochastic(r)
     return r, handle

@@ -22,6 +22,7 @@ from rustqip_tpu.builder.circuit_objects import (
     MeasurementObject,
     NamedGate,
     PipelineItem,
+    ReflectionGate,
     RepeatBlock,
     FnGate,
     RzGate,
@@ -164,7 +165,22 @@ def _lower_item(item: PipelineItem) -> List[PipelineEntry]:
                 )
             )
         ]
+    if isinstance(obj, ReflectionGate):
+        from rustqip_tpu.ops.matrix_ops import make_reflection_op
+
+        return [UnitaryEntry(make_reflection_op(list(indices)))]
     if isinstance(obj, ControlledMatGate):
+        if isinstance(obj.mat, ReflectionGate):
+            from rustqip_tpu.ops.matrix_ops import make_reflection_op
+
+            return [
+                UnitaryEntry(
+                    make_control_op(
+                        list(indices[: obj.n_ctrl]),
+                        make_reflection_op(list(indices[obj.n_ctrl :])),
+                    )
+                )
+            ]
         if isinstance(obj.mat, SparseMatGate):
             inner = make_sparse_matrix_op(
                 list(indices[obj.n_ctrl :]), obj.mat.rows
@@ -527,6 +543,39 @@ class LocalBuilder(
             raise CircuitError("Cannot condition measurements.")
         if self._native_conditioning:
             return self._native_condition(cr, r, co)
+        if isinstance(obj, ReflectionGate):
+            # The gate core H^k X^k (mcZ) X^k H^k equals -D (it phase-
+            # flips |0..0>, i.e. I - 2|0><0|), so conditioning just its
+            # central mcZ (C(A B A^dagger) = A C(B) A^dagger) yields
+            # C(-D). C(D) needs the extra controlled global phase -1 —
+            # realized below as an mcZ on the condition register itself.
+            if cr.n == 1:
+                cr = self.z(cr)
+            else:
+                crest, clast = self.split_last_qubit(cr)
+                crest, clast = self.try_apply_with_condition(
+                    crest, clast, CircuitObject(1, NamedGate("Z"))
+                )
+                cr = self.merge_two_registers(crest, clast)
+            r = self.h(r)
+            r = self.not_(r)
+            ncr = cr.n
+            if r.n == 1:
+                cr, r = self.try_apply_with_condition(
+                    cr, r, CircuitObject(1, NamedGate("Z"))
+                )
+            else:
+                rest, last = self.split_last_qubit(r)
+                big = self.merge_two_registers(cr, rest)
+                big, last = self.try_apply_with_condition(
+                    big, last, CircuitObject(1, NamedGate("Z"))
+                )
+                res = self.split_register_relative(big, range(ncr))
+                cr = res.selected
+                r = self.merge_two_registers(res.remaining, last)
+            r = self.not_(r)
+            r = self.h(r)
+            return cr, r
         if isinstance(obj, NamedGate):
             name = obj.name
             if name == "X":
@@ -706,7 +755,7 @@ class LocalBuilder(
             )
             out = first if rest is None else self.merge_two_registers(first, rest)
             return cr, out
-        if isinstance(obj, (MatGate, SparseMatGate, FnGate)):
+        if isinstance(obj, (MatGate, SparseMatGate, FnGate, ReflectionGate)):
             return self._push_controlled_mat(cr, r, obj)
         if isinstance(obj, ControlledMatGate):
             n_ctrl_new = cr.n + obj.n_ctrl

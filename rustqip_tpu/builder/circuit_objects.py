@@ -189,6 +189,42 @@ class FnGate:
         return f"FnGate(n={self.n_qubits}, tag={self.tag!r})"
 
 
+class ReflectionGate:
+    """Reflection about the uniform superposition on its qubits:
+    ``2|s><s| - I`` — the builder-level face of
+    ``ops.matrix_ops.ReflectionOp``. A TPU-native composite with no
+    reference analog (the reference composes Grover diffusion from
+    ``2k`` Hadamards + X's + a multi-controlled Z; this gate is one
+    reduction + one elementwise pass at any width, and one ``psum``
+    under sharding). Real, symmetric, self-inverse."""
+
+    __slots__ = ("n_qubits",)
+
+    def __init__(self, n_qubits):
+        if n_qubits < 1:
+            raise CircuitError("ReflectionGate needs at least one qubit")
+        self.n_qubits = int(n_qubits)
+
+    @property
+    def n(self) -> int:
+        return self.n_qubits
+
+    def fingerprint(self):
+        return ("reflect", self.n_qubits)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, ReflectionGate)
+            and self.n_qubits == other.n_qubits
+        )
+
+    def __hash__(self):
+        return hash(self.fingerprint())
+
+    def __repr__(self):
+        return f"ReflectionGate(n={self.n_qubits})"
+
+
 class ControlledMatGate:
     """n_ctrl-controlled arbitrary unitary — native controlled-MAT (the
     reference's missing case, builder.rs:808)."""
@@ -348,8 +384,12 @@ def invert_circuit_object(co: CircuitObject) -> List[CircuitObject]:
             FnGate(obj.n_qubits, obj.fn, obj.tag, not obj.conjugated,
                    True, obj.diagonal)
         ]
+    elif isinstance(obj, ReflectionGate):
+        seq = [obj]  # self-inverse
     elif isinstance(obj, ControlledMatGate):
-        if isinstance(obj.mat, (SparseMatGate, FnGate)):
+        if isinstance(obj.mat, ReflectionGate):
+            seq = [obj]  # self-inverse inner => self-inverse control
+        elif isinstance(obj.mat, (SparseMatGate, FnGate)):
             (inner,) = invert_circuit_object(
                 CircuitObject(obj.mat.n, obj.mat)
             )

@@ -170,6 +170,23 @@ class UnitaryBuilderMixin:
             ),
         )
 
+    def apply_reflection(self, r: Register) -> Register:
+        """Reflect ``r`` about its uniform superposition:
+        ``psi -> (2|s><s| - I) psi`` with ``|s> = H^n |0>`` — Grover's
+        inversion-about-the-mean as ONE native op. The reference (and
+        ``algos.grover.diffusion``) composes this from ``2n`` Hadamards,
+        ``2n`` X's and a multi-controlled Z — ``O(n)`` state passes; the
+        native op is one reduction + one elementwise pass at any width
+        (``mean`` then ``2*mean - psi``), and under sharding the
+        reduction is a single ``psum`` riding ICI. Conditioning routes
+        through ``try_apply_with_condition`` like every gate, so
+        ``cb.apply_reflection(r)`` is the controlled reflection."""
+        from rustqip_tpu.builder.circuit_objects import ReflectionGate
+
+        return self.apply_circuit_object(
+            r, CircuitObject(r.n, ReflectionGate(r.n))
+        )
+
 
 class CliffordTMixin:
     """Named Clifford+T gates (ref CliffordTBuilder, :290-483)."""

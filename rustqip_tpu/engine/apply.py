@@ -49,6 +49,7 @@ from rustqip_tpu.ops.matrix_ops import (
     FnOp,
     MatrixOp,
     PhaseProductOp,
+    ReflectionOp,
     SparseOp,
     SwapOp,
     expand_op_matrix,
@@ -859,6 +860,73 @@ def _apply_swap(n: int, op: SwapOp, state: jnp.ndarray) -> jnp.ndarray:
     return state
 
 
+def _reflection_plan(n: int, indices: Tuple[int, ...]):
+    """Host-side plan for one reflection pass on the (R, C) view: the
+    optional (C, C) 0/1 lane-sum matrix (sums over the op's column-qubit
+    bits, broadcasting back within each lane group — ONE MXU matmul) and
+    the row-axis runs-reshape (sum over the op's row-qubit bits as a
+    keepdims reduction over contiguous bit runs; rank = #runs + 1 and the
+    minor dim stays C, so the (8,128) tiling never pads)."""
+    m, _R, C = _geometry(n)
+    n_m = n - m
+    col_q = [q for q in indices if q >= n_m]
+    row_q = set(q for q in indices if q < n_m)
+    B = None
+    if col_q:
+        drop = 0
+        for q in col_q:
+            drop |= 1 << (n - 1 - q)
+        keep = (C - 1) & ~drop
+        cols = np.arange(C)
+        B = ((cols[:, None] & keep) == (cols[None, :] & keep)).astype(
+            np.float64
+        )
+    shape = axes = None
+    if row_q:
+        runs: List[List] = []  # [bit-run length, in-op?]
+        for pos in range(n_m):  # MSB-first: row-axis position of qubit q is q
+            member = pos in row_q
+            if runs and runs[-1][1] == member:
+                runs[-1][0] += 1
+            else:
+                runs.append([1, member])
+        shape = tuple(1 << L for L, _ in runs) + (C,)
+        axes = tuple(i for i, (_, mem) in enumerate(runs) if mem)
+    return B, shape, axes
+
+
+def _reflection_sum_2d(n: int, indices, x2d: jnp.ndarray):
+    """``(summed, runs_shape)``: sum of ``x2d`` over the given qubit bits,
+    broadcast within lanes (col bits, via one MXU matmul against a 0/1
+    matrix) and keepdims-reduced over row bits (``runs_shape`` is the view
+    the caller must take of a full plane to broadcast against it; None if
+    no row bits are involved and ``summed`` is already (R, C))."""
+    B, shape, axes = _reflection_plan(n, tuple(indices))
+    s = x2d
+    if B is not None:
+        s = jnp.matmul(
+            s, jnp.asarray(B, dtype=x2d.dtype), precision=MATMUL_PRECISION
+        )
+    if shape is not None:
+        s = jnp.sum(s.reshape(shape), axis=axes, keepdims=True)
+    return s, shape
+
+
+def _apply_reflection_2d(
+    n: int, op: ReflectionOp, x2d: jnp.ndarray
+) -> jnp.ndarray:
+    """``psi -> 2*mean_Q(psi) - psi`` blockwise on the (R, C) view (see
+    ``ReflectionOp``). The operator matrix is real, so the same transform
+    serves the complex state and each (re, im) plane; the whole op is one
+    reduction + one elementwise pass regardless of width (vs 2k+1 gate
+    passes for the H/X/mcZ composition the reference would run)."""
+    red, shape = _reflection_sum_2d(n, op.indices, x2d)
+    scale = 2.0 / (1 << op.num_indices)
+    if shape is not None:
+        return (scale * red - x2d.reshape(shape)).reshape(x2d.shape)
+    return scale * red - x2d
+
+
 def _apply_to_state(n: int, op: MatrixOp, state: jnp.ndarray) -> jnp.ndarray:
     if isinstance(op, PhaseProductOp):
         _, R, C = _geometry(n)
@@ -879,6 +947,9 @@ def _apply_to_state(n: int, op: MatrixOp, state: jnp.ndarray) -> jnp.ndarray:
         # Traced-function oracle: one gather pass, nothing embeds
         # (the reference's lazy FunctionOpIterator, qubit_iterators.rs:223).
         return _apply_fn_wide(n, op, state)
+    if isinstance(op, ReflectionOp):
+        _, R, C = _geometry(n)
+        return _apply_reflection_2d(n, op, state.reshape(R, C)).reshape(-1)
     raise TypeError(f"Unknown op {op!r}")
 
 
@@ -945,6 +1016,10 @@ def _t_apply(n: int, op: MatrixOp, tensor: jnp.ndarray) -> jnp.ndarray:
     if isinstance(op, FnOp):
         flat = _apply_fn_wide(n, op, tensor.reshape(-1))
         return flat.reshape(tensor.shape)
+    if isinstance(op, ReflectionOp):
+        scale = 2.0 / (1 << op.num_indices)
+        red = jnp.sum(tensor, axis=op.indices, keepdims=True)
+        return scale * red - tensor
     raise TypeError(f"Unknown op {op!r}")
 
 
@@ -975,6 +1050,9 @@ def _reindex_op(op: MatrixOp, new_indices: Tuple[int, ...]) -> MatrixOp:
             tuple(new_indices), op.fn, op.tag, op.conjugated,
             op.self_transpose, op.diagonal,
         )
+    if isinstance(op, ReflectionOp):
+        # Order-invariant (|s><s| is permutation-symmetric): re-sort.
+        return ReflectionOp(tuple(sorted(new_indices)))
     raise TypeError(f"Unknown op {op!r}")
 
 

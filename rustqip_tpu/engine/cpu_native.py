@@ -21,6 +21,7 @@ from rustqip_tpu.ops.matrix_ops import (
     ControlOp,
     DenseOp,
     MatrixOp,
+    ReflectionOp,
     SparseOp,
     SwapOp,
     op_to_dense,
@@ -108,7 +109,9 @@ def native_apply_op(n: int, op: MatrixOp, state: np.ndarray) -> np.ndarray:
     out = np.empty_like(state)
     in_pairs = _as_pairs(state, real)
     out_pairs = out.view(real)
-    if isinstance(op, (DenseOp, SparseOp)):
+    # ReflectionOp: the oracle has no reduction kernel — densify
+    # (2/N J - I), exact at any small test width.
+    if isinstance(op, (DenseOp, SparseOp, ReflectionOp)):
         mat = np.ascontiguousarray(op_to_dense(op).astype(state.dtype))
         idx = _i32(op.indices)
         getattr(lib, f"qip_apply_dense_{suffix}")(

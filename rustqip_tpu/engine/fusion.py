@@ -20,6 +20,7 @@ from rustqip_tpu.ops.matrix_ops import (
     FnOp,
     MatrixOp,
     PhaseProductOp,
+    ReflectionOp,
     SwapOp,
     diagonal_of,
     expand_op_matrix,
@@ -157,6 +158,8 @@ def fuse_ops(
         if (
             op.num_indices > max_qubits
             or isinstance(op, FnOp)  # traced fns stay lazy — never densify
+            # reflections are one reduction pass at any width — never densify
+            or isinstance(op, ReflectionOp)
             or (keep is not None and keep(op))
         ):
             flush()

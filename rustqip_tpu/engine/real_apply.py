@@ -32,6 +32,7 @@ from rustqip_tpu.ops.matrix_ops import (
     FnOp,
     MatrixOp,
     PhaseProductOp,
+    ReflectionOp,
     SparseOp,
     SwapOp,
     op_to_dense,
@@ -214,6 +215,14 @@ def apply_op_ri(n: int, op: MatrixOp, re: jnp.ndarray, im: jnp.ndarray) -> Pair:
         out_r, out_i = _fn_apply_planes(
             n, op, re.reshape(R, C), im.reshape(R, C)
         )
+        return out_r.reshape(-1), out_i.reshape(-1)
+    if isinstance(op, ReflectionOp):
+        # Real operator: the same reduction + elementwise pass per plane.
+        from rustqip_tpu.engine.apply import _apply_reflection_2d
+
+        _, R, C = _geometry(n)
+        out_r = _apply_reflection_2d(n, op, re.reshape(R, C))
+        out_i = _apply_reflection_2d(n, op, im.reshape(R, C))
         return out_r.reshape(-1), out_i.reshape(-1)
     raise TypeError(f"Unknown op {op!r}")
 

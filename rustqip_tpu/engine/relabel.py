@@ -36,6 +36,7 @@ from rustqip_tpu.ops.matrix_ops import (
     FnOp,
     MatrixOp,
     PhaseProductOp,
+    ReflectionOp,
     SparseOp,
     SwapOp,
 )
@@ -73,6 +74,8 @@ def remap_op(op: MatrixOp, pos: Sequence[int]) -> MatrixOp:
             tuple(pos[q] for q in op.indices), op.fn, op.tag,
             op.conjugated, op.self_transpose, op.diagonal,
         )
+    if isinstance(op, ReflectionOp):
+        return ReflectionOp(tuple(sorted(pos[q] for q in op.indices)))
     raise TypeError(f"Unknown op {op!r}")
 
 

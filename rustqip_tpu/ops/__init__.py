@@ -11,11 +11,13 @@ from rustqip_tpu.ops.matrix_ops import (
     SwapOp,
     ControlOp,
     FnOp,
+    ReflectionOp,
     make_matrix_op,
     make_sparse_matrix_op,
     make_sparse_matrix_from_function,
     make_fn_op,
     make_function_op,
+    make_reflection_op,
     make_swap_op,
     make_control_op,
     invert_op,
@@ -43,11 +45,13 @@ __all__ = [
     "SwapOp",
     "ControlOp",
     "FnOp",
+    "ReflectionOp",
     "make_matrix_op",
     "make_sparse_matrix_op",
     "make_sparse_matrix_from_function",
     "make_fn_op",
     "make_function_op",
+    "make_reflection_op",
     "make_swap_op",
     "make_control_op",
     "invert_op",

@@ -180,6 +180,36 @@ class PhaseProductOp:
 
 
 @dataclass(frozen=True)
+class ReflectionOp:
+    """Householder reflection about the uniform superposition on
+    ``indices``: ``D = 2|s><s| - I`` with ``|s> = H^k |0>``, applied
+    blockwise over the complement qubits.
+
+    TPU-native fusion target with no reference analog (the reference —
+    like Grover's original formulation — builds inversion-about-the-mean
+    from ``2k`` Hadamards plus a multi-controlled Z, one pass each; cf.
+    the diffusion composition this library also offers in
+    ``algos/grover.py``). On a state vector the whole operator is just
+    ``psi -> 2*mean_Q(psi) - psi``: ONE reduction over the op's qubits
+    plus one elementwise pass — and under sharding the reduction is a
+    single ``psum`` riding ICI. ``D`` is real, symmetric, and
+    self-inverse, so conj/transpose/invert are all the identity map.
+
+    ``indices`` is normalized sorted (``|s><s|`` is permutation-
+    symmetric in its qubits, so order carries no information).
+    """
+
+    indices: Tuple[int, ...]
+
+    @property
+    def num_indices(self) -> int:
+        return len(self.indices)
+
+    def __hash__(self) -> int:
+        return hash(("ReflectionOp", self.indices))
+
+
+@dataclass(frozen=True)
 class FnOp:
     """Traced-function oracle op: a generalized permutation whose single
     nonzero per row is COMPUTED IN-TRACE — ``fn(row) -> (col, val)`` with
@@ -232,7 +262,9 @@ class FnOp:
         )
 
 
-MatrixOp = Union[DenseOp, SparseOp, SwapOp, ControlOp, PhaseProductOp, FnOp]
+MatrixOp = Union[
+    DenseOp, SparseOp, SwapOp, ControlOp, PhaseProductOp, FnOp, ReflectionOp
+]
 
 #: Largest diagonal materialized per term (2^16 complex values).
 DIAG_CAP = 16
@@ -473,6 +505,18 @@ def make_function_op(
     )
 
 
+def make_reflection_op(indices: Sequence[int]) -> ReflectionOp:
+    """Validated constructor for ``2|s><s| - I`` on ``indices`` (see
+    ``ReflectionOp``). No reference analog — the reference composes
+    inversion-about-the-mean from gates."""
+    indices = tuple(sorted(int(i) for i in indices))
+    if not indices:
+        raise CircuitError("Must supply at least one op index")
+    if len(set(indices)) != len(indices):
+        raise CircuitError("Reflection indices must be unique")
+    return ReflectionOp(indices)
+
+
 def make_swap_op(a_indices: Sequence[int], b_indices: Sequence[int]) -> SwapOp:
     """Validated swap-op constructor (ref matrix_ops.rs:84)."""
     a = tuple(int(i) for i in a_indices)
@@ -529,6 +573,8 @@ def op_fingerprint(op: MatrixOp) -> tuple:
     if isinstance(op, FnOp):
         return ("F", op.indices, op.tag, op.conjugated,
                 op.self_transpose, op.diagonal)
+    if isinstance(op, ReflectionOp):
+        return ("R", op.indices)
     raise TypeError(f"Unknown op {op!r}")
 
 
@@ -557,6 +603,8 @@ def conj_op(op: MatrixOp) -> MatrixOp:
             op.indices, op.fn, op.tag, not op.conjugated,
             op.self_transpose, op.diagonal,
         )
+    if isinstance(op, ReflectionOp):
+        return op  # real matrix
     raise TypeError(f"Unknown op {op!r}")
 
 
@@ -583,6 +631,8 @@ def transpose_op(op: MatrixOp) -> MatrixOp:
             "column map is not derivable from fn). Use make_function_op "
             "(XOR oracles are their own transpose) or a SparseOp."
         )
+    if isinstance(op, ReflectionOp):
+        return op  # symmetric matrix
     raise TypeError(f"Unknown op {op!r}")
 
 
@@ -636,6 +686,10 @@ def op_to_dense(op: MatrixOp) -> np.ndarray:
                 t |= bit << (kt - 1 - j)
             diag = diag * np.asarray(tdiag)[t]
         return np.diag(diag)
+    if isinstance(op, ReflectionOp):
+        return (2.0 / dim) * np.ones((dim, dim), dtype=np.complex128) - np.eye(
+            dim, dtype=np.complex128
+        )
     if isinstance(op, FnOp):
         if k > _max_sparse_bits():
             raise CircuitError(

@@ -54,6 +54,7 @@ from rustqip_tpu.ops.matrix_ops import (
     FnOp,
     MatrixOp,
     PhaseProductOp,
+    ReflectionOp,
     SparseOp,
     SwapOp,
     make_swap_op,
@@ -100,6 +101,20 @@ def _op_index_dtype(k: int):
 def _local_op(op: MatrixOp, g: int) -> MatrixOp:
     """Reindex an op on qubits >= g into the shard-local qubit space."""
     return _reindex_op(op, tuple(q - g for q in op.indices))
+
+
+def _reflect_psum_groups(g: int, gq: Tuple[int, ...]):
+    """Device groups for a psum over a SUBSET of the g device-index bits
+    (a reflection whose global qubits are a strict subset): devices that
+    agree on every non-``gq`` global bit reduce together."""
+    keep = 0
+    for q in range(g):
+        if q not in gq:
+            keep |= 1 << (g - 1 - q)
+    groups: dict = {}
+    for dev in range(1 << g):
+        groups.setdefault(dev & keep, []).append(dev)
+    return [groups[k] for k in sorted(groups)]
 
 
 def _remap_op(op: MatrixOp, mapping: dict) -> MatrixOp:
@@ -206,6 +221,27 @@ def _lower_op(n: int, g: int, op: MatrixOp, sched: List) -> None:
         # This is how a 33q+ sharded Grover marks states without a single
         # collective.
         sched.append(("fndiag", op))
+        return
+
+    if isinstance(op, ReflectionOp) and globals_:
+        # Reflection about the uniform superposition: the distributed
+        # mean IS one (grouped) psum of the shard-local partial sums —
+        # the textbook all-reduce shape, zero data exchange beyond the
+        # reduced plane. No relocation ever needed.
+        sched.append(("reflect", op, (), ()))
+        return
+
+    if (
+        isinstance(op, ControlOp)
+        and isinstance(op.inner, ReflectionOp)
+        and any(q < g for q in op.inner.indices)
+    ):
+        # Controlled reflection whose target spans global qubits: same
+        # psum path, with the control select folded in (global controls
+        # read the device index, local ones the flat iota).
+        gctrl = tuple(q for q in op.control_indices if q < g)
+        lctrl = tuple(q - g for q in op.control_indices if q >= g)
+        sched.append(("reflect", op.inner, gctrl, lctrl))
         return
 
     if (
@@ -811,6 +847,55 @@ def apply_sharded_ops(
                             acc_i = acc_i + jnp.where(sel, ti, 0)
                 re_s = acc_r.reshape(re_s.shape)
                 im_s = acc_i.reshape(im_s.shape)
+            elif kind == "reflect":
+                _, rop, gctrl, lctrl = entry
+                from rustqip_tpu.engine.apply import (
+                    _geometry,
+                    _reflection_sum_2d,
+                )
+
+                gq = tuple(q for q in rop.indices if q < g)
+                lidx = tuple(q - g for q in rop.indices if q >= g)
+                scale = 2.0 / (1 << rop.num_indices)
+                _, R_l, C_l = _geometry(local_n)
+                x_r = re_s.reshape(R_l, C_l)
+                x_i = im_s.reshape(R_l, C_l)
+                # Shard-local partial sums (reduced keepdims planes) ...
+                sr, shp = _reflection_sum_2d(local_n, lidx, x_r)
+                si, _ = _reflection_sum_2d(local_n, lidx, x_i)
+                # ... then ONE (grouped) psum over the op's device bits.
+                if gq:
+                    if len(gq) == g:
+                        sr = jax.lax.psum(sr, axis)
+                        si = jax.lax.psum(si, axis)
+                    else:
+                        groups = _reflect_psum_groups(g, gq)
+                        sr = jax.lax.psum(
+                            sr, axis, axis_index_groups=groups
+                        )
+                        si = jax.lax.psum(
+                            si, axis, axis_index_groups=groups
+                        )
+                xs_r = x_r.reshape(shp) if shp is not None else x_r
+                xs_i = x_i.reshape(shp) if shp is not None else x_i
+                out_r = (scale * sr - xs_r).reshape(R_l, C_l)
+                out_i = (scale * si - xs_i).reshape(R_l, C_l)
+                if gctrl or lctrl:
+                    mask = jnp.ones((R_l, C_l), dtype=bool)
+                    for q in gctrl:
+                        mask = mask & (((my >> (g - 1 - q)) & 1) == 1)
+                    if lctrl:
+                        flat = jnp.arange(
+                            re_s.size, dtype=jnp.int32
+                        ).reshape(R_l, C_l)
+                        for ql in lctrl:
+                            mask = mask & (
+                                ((flat >> (local_n - 1 - ql)) & 1) == 1
+                            )
+                    out_r = jnp.where(mask, out_r, x_r)
+                    out_i = jnp.where(mask, out_i, x_i)
+                re_s = out_r.reshape(re_s.shape)
+                im_s = out_i.reshape(im_s.shape)
             elif kind == "fndiag":
                 _, fop = entry
                 flat = jnp.arange(re_s.size, dtype=jnp.int32)

@@ -35,6 +35,7 @@ from rustqip_tpu.builder.circuit_objects import (
     MatGate,
     MeasurementObject,
     NamedGate,
+    ReflectionGate,
     RzGate,
     SparseMatGate,
 )
@@ -86,10 +87,40 @@ def _emit_ir(gates, out: List[str], n_main: int = 1 << 62) -> None:
 
 
 _X = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+_Z = np.array([[1, 0], [0, -1]], dtype=np.complex128)
 _SWAP4 = np.array(
     [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
     dtype=np.complex128,
 )
+
+
+def _reflection_mcz(k: int) -> ControlledMatGate:
+    """The multi-controlled Z at the core of a k-qubit reflection's gate
+    expansion (H^k X^k mcZ X^k H^k = -D; the -1 is QASM-2.0-inexpressible
+    global phase, commented like every ``GlobalPhaseGate``)."""
+    return ControlledMatGate(k - 1, MatGate(_Z))
+
+
+def _emit_reflection(obj: ReflectionGate, indices, out: List[str],
+                     n_main: int) -> None:
+    k = obj.n
+    if k == 1:
+        # 2|+><+| - I == X exactly.
+        out.append(f"x q[{indices[0]}];")
+        return
+    out.append(
+        f"// reflection 2|s><s|-I on {list(indices)} as H X mcZ X H "
+        "(global phase -1 ignored in OpenQASM 2.0)"
+    )
+    for q in indices:
+        out.append(f"h q[{q}];")
+    for q in indices:
+        out.append(f"x q[{q}];")
+    _emit_controlled_mat(_reflection_mcz(k), indices, out, n_main)
+    for q in indices:
+        out.append(f"x q[{q}];")
+    for q in indices:
+        out.append(f"h q[{q}];")
 
 
 def _ctrl_target_width(obj: ControlledMatGate) -> int:
@@ -114,7 +145,20 @@ def _emit_controlled_mat(
     mat = obj.mat
     k = len(tgts)
     ladder = _ladder_ancillas_needed(obj)
-    if isinstance(mat, SparseMatGate):
+    if isinstance(mat, ReflectionGate):
+        # C(D) synthesizes from the dense 2/N J - I (the RELATIVE phase
+        # of a controlled reflection is observable, so no phase-dropping
+        # gate expansion here — contrast _emit_reflection).
+        from rustqip_tpu.ops.matrix_ops import ReflectionOp, op_to_dense
+
+        if mat.n + nc > qsd_cap() and not ladder:
+            out.append(
+                f"// controlled reflection on {list(indices)} exceeds "
+                f"synthesis cap ({qsd_cap()} qubits)"
+            )
+            return
+        data = op_to_dense(ReflectionOp(tuple(range(mat.n))))
+    elif isinstance(mat, SparseMatGate):
         from rustqip_tpu.ops.matrix_ops import SparseOp, op_to_dense
 
         if mat.n + nc > qsd_cap() and not ladder:
@@ -291,8 +335,11 @@ def to_openqasm(builder) -> str:
     n_anc = max(
         (
             _ladder_ancillas_needed(co.obj)
+            if isinstance(co.obj, ControlledMatGate)
+            else _ladder_ancillas_needed(_reflection_mcz(co.obj.n))
             for _, co in pipeline
             if isinstance(co.obj, ControlledMatGate)
+            or (isinstance(co.obj, ReflectionGate) and co.obj.n >= 2)
         ),
         default=0,
     )
@@ -318,6 +365,8 @@ def to_openqasm(builder) -> str:
                         out.append(f"measure q[{q}] -> c[{classical_map[q]}];")
         elif isinstance(obj, ControlledMatGate):
             _emit_controlled_mat(obj, indices, out, n_qubits)
+        elif isinstance(obj, ReflectionGate):
+            _emit_reflection(obj, indices, out, n_qubits)
         else:
             _emit_unitary(obj, indices, out)
 

@@ -23,6 +23,7 @@ from rustqip_tpu.builder.circuit_objects import (
     MeasurementObject,
     NamedGate,
     PipelineItem,
+    ReflectionGate,
     RepeatBlock,
     RzGate,
     SparseMatGate,
@@ -83,14 +84,22 @@ def _obj_to_json(co: CircuitObject):
         body = {"kind": "mat", "data": _mat_to_json(obj.data)}
     elif isinstance(obj, SparseMatGate):
         body = {"kind": "smat", "rows": _sparse_to_json(obj.rows)}
+    elif isinstance(obj, ReflectionGate):
+        body = {"kind": "reflect"}
     elif isinstance(obj, ControlledMatGate):
-        if isinstance(obj.mat, FnGate):
+        if isinstance(obj.mat, ReflectionGate):
+            body = {
+                "kind": "creflect",
+                "n_ctrl": obj.n_ctrl,
+                "n_target": obj.mat.n,
+            }
+        elif isinstance(obj.mat, FnGate):
             raise CircuitError(
                 f"Cannot serialize controlled traced-function gate "
                 f"{obj.mat.tag!r}: its entries are a Python callable "
                 "evaluated in-trace, not data."
             )
-        if isinstance(obj.mat, SparseMatGate):
+        elif isinstance(obj.mat, SparseMatGate):
             body = {
                 "kind": "csmat",
                 "n_ctrl": obj.n_ctrl,
@@ -140,6 +149,12 @@ def _obj_from_json(d) -> CircuitObject:
     elif kind == "csmat":
         obj = ControlledMatGate(
             int(d["n_ctrl"]), SparseMatGate(_sparse_from_json(d["rows"]))
+        )
+    elif kind == "reflect":
+        obj = ReflectionGate(int(d["n"]))
+    elif kind == "creflect":
+        obj = ControlledMatGate(
+            int(d["n_ctrl"]), ReflectionGate(int(d["n_target"]))
         )
     elif kind == "measure":
         obj = MeasurementObject(bool(d["stochastic"]))
