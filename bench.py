@@ -295,7 +295,14 @@ def bench_circuit(kind: str, n: int, trials: int = 3) -> dict:
     else:
         from rustqip_tpu.algos.grover import grover_iteration
 
-        grover_iteration(b, b.register(n), (1 << n) - 3)
+        # "grover_native" swaps the gate-built diffusion for the native
+        # ReflectionOp (2|s><s| - I as one reduction + elementwise pass;
+        # identical outcome distribution — see algos/grover.py). The
+        # gate-built arm stays the reference-parity headline.
+        grover_iteration(
+            b, b.register(n), (1 << n) - 3,
+            native_diffusion=(kind == "grover_native"),
+        )
     _, raw, qops, plan, _ = lower_circuit(b.compile())
     nk = sum(1 for k, _, _ in plan if k == "kwindow")
     log(
@@ -518,6 +525,9 @@ def main():
     # compile is the cheaper of the two).
     qft = _circuit_subprocess("qft", n, reserve_s=240.0)
     grover = _circuit_subprocess("grover", n, reserve_s=90.0)
+    # Native-reflection diffusion (round 5): a 2-sweep iteration vs the
+    # gate arm's 16 — tiny program, cheap compile, big headline.
+    grover_native = _circuit_subprocess("grover_native", n, reserve_s=60.0)
 
     # Conservative denominator: the BEST baseline ever observed at this
     # n (shared 1-core host; a contended run inflates the ratio 18x).
@@ -566,6 +576,16 @@ def main():
         f"grover{n}_iter_ms_trials": (
             [round(t * 1e3, 2) for t in grover["times_s"]]
             if grover and grover.get("times_s")
+            else None
+        ),
+        f"grover{n}_native_iter_ms": (
+            round(grover_native["median_s"] * 1e3, 2)
+            if grover_native
+            else None
+        ),
+        f"grover{n}_native_iter_ms_trials": (
+            [round(t * 1e3, 2) for t in grover_native["times_s"]]
+            if grover_native and grover_native.get("times_s")
             else None
         ),
     }

@@ -19,6 +19,18 @@ def main():
     found = int(np.argmax(probs))
     print(f"marked={marked:#014b} found={found:#014b} p={probs[found]:.4f}")
 
+    # Same search with the native reflection diffusion (2|s><s| - I as one
+    # reduction + elementwise pass instead of 2n+2 gate passes per round);
+    # the outcome distribution is identical.
+    b2 = LocalBuilder(dtype="f32")
+    _, h2 = grover_search(b2, n, marked, native_diffusion=True)
+    print(circuit_stats(b2))
+    _, m2 = b2.calculate_state(seed=0)
+    p2 = m2.get_stochastic_measurement(h2)
+    f2 = int(np.argmax(p2))
+    print(f"native diffusion: found={f2:#014b} p={p2[f2]:.4f}")
+    assert f2 == found
+
 
 if __name__ == "__main__":
     main()
